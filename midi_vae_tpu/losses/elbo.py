@@ -1,0 +1,78 @@
+"""ELBO loss: BCE reconstruction + weighted Gaussian KL.
+
+Formula parity with the reference (``midi_autoencoder/models.py:190-225``):
+
+- reconstruction = binary cross-entropy, **mean over every element**
+  (models.py:208 ``F.binary_cross_entropy`` default reduction)
+- KL = ``-0.5 * mean_batch( sum_latent( 1 + log_var - mu² - exp(log_var) ) )``
+  (models.py:214)
+- total = reconstruction + kld_weight · KL (models.py:216)
+- the returned ``kld_loss`` keeps the reference's negated-KL reporting
+  convention (models.py:224)
+
+TPU-native difference: BCE is computed **from logits** with the fused
+max/log1p-exp form, which is mathematically identical to sigmoid + BCE
+on probabilities but numerically stable at saturated logits (torch
+clamps log terms at -100 instead; at such saturation both paths produce
+equivalent training signal). The reference's commented-out options —
+log_var clamping (models.py:210-212) and KL-weight annealing
+(models.py:218-219) — are first-class here: ``log_var_clamp`` and the
+schedules in ``losses/schedules.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from midi_vae_tpu.core.types import LossOutput, ModelOutput
+
+
+def bce_from_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Elementwise binary cross-entropy from logits, in nats.
+
+    ``max(l, 0) - l·t + log(1 + exp(-|l|))`` ≡ ``-[t·log σ(l) + (1-t)·log(1-σ(l))]``.
+    One fused VPU expression; XLA folds it into the surrounding reduction.
+    """
+    return jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def kl_gaussian(mu: jax.Array, log_var: jax.Array) -> jax.Array:
+    """KL(N(mu, σ²) || N(0, I)): sum over latent dim, mean over batch (models.py:214)."""
+    return -0.5 * jnp.mean(jnp.sum(1.0 + log_var - mu**2 - jnp.exp(log_var), axis=-1))
+
+
+def elbo_loss(
+    output: ModelOutput,
+    kld_weight: jax.Array | float = 1.0,
+    log_var_clamp: Optional[Tuple[float, float]] = None,
+) -> LossOutput:
+    """VAE loss (reference: ``VanillaVAE.loss``, models.py:190-225).
+
+    Parameters
+    ----------
+    output : ModelOutput
+        Forward-pass output; ``logits`` drives the stable BCE path.
+    kld_weight : float or scalar array
+        β weight on the KL term. A device scalar so β/annealing schedules
+        stay inside jit (the reference default is 1.0, models.py:16; the
+        recorded MIDI runs used 2.5e-4, configs/vae.yaml:20).
+    log_var_clamp : (min, max), optional
+        The clamp the reference left commented out (models.py:210-212).
+    """
+    loss_recon = jnp.mean(bce_from_logits(output.logits, output.input))
+    log_var = output.encoded.log_var
+    if log_var_clamp is not None:
+        log_var = jnp.clip(log_var, log_var_clamp[0], log_var_clamp[1])
+    kl = kl_gaussian(output.encoded.mu, log_var)
+    w = jnp.asarray(kld_weight, dtype=loss_recon.dtype)
+    loss = loss_recon + w * kl
+    return LossOutput(
+        loss=loss,
+        reconstruction_loss=jax.lax.stop_gradient(loss_recon),
+        kld_loss=jax.lax.stop_gradient(-kl),  # reference reports the negated KL (models.py:224)
+        kl=jax.lax.stop_gradient(kl),
+        kld_weight=w,
+    )

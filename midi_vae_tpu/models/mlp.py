@@ -1,0 +1,94 @@
+"""MLP VAE — the minimal end-to-end model (BASELINE.json config #1).
+
+No reference implementation exists (the reference only ships the conv
+``VanillaVAE``); this model exists so the framework's first vertical
+slice — "MLP VAE on synthetic piano-roll batches" — runs everywhere,
+and as the fastest smoke-test model. Same pytree contracts and RNG
+streams as :class:`~midi_vae_tpu.models.vae.VanillaVAE`, so the trainer,
+loss, and eval suite are model-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from midi_vae_tpu.core.types import EncoderOutput, ModelOutput
+
+_xavier = nn.initializers.xavier_uniform()
+
+
+class MLPVAE(nn.Module):
+    """Dense encoder/decoder VAE over flattened NHWC images."""
+
+    in_channels: int = 1
+    latent_dim: int = 10
+    input_dim: int = 32
+    hidden_dims: Sequence[int] = (512, 256)
+    out_channels: Optional[int] = None
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None  # unused; kept for constructor parity
+
+    name_tag = "MLPVAE"
+
+    @property
+    def flat_size(self) -> int:
+        return self.input_dim * self.input_dim * self.in_channels
+
+    def setup(self):
+        self.encoder = [
+            nn.Dense(h, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
+            for h in self.hidden_dims
+        ]
+        self.fc_mu = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
+        self.fc_var = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
+        out_ch = self.out_channels or self.in_channels
+        self.decoder = [
+            nn.Dense(h, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
+            for h in reversed(self.hidden_dims)
+        ]
+        self.decoder_out = nn.Dense(
+            self.input_dim * self.input_dim * out_ch,
+            kernel_init=_xavier,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )
+
+    def encode(self, x: jax.Array, train: bool = False) -> EncoderOutput:
+        h = x.reshape(x.shape[0], -1)
+        for layer in self.encoder:
+            h = nn.leaky_relu(layer(h), negative_slope=0.01)
+        return EncoderOutput(mu=self.fc_mu(h), log_var=self.fc_var(h), pre_latents=h)
+
+    def decode_logits(self, z: jax.Array, train: bool = False) -> jax.Array:
+        h = z
+        for layer in self.decoder:
+            h = nn.leaky_relu(layer(h), negative_slope=0.01)
+        out_ch = self.out_channels or self.in_channels
+        logits = self.decoder_out(h)
+        return logits.reshape(-1, self.input_dim, self.input_dim, out_ch)
+
+    def decode(self, z: jax.Array, train: bool = False) -> jax.Array:
+        return jax.nn.sigmoid(self.decode_logits(z, train))
+
+    def reparameterize(self, mu: jax.Array, log_var: jax.Array) -> jax.Array:
+        eps = jax.random.normal(self.make_rng("reparam"), mu.shape, dtype=mu.dtype)
+        return mu + eps * jnp.exp(0.5 * log_var)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> ModelOutput:
+        encoded = self.encode(x, train)
+        z = self.reparameterize(encoded.mu, encoded.log_var)
+        logits = self.decode_logits(z, train)
+        return ModelOutput(
+            output=jax.nn.sigmoid(logits),
+            logits=logits,
+            input=x,
+            encoded=encoded,
+            latents=z,
+        )
+
+    def generate(self, x: jax.Array) -> jax.Array:
+        return self(x, train=False).output

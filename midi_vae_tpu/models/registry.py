@@ -1,0 +1,52 @@
+"""Model registry — makes the reference's ``--model`` flag real.
+
+The reference CLI accepts ``--model`` (train.py:855-864) but hardcodes
+``VanillaVAE`` at train.py:110. Here the flag selects from a registry,
+and new model families register with a one-liner.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+from midi_vae_tpu.models.mlp import MLPVAE
+from midi_vae_tpu.models.vae import VanillaVAE
+
+MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
+    "vanillavae": VanillaVAE,
+    "mlpvae": MLPVAE,
+}
+
+
+def register_model(name: str, ctor: Callable[..., Any]) -> None:
+    MODEL_REGISTRY[name.lower()] = ctor
+
+
+def build_model(
+    arch: str,
+    *,
+    in_channels: int,
+    latent_dim: int,
+    input_dim: int,
+    hidden_dims=None,
+    dtype=None,
+    bn_axis_name=None,
+):
+    """Construct a model by architecture name (case-insensitive).
+
+    Mirrors the constructor call at train.py:110
+    (``VanillaVAE(img_channels, config.n_features, input_dim=raw_img_size)``)
+    but honors the requested architecture.
+    """
+    key = arch.lower()
+    if key not in MODEL_REGISTRY:
+        raise ValueError(f"Unrecognised architecture: {arch}. Known: {sorted(MODEL_REGISTRY)}")
+    ctor = MODEL_REGISTRY[key]
+    kwargs = dict(in_channels=in_channels, latent_dim=latent_dim, input_dim=input_dim)
+    if hidden_dims is not None:
+        kwargs["hidden_dims"] = tuple(hidden_dims)
+    if dtype is not None:
+        kwargs["dtype"] = dtype
+    if bn_axis_name is not None:
+        kwargs["bn_axis_name"] = bn_axis_name
+    return ctor(**kwargs)

@@ -1,0 +1,331 @@
+"""Convolutional VAE, designed TPU-first.
+
+Capability match for the reference ``VanillaVAE``
+(``midi_autoencoder/models.py:7-272``): 4-stage stride-2 conv encoder
+(Conv + BatchNorm + LeakyReLU, channels ``[32, 64, 128, 256]``,
+models.py:40-51), linear ``fc_mu``/``fc_var`` heads (models.py:55-56),
+linear ``decoder_input`` + 3-stage transposed-conv decoder
+(models.py:59-74), and a final ConvTranspose + BN + LeakyReLU + Conv +
+Sigmoid stage (models.py:76-83), with Xavier-uniform weight init
+(models.py:231).
+
+TPU-native design differences (deliberate, not omissions):
+
+- **NHWC layout** end to end: the TPU conv units want channels-last;
+  no transposes anywhere on the hot path.
+- **Computed feature-map sizes.** The reference hardcodes the post-encoder
+  spatial size (models.py:33) and the decoder reshape (models.py:166),
+  so it only works at 32 px input. We compute both, supporting 28/32/128
+  px (SURVEY §5 "remove the 32px hardcode"). When the input size is not a
+  multiple of ``2**num_stages`` the decoder output is center-cropped to
+  the input size.
+- **Logit outputs.** The model also returns pre-sigmoid logits so the
+  ELBO can use fused, numerically-stable sigmoid cross-entropy
+  (see ``losses/elbo.py``). ``output`` stays the sigmoid probability map
+  for parity with models.py:81.
+- **out_channels defaults to in_channels** (the reference hardcodes one
+  output channel at models.py:80, which silently breaks 3-channel
+  inputs — a bug we do not replicate).
+- **BatchNorm cross-replica semantics** are explicit: under jit
+  auto-partitioning with a batch-sharded input, XLA computes global batch
+  statistics (synced BN). ``bn_axis_name`` exists for explicit
+  ``shard_map`` usage.
+- Configurable compute ``dtype`` (bfloat16 on TPU) with float32 params.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from midi_vae_tpu.core.types import EncoderOutput, ModelOutput
+
+
+def conv_output_size(dim: int, num_layers: int, stride: int = 2) -> int:
+    """Spatial size after ``num_layers`` stride-2 SAME convolutions.
+
+    Equivalent of the reference's ``_compute_conv_output_size``
+    (models.py:85-105), which is defined but bypassed by a hardcode
+    (models.py:33). PyTorch Conv2d(k=3, s=2, p=1) gives ceil(n/2), the
+    same as XLA SAME padding, so one formula serves both frameworks.
+    """
+    for _ in range(num_layers):
+        dim = -(-dim // stride)
+    return dim
+
+
+_xavier = nn.initializers.xavier_uniform()
+
+
+class ConvBlock(nn.Module):
+    """Conv(k3, s2, SAME) + BatchNorm + LeakyReLU (reference: models.py:43-49)."""
+
+    features: int
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = nn.Conv(
+            self.features,
+            kernel_size=(3, 3),
+            strides=(2, 2),
+            padding="SAME",
+            kernel_init=_xavier,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,  # torch BatchNorm2d momentum=0.1 ⇒ flax momentum = 1 - 0.1
+            epsilon=1e-5,
+            axis_name=self.bn_axis_name if train else None,
+            dtype=self.dtype,
+        )(x)
+        return nn.leaky_relu(x, negative_slope=0.01)
+
+
+class DeconvBlock(nn.Module):
+    """ConvTranspose(k3, s2) + BatchNorm + LeakyReLU (reference: models.py:64-72).
+
+    PyTorch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) exactly
+    doubles the spatial size; XLA SAME-padded conv_transpose with stride
+    2 does the same, so sizes line up without the off-by-one hazards
+    noted in SURVEY §7.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=(3, 3),
+            strides=(2, 2),
+            padding="SAME",
+            kernel_init=_xavier,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.bn_axis_name if train else None,
+            dtype=self.dtype,
+        )(x)
+        return nn.leaky_relu(x, negative_slope=0.01)
+
+
+class Encoder(nn.Module):
+    """Stride-2 conv stack (reference: models.py:40-51)."""
+
+    hidden_dims: Sequence[int]
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        for h in self.hidden_dims:
+            x = ConvBlock(h, dtype=self.dtype, bn_axis_name=self.bn_axis_name)(x, train)
+        return x
+
+
+class Decoder(nn.Module):
+    """Transposed-conv stack, mirror of the encoder (reference: models.py:62-74)."""
+
+    hidden_dims: Sequence[int]  # reversed order, e.g. (256, 128, 64, 32)
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        for h in self.hidden_dims[1:]:
+            x = DeconvBlock(h, dtype=self.dtype, bn_axis_name=self.bn_axis_name)(x, train)
+        return x
+
+
+class FinalLayer(nn.Module):
+    """ConvTranspose + BN + LeakyReLU + Conv → logits (reference: models.py:76-83).
+
+    Returns *logits*; the sigmoid (models.py:81) is applied by the caller
+    so the loss can consume logits directly.
+    """
+
+    features: int
+    out_channels: int
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = DeconvBlock(self.features, dtype=self.dtype, bn_axis_name=self.bn_axis_name)(x, train)
+        return nn.Conv(
+            self.out_channels,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding="SAME",
+            kernel_init=_xavier,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(x)
+
+
+class VanillaVAE(nn.Module):
+    """Convolutional VAE over NHWC piano-roll images.
+
+    Parameters mirror the reference constructor (models.py:10-25):
+    ``in_channels``, ``latent_dim`` (= ``embed_dim``), ``input_dim``,
+    ``hidden_dims``. The loss weight lives in the loss, not the model.
+    """
+
+    in_channels: int = 1
+    latent_dim: int = 10
+    input_dim: int = 32
+    hidden_dims: Sequence[int] = (32, 64, 128, 256)
+    out_channels: Optional[int] = None  # defaults to in_channels
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    name_tag = "VanillaVAE"
+
+    @property
+    def last_conv_size(self) -> int:
+        return conv_output_size(self.input_dim, len(self.hidden_dims))
+
+    @property
+    def flattened_size(self) -> int:
+        return self.last_conv_size * self.last_conv_size * self.hidden_dims[-1]
+
+    @property
+    def decoded_size(self) -> int:
+        """Spatial size produced by the decoder before cropping."""
+        return self.last_conv_size * (2 ** len(self.hidden_dims))
+
+    def setup(self):
+        rev = tuple(reversed(self.hidden_dims))
+        self.encoder = Encoder(self.hidden_dims, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        self.fc_mu = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
+        self.fc_var = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
+        self.decoder_input = nn.Dense(
+            self.flattened_size, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype
+        )
+        self.decoder = Decoder(rev, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        self.final_layer = FinalLayer(
+            rev[-1],
+            self.out_channels or self.in_channels,
+            dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name,
+        )
+
+    def encode(self, x: jax.Array, train: bool = False) -> EncoderOutput:
+        """Conv stack → flatten → (mu, log_var) (reference: models.py:107-145)."""
+        h = self.encoder(x, train)
+        h = h.reshape(h.shape[0], -1)
+        mu = self.fc_mu(h)
+        log_var = self.fc_var(h)
+        return EncoderOutput(mu=mu, log_var=log_var, pre_latents=h)
+
+    def decode_logits(self, z: jax.Array, train: bool = False) -> jax.Array:
+        """Latents → reconstruction logits (reference: models.py:147-175).
+
+        The decoder naturally produces ``decoded_size``²; if the model's
+        input size is not a power-of-two multiple (e.g. 28 px), the output
+        is center-cropped — the reference simply crashes in that case
+        because of its 32 px hardcode (train.py:105).
+        """
+        s = self.last_conv_size
+        h = self.decoder_input(z)
+        h = h.reshape(-1, s, s, self.hidden_dims[-1])
+        h = self.decoder(h, train)
+        logits = self.final_layer(h, train)
+        d = self.decoded_size
+        if d != self.input_dim:
+            off = (d - self.input_dim) // 2
+            logits = jax.lax.dynamic_slice_in_dim(logits, off, self.input_dim, axis=1)
+            logits = jax.lax.dynamic_slice_in_dim(logits, off, self.input_dim, axis=2)
+        return logits
+
+    def decode(self, z: jax.Array, train: bool = False) -> jax.Array:
+        """Latents → reconstruction probabilities (sigmoid of logits)."""
+        return jax.nn.sigmoid(self.decode_logits(z, train))
+
+    def reparameterize(self, mu: jax.Array, log_var: jax.Array) -> jax.Array:
+        """z = mu + eps·exp(log_var/2), eps ~ N(0, I) (reference: models.py:177-183).
+
+        Uses the module's ``reparam`` RNG stream — the TPU-native
+        replacement for ``torch.randn_like`` device RNG.
+        """
+        eps = jax.random.normal(self.make_rng("reparam"), mu.shape, dtype=mu.dtype)
+        return mu + eps * jnp.exp(0.5 * log_var)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> ModelOutput:
+        """Full forward pass (reference: models.py:185-188)."""
+        encoded = self.encode(x, train)
+        z = self.reparameterize(encoded.mu, encoded.log_var)
+        logits = self.decode_logits(z, train)
+        return ModelOutput(
+            output=jax.nn.sigmoid(logits),
+            logits=logits,
+            input=x,
+            encoded=encoded,
+            latents=z,
+        )
+
+    def sample_latents(self, num_samples: int) -> jax.Array:
+        """z ~ N(0, I) prior draws (reference: models.py:250-263)."""
+        key = self.make_rng("sample")
+        return jax.random.normal(key, (num_samples, self.latent_dim), dtype=jnp.float32)
+
+    def generate(self, x: jax.Array) -> jax.Array:
+        """Reconstruct inputs (reference: models.py:265-272)."""
+        return self(x, train=False).output
+
+
+def param_group_label(path: tuple, _leaf=None) -> str:
+    """Map a parameter path to its optimizer group.
+
+    The reference builds per-component param groups for distinct encoder/
+    decoder learning rates (train.py:210-225) — but accidentally omits
+    ``fc_mu``/``fc_var``/``decoder_input``/``final_layer`` from *any*
+    group, so those parameters are never optimized (and are also dropped
+    from checkpoints, train.py:445-451). We do not replicate that bug:
+    the latent heads train with the encoder group, and everything from
+    ``decoder_input`` onward trains with the decoder group.
+    """
+    top = str(getattr(path[0], "key", path[0]))
+    if top in ("encoder", "fc_mu", "fc_var"):
+        return "encoder"
+    return "decoder"
+
+
+def init_stats(params) -> dict:
+    """Per-tensor weight-init statistics (reference: models.py:238-247).
+
+    The reference prints mean/std/min/max/norm per weight after init
+    (over a stale loop variable — models.py:239 iterates only the last
+    module; we report all of them). Returned as a dict for logging
+    rather than printed, so the trainer decides verbosity.
+    """
+    out = {}
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        name = "/".join(getattr(p, "key", str(p)) for p in path)
+        if "kernel" not in name and "scale" not in name:
+            continue
+        arr = jax.device_get(leaf)
+        out[name] = {
+            "shape": tuple(arr.shape),
+            "mean": float(arr.mean()),
+            "std": float(arr.std()),
+            "min": float(arr.min()),
+            "max": float(arr.max()),
+            "norm": float(math.sqrt((arr.astype("float64") ** 2).sum())),
+        }
+    return out

@@ -1,0 +1,141 @@
+"""ELBO parity tests: hand-computed cases and reference-formula equivalence (SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from midi_vae_tpu.core.types import EncoderOutput, ModelOutput
+from midi_vae_tpu.losses import bce_from_logits, elbo_loss, kl_gaussian
+from midi_vae_tpu.losses.schedules import kl_weight_schedule
+
+
+def make_output(logits, targets, mu, log_var):
+    logits = jnp.asarray(logits, jnp.float32)
+    targets = jnp.asarray(targets, jnp.float32)
+    mu = jnp.asarray(mu, jnp.float32)
+    log_var = jnp.asarray(log_var, jnp.float32)
+    return ModelOutput(
+        output=jax.nn.sigmoid(logits),
+        logits=logits,
+        input=targets,
+        encoded=EncoderOutput(mu=mu, log_var=log_var, pre_latents=mu),
+        latents=mu,
+    )
+
+
+def test_bce_matches_probability_form():
+    """Fused logit BCE == -[t·log p + (1-t)·log(1-p)] for moderate logits."""
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(64,)).astype(np.float32) * 3
+    t = rng.uniform(size=(64,)).astype(np.float32)
+    p = 1.0 / (1.0 + np.exp(-logits))
+    expected = -(t * np.log(p) + (1 - t) * np.log(1 - p))
+    got = np.asarray(bce_from_logits(jnp.asarray(logits), jnp.asarray(t)))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-5)
+
+
+def test_bce_stable_at_saturation():
+    out = bce_from_logits(jnp.asarray([100.0, -100.0]), jnp.asarray([0.0, 1.0]))
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), [100.0, 100.0], rtol=1e-6)
+
+
+def test_kl_hand_computed():
+    """KL for mu=1, log_var=0 (σ=1): per-dim KL = 0.5·(mu²) = 0.5; sum over D=3 → 1.5."""
+    mu = jnp.ones((2, 3))
+    log_var = jnp.zeros((2, 3))
+    kl = kl_gaussian(mu, log_var)
+    np.testing.assert_allclose(float(kl), 1.5, rtol=1e-6)
+    # standard normal posterior → zero KL
+    assert float(kl_gaussian(jnp.zeros((2, 3)), jnp.zeros((2, 3)))) == pytest.approx(0.0, abs=1e-7)
+
+
+def test_kl_matches_reference_formula():
+    """-0.5·mean_batch(sum_dim(1 + lv - mu² - e^lv)) — models.py:214 verbatim."""
+    rng = np.random.default_rng(1)
+    mu = rng.normal(size=(8, 5)).astype(np.float32)
+    lv = rng.normal(size=(8, 5)).astype(np.float32) * 0.5
+    expected = -0.5 * np.mean(np.sum(1 + lv - mu**2 - np.exp(lv), axis=-1))
+    got = float(kl_gaussian(jnp.asarray(mu), jnp.asarray(lv)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_elbo_composition_and_reporting_conventions():
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(4, 8, 8, 1)).astype(np.float32)
+    targets = rng.uniform(size=(4, 8, 8, 1)).astype(np.float32)
+    mu = rng.normal(size=(4, 10)).astype(np.float32)
+    lv = rng.normal(size=(4, 10)).astype(np.float32)
+    out = make_output(logits, targets, mu, lv)
+    res = elbo_loss(out, kld_weight=0.00025)
+    # loss = recon + w·kl (models.py:216)
+    np.testing.assert_allclose(
+        float(res.loss),
+        float(res.reconstruction_loss) + 0.00025 * float(res.kl),
+        rtol=1e-6,
+    )
+    # kld_loss is reported negated (models.py:224)
+    np.testing.assert_allclose(float(res.kld_loss), -float(res.kl), rtol=1e-6)
+
+
+def test_elbo_log_var_clamp():
+    out = make_output(
+        np.zeros((2, 4, 4, 1), np.float32),
+        np.full((2, 4, 4, 1), 0.5, np.float32),
+        np.zeros((2, 3), np.float32),
+        np.full((2, 3), 50.0, np.float32),  # would explode exp(log_var)
+    )
+    res = elbo_loss(out, kld_weight=1.0, log_var_clamp=(-10.0, 10.0))
+    assert np.isfinite(float(res.loss))
+    # clamped KL: -0.5·sum(1 + 10 - 0 - e^10) per sample
+    expected_kl = -0.5 * 3 * (1 + 10 - np.exp(10))
+    np.testing.assert_allclose(float(res.kl), expected_kl, rtol=1e-5)
+
+
+def test_elbo_gradients_flow():
+    def loss_fn(logits):
+        out = make_output(logits, np.full((2, 4, 4, 1), 0.5, np.float32), np.zeros((2, 3)), np.zeros((2, 3)))
+        return elbo_loss(out).loss
+
+    g = jax.grad(loss_fn)(jnp.zeros((2, 4, 4, 1)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+class TestKLSchedules:
+    def test_constant(self):
+        s = kl_weight_schedule("constant", 0.3)
+        assert float(s(jnp.int32(0))) == pytest.approx(0.3)
+        assert float(s(jnp.int32(10**6))) == pytest.approx(0.3)
+
+    def test_multiplicative_matches_reference_comment(self):
+        """w(t) capped multiplicative ramp — models.py:218-219."""
+        s = kl_weight_schedule("multiplicative", 0.01, growth=1.005, cap=1.0)
+        w = 0.01
+        for t in [0, 1, 5, 100]:
+            np.testing.assert_allclose(float(s(jnp.int32(t))), min(0.01 * 1.005**t, 1.0), rtol=1e-4)
+            w = min(w * 1.005, 1.0)
+        assert float(s(jnp.int32(10000))) == pytest.approx(1.0)
+
+    def test_linear(self):
+        s = kl_weight_schedule("linear", 1.0, warmup_steps=100)
+        assert float(s(jnp.int32(0))) == pytest.approx(0.0)
+        assert float(s(jnp.int32(50))) == pytest.approx(0.5)
+        assert float(s(jnp.int32(200))) == pytest.approx(1.0)
+
+    def test_cyclical(self):
+        s = kl_weight_schedule("cyclical", 1.0, period=100, ramp_fraction=0.5)
+        assert float(s(jnp.int32(0))) == pytest.approx(0.0)
+        assert float(s(jnp.int32(25))) == pytest.approx(0.5)
+        assert float(s(jnp.int32(75))) == pytest.approx(1.0)
+        assert float(s(jnp.int32(100))) == pytest.approx(0.0)
+
+    def test_jit_compatible(self):
+        s = kl_weight_schedule("cyclical", 1.0, period=10)
+        f = jax.jit(lambda t: s(t))
+        assert np.isfinite(float(f(jnp.int32(3))))
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            kl_weight_schedule("bogus")

@@ -1,0 +1,155 @@
+"""Shape/dtype contracts and statistics for the model zoo (SURVEY §4 unit tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from midi_vae_tpu.core.types import EncoderOutput, ModelOutput
+from midi_vae_tpu.models import MLPVAE, VanillaVAE, build_model
+from midi_vae_tpu.models.vae import conv_output_size, init_stats, param_group_label
+
+
+def make_model(input_dim=32, in_channels=1, latent_dim=10, cls=VanillaVAE):
+    model = cls(in_channels=in_channels, latent_dim=latent_dim, input_dim=input_dim)
+    x = jnp.zeros((2, input_dim, input_dim, in_channels), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)},
+        x,
+        train=True,
+    )
+    return model, variables
+
+
+def test_conv_output_size_matches_torch_formula():
+    # torch Conv2d(k=3, s=2, p=1): out = ceil(n / 2) per stage
+    assert conv_output_size(32, 4) == 2  # 32→16→8→4→2 (reference hardcode "4 elements" = 2x2, models.py:33)
+    assert conv_output_size(28, 4) == 2  # 28→14→7→4→2
+    assert conv_output_size(128, 4) == 8  # 128→64→32→16→8
+    assert conv_output_size(64, 4) == 4
+
+
+@pytest.mark.parametrize("input_dim", [28, 32, 128])
+def test_forward_shapes(input_dim):
+    model, variables = make_model(input_dim=input_dim)
+    x = jnp.ones((4, input_dim, input_dim, 1), jnp.float32) * 0.5
+    out, mutated = model.apply(
+        variables,
+        x,
+        train=True,
+        rngs={"reparam": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    assert isinstance(out, ModelOutput)
+    assert out.output.shape == (4, input_dim, input_dim, 1)
+    assert out.logits.shape == (4, input_dim, input_dim, 1)
+    assert out.latents.shape == (4, 10)
+    assert out.encoded.mu.shape == (4, 10)
+    assert out.encoded.log_var.shape == (4, 10)
+    assert "batch_stats" in mutated
+    # sigmoid output range
+    assert float(out.output.min()) >= 0.0
+    assert float(out.output.max()) <= 1.0
+
+
+def test_eval_mode_uses_running_stats():
+    model, variables = make_model()
+    x = jnp.ones((4, 32, 32, 1), jnp.float32)
+    out = model.apply(variables, x, train=False, rngs={"reparam": jax.random.PRNGKey(2)})
+    assert out.output.shape == (4, 32, 32, 1)
+
+
+def test_encode_decode_roundtrip_shapes():
+    model, variables = make_model(input_dim=32)
+    x = jnp.ones((3, 32, 32, 1), jnp.float32)
+    enc = model.apply(variables, x, train=False, method=VanillaVAE.encode)
+    assert isinstance(enc, EncoderOutput)
+    assert enc.pre_latents.shape == (3, 2 * 2 * 256)
+    z = jnp.zeros((3, 10))
+    recon = model.apply(variables, z, train=False, method=VanillaVAE.decode)
+    assert recon.shape == (3, 32, 32, 1)
+
+
+def test_reparameterize_statistics():
+    """Reparameterization: z ~ N(mu, exp(log_var)) under fixed key (SURVEY §4)."""
+    model, variables = make_model()
+    mu = jnp.full((20000, 10), 1.5)
+    log_var = jnp.full((20000, 10), jnp.log(0.25))
+    z = model.apply(
+        variables,
+        mu,
+        log_var,
+        method=VanillaVAE.reparameterize,
+        rngs={"reparam": jax.random.PRNGKey(7)},
+    )
+    assert abs(float(z.mean()) - 1.5) < 0.01
+    assert abs(float(z.std()) - 0.5) < 0.01
+
+
+def test_reparameterize_deterministic_under_key():
+    model, variables = make_model()
+    mu = jnp.zeros((8, 10))
+    log_var = jnp.zeros((8, 10))
+    z1 = model.apply(variables, mu, log_var, method=VanillaVAE.reparameterize, rngs={"reparam": jax.random.PRNGKey(3)})
+    z2 = model.apply(variables, mu, log_var, method=VanillaVAE.reparameterize, rngs={"reparam": jax.random.PRNGKey(3)})
+    z3 = model.apply(variables, mu, log_var, method=VanillaVAE.reparameterize, rngs={"reparam": jax.random.PRNGKey(4)})
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    assert not np.allclose(np.asarray(z1), np.asarray(z3))
+
+
+def test_xavier_init_statistics():
+    """Xavier-uniform kernels: zero mean, bounded by sqrt(6/(fan_in+fan_out)) (models.py:231)."""
+    _, variables = make_model()
+    k = variables["params"]["fc_mu"]["kernel"]
+    fan_in, fan_out = k.shape
+    bound = np.sqrt(6.0 / (fan_in + fan_out))
+    assert float(jnp.abs(k).max()) <= bound + 1e-6
+    assert abs(float(k.mean())) < 0.01
+    # biases are zeros (models.py:233)
+    assert float(jnp.abs(variables["params"]["fc_mu"]["bias"]).max()) == 0.0
+
+
+def test_param_group_labels():
+    _, variables = make_model()
+    labels = jax.tree_util.tree_map_with_path(param_group_label, variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+    seen = {"/".join(str(getattr(p, "key", p)) for p in path): lbl for path, lbl in flat}
+    assert all(v == "encoder" for k, v in seen.items() if k.startswith(("encoder", "fc_mu", "fc_var")))
+    assert all(v == "decoder" for k, v in seen.items() if k.startswith(("decoder", "final_layer")))
+    assert {"encoder", "decoder"} == set(seen.values())
+
+
+def test_init_stats_covers_all_kernels():
+    _, variables = make_model()
+    stats = init_stats(variables["params"])
+    assert any("encoder" in k for k in stats)
+    assert any("final_layer" in k for k in stats)
+    for v in stats.values():
+        assert set(v) == {"shape", "mean", "std", "min", "max", "norm"}
+
+
+def test_mlp_vae_forward():
+    model, variables = make_model(cls=MLPVAE)
+    x = jnp.ones((4, 32, 32, 1), jnp.float32) * 0.3
+    out = model.apply(variables, x, train=True, rngs={"reparam": jax.random.PRNGKey(2)})
+    assert out.output.shape == (4, 32, 32, 1)
+    assert out.latents.shape == (4, 10)
+
+
+def test_registry_builds_both_models():
+    for arch, cls in [("VanillaVAE", VanillaVAE), ("MLPVAE", MLPVAE)]:
+        m = build_model(arch, in_channels=1, latent_dim=5, input_dim=32)
+        assert isinstance(m, cls)
+        assert m.latent_dim == 5
+    with pytest.raises(ValueError):
+        build_model("nope", in_channels=1, latent_dim=5, input_dim=32)
+
+
+def test_multichannel_output_matches_input_channels():
+    """The reference hardcodes 1 output channel (models.py:80), breaking RGB inputs; we don't."""
+    model, variables = make_model(in_channels=3)
+    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    out, _ = model.apply(
+        variables, x, train=True, rngs={"reparam": jax.random.PRNGKey(0)}, mutable=["batch_stats"]
+    )
+    assert out.output.shape == (2, 32, 32, 3)
