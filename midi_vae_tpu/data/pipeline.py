@@ -1,0 +1,148 @@
+"""Double-buffered host→device input pipeline.
+
+TPU-native replacement for the reference's DataLoader stack
+(train.py:168-191): no worker processes, no pinned-memory staging.
+Batches are sliced from contiguous host uint8 arrays, copied to device
+asynchronously (``jax.device_put`` dispatch is non-blocking), and the
+whole transform stack runs as one jitted program on device. A small
+prefetch queue keeps ``prefetch`` batches in flight so the H2D copy of
+batch N+1 overlaps the compute of batch N — the double-buffering the
+BASELINE north star asks for, without Pallas DMA because PCIe copy and
+XLA execution already overlap at the runtime level.
+
+Epoch shuffling derives from resume-stable per-epoch seeds
+(:func:`midi_vae_tpu.core.rng.host_rng`), replacing the sampler
+reseeding at train.py:345-369. Eval padding: the final partial batch is
+zero-padded to full shape with a validity mask — the static-shape
+equivalent of the DistributedSampler pad + trim at evaluation.py:86-93.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Iterator, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midi_vae_tpu.core.rng import epoch_key, host_rng
+from midi_vae_tpu.data.sources import ArrayDataset
+from midi_vae_tpu.data.transforms import apply_transform
+
+
+class Batch(NamedTuple):
+    """One device-resident batch. ``mask`` flags real (non-pad) samples."""
+
+    x: jax.Array  # transformed images, float32 [B, S, S, C]
+    y: jax.Array  # labels int32 [B]
+    mask: jax.Array  # float32 [B], 1.0 = real sample, 0.0 = padding
+
+
+class DeviceLoader:
+    """Iterate an :class:`ArrayDataset` as device batches.
+
+    Parameters
+    ----------
+    dataset : ArrayDataset with a transform spec attached
+    batch_size : int — the *global* batch size (already scaled by the
+        data-parallel world size, as at train.py:166)
+    train : bool — train mode shuffles and drops the last partial batch
+        (dl_train_kwargs, train.py:168-174); eval mode keeps order and
+        pads the final batch (dl_test_kwargs, train.py:175-181)
+    seed : int — base seed for epoch shuffling and random crops
+    sharding : optional jax.sharding.Sharding for the batch arrays
+        (e.g. NamedSharding(mesh, P("data", ...)) for data parallelism)
+    prefetch : number of batches to keep in flight
+    """
+
+    def __init__(
+        self,
+        dataset: ArrayDataset,
+        batch_size: int,
+        *,
+        train: bool,
+        seed: int = 0,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        prefetch: int = 2,
+    ):
+        if len(dataset) == 0:
+            raise ValueError("empty dataset")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+        self.prefetch = max(1, prefetch)
+        self._x_sharding = sharding
+        n = len(dataset)
+        self.num_batches = n // batch_size if train else -(-n // batch_size)
+        if self.num_batches == 0:
+            raise ValueError(f"dataset of {n} samples yields no batches at batch_size={batch_size} (drop_last)")
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    @property
+    def num_samples(self) -> int:
+        """Samples yielded per epoch (post drop_last / pre padding)."""
+        n = len(self.dataset)
+        return self.num_batches * self.batch_size if self.train else n
+
+    def _make_host_batch(self, indices: np.ndarray):
+        images = self.dataset.images[indices]
+        labels = self.dataset.labels[indices]
+        pad = self.batch_size - len(indices)
+        mask = np.ones(self.batch_size, np.float32)
+        if pad:
+            images = np.concatenate([images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+            labels = np.concatenate([labels, np.zeros(pad, labels.dtype)])
+            mask[len(indices) :] = 0.0
+        return images, labels.astype(np.int32), mask
+
+    def epoch(self, epoch: int = 1) -> Iterator[Batch]:
+        """Yield the batches of one epoch (epochs indexed from 1)."""
+        n = len(self.dataset)
+        if self.train:
+            order = host_rng(self.seed, epoch).permutation(n)
+            order = order[: self.num_batches * self.batch_size]
+        else:
+            order = np.arange(n)
+        ekey = epoch_key(self.seed, epoch) if self.train else None
+
+        spec = self.dataset.transform
+
+        def launch(batch_idx: int) -> Batch:
+            lo = batch_idx * self.batch_size
+            images, labels, mask = self._make_host_batch(order[lo : lo + self.batch_size])
+            x = jax.device_put(images, self._x_sharding)
+            y = jax.device_put(labels, self._x_sharding and _scalar_sharding(self._x_sharding))
+            m = jax.device_put(mask, self._x_sharding and _scalar_sharding(self._x_sharding))
+            key = jax.random.fold_in(ekey, batch_idx) if (ekey is not None and spec is not None) else None
+            if spec is not None:
+                x = apply_transform(spec, x, key)
+            else:
+                x = _scale_only(x)
+            return Batch(x=x, y=y, mask=m)
+
+        queue: collections.deque = collections.deque()
+        for i in range(self.num_batches):
+            queue.append(launch(i))
+            if len(queue) > self.prefetch:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
+
+
+@jax.jit
+def _scale_only(x: jax.Array) -> jax.Array:
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x.astype(jnp.float32)
+
+
+def _scalar_sharding(sharding: jax.sharding.Sharding):
+    """Derive a rank-1 sharding (batch axis only) from the image sharding."""
+    if isinstance(sharding, jax.sharding.NamedSharding):
+        batch_axis = sharding.spec[0] if len(sharding.spec) else None
+        return jax.sharding.NamedSharding(sharding.mesh, jax.sharding.PartitionSpec(batch_axis))
+    return sharding

@@ -1,0 +1,34 @@
+"""Dataset registry (reference: ``midi_autoencoder/datasets.py:17-62``).
+
+Maps dataset names to (num_classes, img_size, num_channels). Extends the
+reference table with ``*-synthetic`` variants that generate their data
+in memory (no disk round-trip) — the TPU-native path for the line/
+piano-roll factories (SURVEY §3.5: "can generate on-device instead of
+PNG round-trip").
+"""
+
+from __future__ import annotations
+
+TRAIN_TEST_RATIO = 0.8  # reference: datasets.py:14
+
+
+def image_dataset_sizes(dataset: str):
+    """(num_classes, img_size, num_channels) for a dataset name.
+
+    ``num_classes == -1`` means "unlabeled/by-folder" as in the reference.
+    """
+    if dataset.startswith("sageev"):
+        return -1, 128, 1
+    if dataset in ("vae-lines", "vae-lines-synthetic"):
+        return -1, 28, 1
+    if dataset in ("vae-lines-large", "vae-lines-large-synthetic"):
+        return -1, 128, 1
+    if dataset == "pianoroll-synthetic":
+        # On-device synthetic piano-rolls (capability extension; no
+        # reference equivalent — BASELINE.json north star).
+        return -1, 128, 1
+    if dataset == "mnist":
+        return 10, 28, 1
+    if dataset == "svhn":
+        return 10, 32, 3
+    raise ValueError("Unrecognised dataset: {}".format(dataset))

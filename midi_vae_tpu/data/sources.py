@@ -1,0 +1,202 @@
+"""Dataset sources: in-memory arrays, PNG folders, MNIST/SVHN files.
+
+TPU-native stance: every dataset materializes as contiguous uint8 NHWC
+numpy arrays (the largest reference dataset — 100k 128px grayscale
+images, data_generators.py:96-104 — is 1.6 GB, comfortably in host
+RAM). Static shapes + whole-array slicing feed the jitted on-device
+transform pipeline; there are no per-sample Python transforms and no
+worker processes to seed (replaces DataLoader workers,
+train.py:168-191).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import os
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from midi_vae_tpu.data.transforms import TransformSpec
+
+IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".bmp", ".gif", ".webp")
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """A dataset fully resident in host memory.
+
+    ``transform`` is the stack the loader applies on device — the
+    equivalent of the reference attaching torchvision transforms to
+    dataset objects (datasets.py:102, 115, 127).
+    """
+
+    images: np.ndarray  # uint8 [N, H, W, C]
+    labels: np.ndarray  # int64 [N]
+    name: str = ""
+    transform: Optional[TransformSpec] = None
+    class_names: Optional[List[str]] = None
+
+    def __post_init__(self):
+        assert self.images.ndim == 4, f"images must be NHWC, got {self.images.shape}"
+        assert len(self.images) == len(self.labels)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def subset(self, indices: np.ndarray) -> "ArrayDataset":
+        return dataclasses.replace(self, images=self.images[indices], labels=self.labels[indices])
+
+    def with_transform(self, transform: TransformSpec) -> "ArrayDataset":
+        return dataclasses.replace(self, transform=transform)
+
+
+# ---------------------------------------------------------------- ImageFolder
+
+
+def load_image_folder(root: str) -> ArrayDataset:
+    """Load a class-per-subdirectory image tree (torchvision ImageFolder
+    semantics: classes = sorted subdir names, files sorted within each;
+    reference usage at datasets.py:102,115).
+
+    All images must share one size; they are stacked into a single uint8
+    array. A sidecar ``_cache.npz`` is written next to the tree so
+    subsequent runs skip PNG decoding.
+    """
+    from PIL import Image
+
+    cache = os.path.join(root, "_cache.npz")
+    if os.path.isfile(cache):
+        data = np.load(cache, allow_pickle=False)
+        return ArrayDataset(
+            images=data["images"],
+            labels=data["labels"].astype(np.int64),
+            name=os.path.basename(root),
+            class_names=[str(c) for c in data["class_names"]],
+        )
+
+    classes = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+    if not classes:
+        raise FileNotFoundError(f"No class subdirectories under {root}")
+    images, labels = [], []
+    for idx, cls in enumerate(classes):
+        cdir = os.path.join(root, cls)
+        for fname in sorted(os.listdir(cdir)):
+            if not fname.lower().endswith(IMG_EXTENSIONS):
+                continue
+            with Image.open(os.path.join(cdir, fname)) as im:
+                arr = np.asarray(im)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            images.append(arr.astype(np.uint8))
+            labels.append(idx)
+    if not images:
+        raise FileNotFoundError(f"No images found under {root}")
+    images_arr = np.stack(images)
+    labels_arr = np.asarray(labels, dtype=np.int64)
+    try:
+        np.savez_compressed(cache, images=images_arr, labels=labels_arr, class_names=np.asarray(classes))
+    except OSError:
+        pass  # read-only dataset dir: skip the cache, stay functional
+    return ArrayDataset(images=images_arr, labels=labels_arr, name=os.path.basename(root), class_names=classes)
+
+
+def write_image_folder(images: np.ndarray, labels: np.ndarray, path: str, label_suffix: str = "_lines") -> None:
+    """Export arrays as the reference's PNG class-folder layout
+    (``{path}/{k}_lines/image_{i}.png``, data_generators.py:86-93)."""
+    from PIL import Image
+
+    os.makedirs(path, exist_ok=True)
+    for i, (img, label) in enumerate(zip(images, labels)):
+        class_dir = os.path.join(path, f"{label}{label_suffix}")
+        os.makedirs(class_dir, exist_ok=True)
+        arr = img[..., 0] if (img.ndim == 3 and img.shape[-1] == 1) else img
+        Image.fromarray(arr).save(os.path.join(class_dir, f"image_{i + 1}.png"))
+
+
+# -------------------------------------------------------------------- MNIST
+
+
+def _read_idx(path: str) -> np.ndarray:
+    """Read an IDX-format file (optionally gzipped) — the raw MNIST format."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic = struct.unpack(">I", f.read(4))[0]
+        ndim = magic & 0xFF
+        dims = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        data = np.frombuffer(f.read(), dtype=np.uint8)
+    return data.reshape(dims)
+
+
+def load_mnist(root: str, train: bool) -> ArrayDataset:
+    """Load MNIST from raw IDX files under ``root`` (reference:
+    ``torchvision.datasets.MNIST``, datasets.py:123-137).
+
+    Looks in ``root`` and ``root/MNIST/raw`` for
+    ``{train,t10k}-images-idx3-ubyte[.gz]``.
+    """
+    prefix = "train" if train else "t10k"
+    candidates = [root, os.path.join(root, "MNIST", "raw"), os.path.join(root, "mnist")]
+    for base in candidates:
+        for ext in ("", ".gz"):
+            img_path = os.path.join(base, f"{prefix}-images-idx3-ubyte{ext}")
+            lbl_path = os.path.join(base, f"{prefix}-labels-idx1-ubyte{ext}")
+            if os.path.isfile(img_path) and os.path.isfile(lbl_path):
+                images = _read_idx(img_path)[:, :, :, None]  # [N,28,28,1]
+                labels = _read_idx(lbl_path).astype(np.int64)
+                return ArrayDataset(images=images, labels=labels, name="mnist")
+    raise FileNotFoundError(
+        f"MNIST IDX files not found under {root} (searched {candidates}). "
+        "Place train-images-idx3-ubyte[.gz] etc. there, or pass --allow-download-dataset."
+    )
+
+
+def load_svhn(root: str, split: str) -> ArrayDataset:
+    """Load SVHN cropped-digit .mat files (reference:
+    ``torchvision.datasets.SVHN``, datasets.py:147-159)."""
+    import scipy.io
+
+    path = os.path.join(root, f"{split}_32x32.mat")
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"SVHN file not found: {path}")
+    mat = scipy.io.loadmat(path)
+    images = np.transpose(mat["X"], (3, 0, 1, 2)).astype(np.uint8)  # HWCN → NHWC
+    labels = mat["y"].astype(np.int64).squeeze()
+    labels[labels == 10] = 0  # SVHN convention: label "10" is digit 0
+    return ArrayDataset(images=images, labels=labels, name="svhn")
+
+
+_MNIST_URLS = [
+    "https://ossci-datasets.s3.amazonaws.com/mnist/",
+    "http://yann.lecun.com/exdb/mnist/",
+]
+_MNIST_FILES = [
+    "train-images-idx3-ubyte.gz",
+    "train-labels-idx1-ubyte.gz",
+    "t10k-images-idx3-ubyte.gz",
+    "t10k-labels-idx1-ubyte.gz",
+]
+
+
+def download_mnist(root: str) -> None:
+    """Fetch the MNIST IDX files (capability parity with torchvision's
+    ``download=True``, datasets.py:129; requires network egress)."""
+    import urllib.request
+
+    raw = os.path.join(root, "MNIST", "raw")
+    os.makedirs(raw, exist_ok=True)
+    for fname in _MNIST_FILES:
+        dest = os.path.join(raw, fname)
+        if os.path.isfile(dest):
+            continue
+        last_err = None
+        for base in _MNIST_URLS:
+            try:
+                urllib.request.urlretrieve(base + fname, dest)
+                break
+            except OSError as e:  # pragma: no cover - network-dependent
+                last_err = e
+        else:  # pragma: no cover
+            raise RuntimeError(f"Could not download {fname}: {last_err}")

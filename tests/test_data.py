@@ -1,0 +1,257 @@
+"""Data layer tests: synthetic generators, transforms, splits, fetch, pipeline."""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from midi_vae_tpu.data.fetch import fetch_dataset
+from midi_vae_tpu.data.pipeline import DeviceLoader
+from midi_vae_tpu.data.registry import image_dataset_sizes
+from midi_vae_tpu.data.sources import ArrayDataset, load_image_folder, write_image_folder
+from midi_vae_tpu.data.splits import create_train_val_split, random_train_test_split
+from midi_vae_tpu.data.synthetic import generate_line_images, make_lines_batch, make_pianoroll_batch
+from midi_vae_tpu.data.transforms import TransformSpec, apply_transform, denormalize, get_transform
+
+
+class TestRegistry:
+    def test_reference_table(self):
+        """Parity with datasets.py:17-62."""
+        assert image_dataset_sizes("sageev-midi") == (-1, 128, 1)
+        assert image_dataset_sizes("vae-lines") == (-1, 28, 1)
+        assert image_dataset_sizes("vae-lines-large") == (-1, 128, 1)
+        assert image_dataset_sizes("mnist") == (10, 28, 1)
+        assert image_dataset_sizes("svhn") == (10, 32, 3)
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            image_dataset_sizes("bogus")
+
+
+class TestSynthetic:
+    def test_host_generator_shapes_and_values(self):
+        images, labels = generate_line_images(100, img_size=(28, 28), max_lines=2, line_width=2, seed=0)
+        assert images.shape == (100, 28, 28)
+        assert images.dtype == np.uint8
+        assert set(np.unique(images)) <= {0, 255}
+        assert labels.min() >= 1 and labels.max() <= 2
+        # full-length default: every image has at least one full row or column
+        img = images[0]
+        assert (img.sum(axis=0) == 255 * 28).any() or (img.sum(axis=1) == 255 * 28).any()
+
+    def test_host_generator_deterministic(self):
+        a, _ = generate_line_images(50, seed=3)
+        b, _ = generate_line_images(50, seed=3)
+        c, _ = generate_line_images(50, seed=4)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_host_generator_no_duplicates(self):
+        images, _ = generate_line_images(200, img_size=(28, 28), max_lines=2, line_width=1, seed=0)
+        fingerprints = {img.tobytes() for img in images}
+        assert len(fingerprints) == len(images)
+
+    def test_device_generator(self):
+        imgs, counts = make_lines_batch(jax.random.PRNGKey(0), 16, height=32, width=32, max_lines=3, line_width=2)
+        assert imgs.shape == (16, 32, 32, 1)
+        assert set(np.unique(np.asarray(imgs))) <= {0.0, 1.0}
+        assert counts.shape == (16,)
+        assert int(counts.min()) >= 1 and int(counts.max()) <= 3
+        # deterministic under key
+        imgs2, _ = make_lines_batch(jax.random.PRNGKey(0), 16, height=32, width=32, max_lines=3, line_width=2)
+        np.testing.assert_array_equal(np.asarray(imgs), np.asarray(imgs2))
+
+    def test_device_pianoroll(self):
+        rolls, counts = make_pianoroll_batch(jax.random.PRNGKey(1), 8, pitches=64, steps=64, max_notes=10)
+        assert rolls.shape == (8, 64, 64, 1)
+        r = np.asarray(rolls)
+        assert r.min() >= 0.0 and r.max() <= 1.0
+        assert (r > 0).any()
+        # notes are horizontal bars: every nonzero row segment is contiguous in time
+        assert int(counts.max()) <= 10
+
+
+class TestTransforms:
+    def test_get_transform_stacks(self):
+        """Stack semantics parity with data_transformations.py:23-114."""
+        tr, ev = get_transform("noaug", 32)
+        assert tr.random_crop and not ev.random_crop
+        tr, ev = get_transform("midi", 32)
+        assert tr.grayscale and ev.grayscale and tr.random_crop
+        tr, ev = get_transform("digits", 32)
+        assert not tr.random_crop and not ev.random_crop
+        with pytest.raises(NotImplementedError):
+            get_transform("bogus", 32)
+
+    def test_normalization_table(self):
+        tr, _ = get_transform("noaug", 28, {"normalization": "vae-lines"})
+        assert tr.mean == (0.5,) and tr.std == (1.0,)
+
+    def test_uint8_scale_and_normalize(self):
+        spec = TransformSpec(image_size=8, mean=(0.5,), std=(1.0,))
+        batch = np.full((2, 8, 8, 1), 255, np.uint8)
+        out = np.asarray(apply_transform(spec, jnp.asarray(batch)))
+        np.testing.assert_allclose(out, 0.5, atol=1e-6)  # 1.0 - 0.5
+        batch0 = np.zeros((2, 8, 8, 1), np.uint8)
+        out0 = np.asarray(apply_transform(spec, jnp.asarray(batch0)))
+        np.testing.assert_allclose(out0, -0.5, atol=1e-6)
+
+    def test_resize_shortest_side(self):
+        spec = TransformSpec(image_size=16)
+        batch = np.zeros((2, 32, 64, 1), np.uint8)  # wide piano-roll shape
+        out = apply_transform(spec, jnp.asarray(batch))
+        assert out.shape == (2, 16, 16, 1)  # resized 32→16 (64→32), center-cropped
+
+    def test_random_crop_uses_key(self):
+        spec = TransformSpec(image_size=8, random_crop=True)
+        rng = np.random.default_rng(0)
+        batch = jnp.asarray(rng.integers(0, 256, (4, 8, 16, 1)).astype(np.uint8))
+        a = apply_transform(spec, batch, jax.random.PRNGKey(0))
+        b = apply_transform(spec, batch, jax.random.PRNGKey(0))
+        c = apply_transform(spec, batch, jax.random.PRNGKey(1))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    def test_grayscale(self):
+        spec = TransformSpec(image_size=8, mean=(0.0,), std=(1.0,), grayscale=True)
+        batch = np.zeros((1, 8, 8, 3), np.uint8)
+        batch[..., 0] = 255  # pure red
+        out = np.asarray(apply_transform(spec, jnp.asarray(batch)))
+        assert out.shape == (1, 8, 8, 1)
+        np.testing.assert_allclose(out, 0.2989, atol=1e-3)
+
+    def test_denormalize_roundtrip(self):
+        spec = TransformSpec(image_size=8, mean=(0.5,), std=(2.0,))
+        x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 8, 8, 1)).astype(np.float32))
+        normed = (x - 0.5) / 2.0
+        np.testing.assert_allclose(np.asarray(denormalize(spec, normed)), np.asarray(x), atol=1e-6)
+
+
+class TestSplits:
+    def test_random_split_ratio_and_disjoint(self):
+        tr, te = random_train_test_split(100, 0.8, seed=0)
+        assert len(tr) == 80 and len(te) == 20
+        assert not set(tr) & set(te)
+        assert set(tr) | set(te) == set(range(100))
+
+    def test_kfold_split_deterministic(self):
+        """Seed math parity: split_seed=int(id*rate), fold=id%n (datasets.py:334-335)."""
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            tr1, va1 = create_train_val_split(100, split_rate=0.1, split_id=0)
+            tr2, va2 = create_train_val_split(100, split_rate=0.1, split_id=0)
+        np.testing.assert_array_equal(tr1, tr2)
+        np.testing.assert_array_equal(va1, va2)
+        assert len(va1) == 10 and len(tr1) == 90
+
+    def test_kfold_successive_ids_nonoverlapping_val(self):
+        """Split IDs 0..9 share one seed (int(id*0.1)==0) → disjoint val folds."""
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            vals = [set(create_train_val_split(100, split_rate=0.1, split_id=i)[1]) for i in range(10)]
+        for i in range(10):
+            for j in range(i + 1, 10):
+                assert not vals[i] & vals[j]
+        assert set().union(*vals) == set(range(100))
+
+    def test_stratified_when_labels(self):
+        labels = np.array([0] * 50 + [1] * 50)
+        tr, va = create_train_val_split(100, labels=labels, split_rate=0.1, split_id=0)
+        assert (labels[va] == 0).sum() == 5 and (labels[va] == 1).sum() == 5
+
+
+class TestFetch:
+    def test_synthetic_fetch_not_prototyping(self):
+        tr, va, te, distinct = fetch_dataset("vae-lines-synthetic")
+        assert not distinct
+        assert va is te  # val IS test (datasets.py:236-240)
+        assert len(tr) + len(te) == 1024
+        assert abs(len(tr) - 0.8 * 1024) <= 1
+
+    def test_synthetic_fetch_prototyping(self):
+        tr_spec, ev_spec = get_transform("noaug", 28, {"normalization": "vae-lines"})
+        tr, va, te, distinct = fetch_dataset(
+            "vae-lines-synthetic",
+            prototyping=True,
+            protoval_split_id=3,
+            transform_train=tr_spec,
+            transform_eval=ev_spec,
+        )
+        assert distinct
+        assert va.transform == ev_spec  # val uses eval transform (datasets.py:250-257)
+        assert tr.transform == tr_spec
+        # val carved out of train
+        full_train = int(0.8 * 1024)
+        assert len(tr) + len(va) == full_train
+
+    def test_image_folder_roundtrip(self, tmp_path):
+        images, labels = generate_line_images(20, img_size=(16, 16), seed=0)
+        write_image_folder(images[:, :, :, None], labels, str(tmp_path / "ds"))
+        ds = load_image_folder(str(tmp_path / "ds"))
+        assert len(ds) == 20
+        assert ds.images.shape[1:] == (16, 16, 1)
+        # class folders sorted: labels are folder indices; line counts 1,2 → classes "1_lines","2_lines"
+        assert ds.class_names == sorted(ds.class_names)
+        # cache file created and reused
+        ds2 = load_image_folder(str(tmp_path / "ds"))
+        np.testing.assert_array_equal(ds.images, ds2.images)
+
+    def test_unknown_dataset_raises(self):
+        with pytest.raises(ValueError):
+            fetch_dataset("bogus")
+
+
+class TestDeviceLoader:
+    def _dataset(self, n=100, size=16):
+        rng = np.random.default_rng(0)
+        return ArrayDataset(
+            images=rng.integers(0, 256, (n, size, size, 1)).astype(np.uint8),
+            labels=np.arange(n, dtype=np.int64),
+            transform=TransformSpec(image_size=size),
+        )
+
+    def test_train_drops_last_and_shuffles(self):
+        loader = DeviceLoader(self._dataset(100), 32, train=True, seed=0)
+        assert len(loader) == 3
+        assert loader.num_samples == 96
+        batches = list(loader.epoch(1))
+        assert len(batches) == 3
+        ys = np.concatenate([np.asarray(b.y) for b in batches])
+        assert len(set(ys.tolist())) == 96  # distinct samples
+        assert not np.array_equal(ys, np.sort(ys))  # shuffled
+        for b in batches:
+            assert b.x.shape == (32, 16, 16, 1)
+            np.testing.assert_array_equal(np.asarray(b.mask), 1.0)
+
+    def test_epoch_shuffle_reproducible_and_distinct(self):
+        loader = DeviceLoader(self._dataset(64), 32, train=True, seed=5)
+        e1 = np.concatenate([np.asarray(b.y) for b in loader.epoch(1)])
+        e1b = np.concatenate([np.asarray(b.y) for b in loader.epoch(1)])
+        e2 = np.concatenate([np.asarray(b.y) for b in loader.epoch(2)])
+        np.testing.assert_array_equal(e1, e1b)  # resume-stable (train.py:345-369)
+        assert not np.array_equal(e1, e2)  # fresh order each epoch
+
+    def test_eval_pads_last_batch(self):
+        loader = DeviceLoader(self._dataset(70), 32, train=False)
+        batches = list(loader.epoch(1))
+        assert len(batches) == 3
+        last = batches[-1]
+        assert last.x.shape == (32, 16, 16, 1)
+        m = np.asarray(last.mask)
+        assert m.sum() == 6  # 70 - 64
+        np.testing.assert_array_equal(m[:6], 1.0)
+        np.testing.assert_array_equal(m[6:], 0.0)
+        # eval order is deterministic/sequential
+        ys = np.concatenate([np.asarray(b.y) for b in batches])
+        np.testing.assert_array_equal(ys[:70], np.arange(70))
+
+    def test_sharded_loading(self, eight_devices):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(eight_devices), ("data",))
+        sharding = NamedSharding(mesh, P("data"))
+        loader = DeviceLoader(self._dataset(64), 32, train=True, seed=0, sharding=sharding)
+        batch = next(iter(loader.epoch(1)))
+        assert batch.x.sharding.is_equivalent_to(NamedSharding(mesh, P("data")), batch.x.ndim)
