@@ -1,0 +1,227 @@
+"""Training CLI (reference: ``train.py:770-1076``).
+
+Flag surface mirrors the reference's argparse groups — Dataset,
+Architecture, Optimization, Checkpoint, Reproducibility, Hardware,
+Logging — with the same names and defaults where the concept carries
+over (``--batch-size`` is per *device* rather than per GPU; ``--gpu``/
+``--cpu-workers`` have no TPU equivalent and are accepted but ignored
+with a notice). New flags cover capabilities the reference hinted at
+but never wired: ``--model`` actually selects an architecture,
+``--kld-weight``/``--kl-schedule`` make the β-VAE variants real,
+``--config`` loads YAML (C14), ``--bf16`` selects bfloat16 compute.
+
+Usage::
+
+    python -m midi_vae_tpu.cli.train --dataset vae-lines-synthetic --epochs 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from midi_vae_tpu.train.config import TrainConfig, from_yaml
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="midi-vae-tpu-train",
+        description="Train a TPU-native MIDI piano-roll VAE.",
+        add_help=False,
+    )
+    group = parser.add_argument_group("Help")
+    group.add_argument("--help", "-h", action="help", help="Show this help message and exit.")
+
+    # Dataset args (reference train.py:801-852) -------------------------------
+    group = parser.add_argument_group("Dataset")
+    group.add_argument("--dataset", dest="dataset_name", type=str, default="mnist",
+                       help="Name of the dataset to learn. Default: %(default)s")
+    group.add_argument("--prototyping", dest="protoval_split_id", nargs="?", const=0, type=int,
+                       help="Carve a K-fold validation split out of the train partition; the test"
+                            " set is never touched during training. Optional value = split id.")
+    group.add_argument("--data-dir", type=str, default=None,
+                       help="Directory within which the dataset can be found. Default: ~/Datasets"
+                            " (or $MIDI_VAE_DATA_DIR).")
+    group.add_argument("--allow-download-dataset", action="store_true",
+                       help="Attempt to download the dataset if it is not found locally.")
+    group.add_argument("--transform-type", type=str, default="digits",
+                       help="Name of transform stack (noaug|midi|digits). Default: %(default)s")
+    group.add_argument("--image-size", type=int,
+                       help="Size of images to use as model input. Default: 32.")
+
+    # Architecture args (train.py:854-879) ------------------------------------
+    group = parser.add_argument_group("Architecture")
+    group.add_argument("--model", "--encoder", "--arch", "--architecture", dest="arch", type=str,
+                       default="VanillaVAE", help="Model architecture name. Default: %(default)s")
+    group.add_argument("--freeze-encoder", action="store_true")
+    group.add_argument("--n_features", "--latent-dim", dest="n_features", type=int, default=10,
+                       help="Latent dimensionality. Default: %(default)s")
+    group.add_argument("--hidden-dims", type=int, nargs="+", default=None,
+                       help="Encoder channel progression. Default: 32 64 128 256")
+
+    # Loss args (new surface for C2 options) ----------------------------------
+    group = parser.add_argument_group("Loss")
+    group.add_argument("--kld-weight", type=float, default=1.0,
+                       help="β weight on the KL term. Default: %(default)s (MIDI runs used 2.5e-4)")
+    group.add_argument("--kl-schedule", type=str, default="constant",
+                       help="KL weight schedule: constant|multiplicative|linear|cyclical")
+    group.add_argument("--kl-warmup-steps", type=int, default=1000)
+
+    # Optimization args (train.py:881-932) ------------------------------------
+    group = parser.add_argument_group("Optimization routine")
+    group.add_argument("--epochs", type=int, default=5,
+                       help="Number of epochs to train for. Default: %(default)s")
+    group.add_argument("--lr", dest="lr_relative", type=float, default=0.01,
+                       help="Maximum learning rate, set per 128 batch size; scaled linearly by the"
+                            " global batch size. Default: %(default)s")
+    group.add_argument("--lr-encoder-mult", type=float, default=1.0,
+                       help="Multiplier for encoder learning rate, relative to overall LR.")
+    group.add_argument("--lr-decoder-mult", type=float, default=1.0,
+                       help="Multiplier for decoder learning rate, relative to overall LR.")
+    group.add_argument("--weight-decay", "--wd", dest="weight_decay", type=float, default=0.0,
+                       help="Weight decay. Default: %(default)s")
+    group.add_argument("--optimizer", type=str, default="AdamW",
+                       help="Name of optimizer (AdamW|Adam|SGD|RMSprop|Adagrad|LAMB|Lion).")
+    group.add_argument("--scheduler", type=str, default="OneCycle",
+                       help="LR scheduler (OneCycle|constant|cosine|step). Default: %(default)s")
+
+    # Output checkpoint args (train.py:934-957) --------------------------------
+    group = parser.add_argument_group("Output checkpoint")
+    group.add_argument("--models-dir", type=str, default="models", metavar="PATH",
+                       help="Output directory for all models. Ignored if --checkpoint is set.")
+    group.add_argument("--checkpoint", dest="checkpoint_path", default="", type=str, metavar="PATH",
+                       help="Save and resume partially trained model state from this checkpoint.")
+    group.add_argument("--save-best-model", action="store_true",
+                       help="Save a copy of the model with best validation performance.")
+
+    # Reproducibility args (train.py:959-969) ----------------------------------
+    group = parser.add_argument_group("Reproducibility")
+    group.add_argument("--seed", type=int, help="RNG seed. Default: not controlled")
+    group.add_argument("--deterministic", action="store_true",
+                       help="Fully deterministic execution (fixed PRNG keys; XLA is deterministic).")
+    group.add_argument("--debug-nans", action="store_true",
+                       help="Enable jax_debug_nans NaN checking.")
+
+    # Hardware configuration args (train.py:971-1007) --------------------------
+    group = parser.add_argument_group("Hardware configuration")
+    group.add_argument("--batch-size", dest="batch_size_per_device", type=int, default=128,
+                       help="Batch size per device; global batch = this × mesh size. Default: %(default)s")
+    group.add_argument("--num-devices", type=int, default=None,
+                       help="Number of devices in the data mesh. Default: all visible devices.")
+    group.add_argument("--bf16", dest="bf16", action="store_true",
+                       help="Use bfloat16 compute (float32 params).")
+    group.add_argument("--cpu", dest="force_cpu", action="store_true",
+                       help="Force the CPU backend (like the reference --no-cuda).")
+    # accepted-but-inert reference flags, for launch-script compatibility
+    group.add_argument("--global-rank", type=int, default=0, help=argparse.SUPPRESS)
+    group.add_argument("--gpu", dest="local_rank", default=None, type=int, help=argparse.SUPPRESS)
+    group.add_argument("--cpu-workers", "--workers", dest="cpu_workers", type=int, help=argparse.SUPPRESS)
+    group.add_argument("--no-cuda", action="store_true", help=argparse.SUPPRESS)
+
+    # Logging args (train.py:1009-1061) ----------------------------------------
+    group = parser.add_argument_group("Debugging and logging")
+    group.add_argument("--log-interval", type=int, default=10,
+                       help="Number of batches between metric logs. Default: %(default)s")
+    group.add_argument("--print-interval", type=int, default=None,
+                       help="Number of batches between console prints. Default: same as --log-interval.")
+    group.add_argument("--log-wandb", action="store_true", help="Log results with Weights & Biases.")
+    group.add_argument("--disable-wandb", "--no-wandb", dest="disable_wandb", action="store_true",
+                       help="Overrides --log-wandb and ensures wandb is always disabled.")
+    group.add_argument("--wandb-entity", type=str)
+    group.add_argument("--wandb-project", type=str, default="midi_vae_tpu")
+    group.add_argument("--run-name", type=str, default=None)
+    group.add_argument("--run-id", type=str, default=None)
+
+    # Config file (makes C14 real) ---------------------------------------------
+    group = parser.add_argument_group("Config file")
+    group.add_argument("--config", dest="config_yaml", type=str, default=None,
+                       help="YAML config file; CLI flags explicitly set override its values.")
+
+    return parser
+
+
+def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
+    """Build a TrainConfig from parsed args (+ optional YAML base)."""
+    if args.disable_wandb:
+        args.log_wandb = False  # (train.py:1071-1073)
+
+    base = from_yaml(args.config_yaml) if args.config_yaml else TrainConfig()
+
+    explicitly_set = set()
+    if argv is not None:
+        parser = get_parser()
+        defaults = vars(parser.parse_args([]))
+        for key, value in vars(args).items():
+            if key in defaults and value != defaults[key]:
+                explicitly_set.add(key)
+
+    config = base
+    mapping = dict(
+        dataset_name=args.dataset_name,
+        protoval_split_id=args.protoval_split_id,
+        data_dir=args.data_dir,
+        allow_download_dataset=args.allow_download_dataset,
+        transform_type=args.transform_type,
+        image_size=args.image_size,
+        arch=args.arch,
+        freeze_encoder=args.freeze_encoder,
+        n_features=args.n_features,
+        hidden_dims=tuple(args.hidden_dims) if args.hidden_dims else None,
+        kld_weight=args.kld_weight,
+        kl_schedule=args.kl_schedule,
+        kl_warmup_steps=args.kl_warmup_steps,
+        epochs=args.epochs,
+        lr_relative=args.lr_relative,
+        lr_encoder_mult=args.lr_encoder_mult,
+        lr_decoder_mult=args.lr_decoder_mult,
+        weight_decay=args.weight_decay,
+        optimizer=args.optimizer,
+        scheduler=args.scheduler,
+        models_dir=args.models_dir,
+        checkpoint_path=args.checkpoint_path,
+        save_best_model=args.save_best_model,
+        seed=args.seed,
+        deterministic=args.deterministic,
+        debug_nans=args.debug_nans,
+        batch_size_per_device=args.batch_size_per_device,
+        num_devices=args.num_devices,
+        dtype="bfloat16" if args.bf16 else "float32",
+        log_interval=args.log_interval,
+        print_interval=args.print_interval,
+        log_wandb=args.log_wandb,
+        wandb_entity=args.wandb_entity,
+        wandb_project=args.wandb_project,
+        run_name=args.run_name,
+        run_id=args.run_id,
+    )
+    for key, value in mapping.items():
+        if value is None and getattr(config, key, None) is not None and key not in explicitly_set:
+            continue  # keep YAML/default value
+        if args.config_yaml and key not in explicitly_set and value == getattr(TrainConfig(), key, object()):
+            continue  # YAML wins over CLI defaults
+        setattr(config, key, value)
+
+    # prototyping bool derived from split id (train.py:1074-1075)
+    config.prototyping = config.protoval_split_id is not None
+    return config
+
+
+def cli(argv=None):
+    """Command-line interface for model training (reference: train.py:1066-1076)."""
+    parser = get_parser()
+    args = parser.parse_args(argv)
+    if args.no_cuda or getattr(args, "local_rank", None) is not None or args.cpu_workers is not None:
+        print("Note: --no-cuda/--gpu/--cpu-workers are GPU-era flags; accepted but inert on TPU.")
+    if args.force_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    config = args_to_config(args, argv)
+
+    from midi_vae_tpu.train.loop import run
+
+    return run(config)
+
+
+if __name__ == "__main__":
+    sys.exit(0 if cli() is not None else 1)

@@ -1,0 +1,2 @@
+from midi_vae_tpu.evaluation.evaluate import evaluate, make_eval_step  # noqa: F401
+from midi_vae_tpu.evaluation.inference import interpolate, reconstruct, sample_prior  # noqa: F401

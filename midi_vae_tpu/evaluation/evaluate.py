@@ -1,0 +1,136 @@
+"""Evaluation sweep (reference: ``evaluation.py:12-113``).
+
+Design differences from the reference, which runs a device→host copy of
+stimuli/reconstructions/latents for *every batch* and computes metrics
+with sklearn on the concatenated arrays (evaluation.py:73-101):
+
+- one jitted ``eval_step`` reduces each batch to a handful of device
+  scalars (masked sums); only those cross to host. No O(dataset)
+  transfers, no sklearn.
+- padding correctness: the loader zero-pads the final batch with a
+  validity mask, and every reduction is mask-weighted — the static-shape
+  equivalent of the DistributedSampler pad-trim at evaluation.py:86-93.
+- the reference's "cross-entropy" metric calls
+  ``F.cross_entropy(recon, stimuli)`` treating the channel dim as
+  classes; for 1-channel images softmax over a singleton is identically
+  zero, so the metric is degenerate (SURVEY §3.3). We keep the metric
+  name for dashboard comparability but report the mean *binary*
+  cross-entropy in nats, computed from logits.
+- mse/mae reported ×100 as percentages (evaluation.py:99-100).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midi_vae_tpu.losses.elbo import bce_from_logits
+
+
+def make_eval_step(model) -> Callable:
+    """Build the jitted per-batch metric reducer."""
+
+    @jax.jit
+    def eval_step(params, batch_stats, x, mask, key):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=False,
+            rngs={"reparam": key},
+        )
+        m = mask.reshape(-1, 1, 1, 1)
+        elems_per_sample = float(np.prod(x.shape[1:]))
+        n_elem = jnp.sum(mask) * elems_per_sample
+
+        bce = bce_from_logits(out.logits, x) * m
+        sq = jnp.square(out.output - x) * m
+        ab = jnp.abs(out.output - x) * m
+
+        big = jnp.float32(jnp.inf)
+        stim_masked_min = jnp.min(jnp.where(m > 0, x, big))
+        stim_masked_max = jnp.max(jnp.where(m > 0, x, -big))
+        recon_masked_min = jnp.min(jnp.where(m > 0, out.output, big))
+        recon_masked_max = jnp.max(jnp.where(m > 0, out.output, -big))
+
+        return {
+            "bce_sum": jnp.sum(bce),
+            "mse_sum": jnp.sum(sq),
+            "mae_sum": jnp.sum(ab),
+            "n_elem": n_elem,
+            "n_samples": jnp.sum(mask),
+            "stim_min": stim_masked_min,
+            "stim_max": stim_masked_max,
+            "recon_min": recon_masked_min,
+            "recon_max": recon_masked_max,
+            "latents": out.latents,
+        }
+
+    return eval_step
+
+
+def evaluate(
+    loader,
+    model,
+    state,
+    *,
+    partition_name: str = "Val",
+    seed: int = 0,
+    verbosity: int = 1,
+    collect_latents: bool = False,
+    eval_step: Optional[Callable] = None,
+) -> Dict[str, float]:
+    """Full-dataset metric sweep (reference contract: evaluation.py:12).
+
+    Returns ``{count, cross-entropy, mse, mae}`` (+ value ranges), the
+    metric names/scalings of evaluation.py:95-101.
+    """
+    step_fn = eval_step if eval_step is not None else make_eval_step(model)
+    base_key = jax.random.PRNGKey(seed)
+
+    totals = {"bce_sum": 0.0, "mse_sum": 0.0, "mae_sum": 0.0, "n_elem": 0.0, "n_samples": 0.0}
+    stim_min, stim_max = np.inf, -np.inf
+    recon_min, recon_max = np.inf, -np.inf
+    latents = []
+
+    for i, batch in enumerate(loader.epoch(1)):
+        res = step_fn(state.params, state.batch_stats, batch.x, batch.mask, jax.random.fold_in(base_key, i))
+        for k in totals:
+            totals[k] += float(res[k])
+        stim_min = min(stim_min, float(res["stim_min"]))
+        stim_max = max(stim_max, float(res["stim_max"]))
+        recon_min = min(recon_min, float(res["recon_min"]))
+        recon_max = max(recon_max, float(res["recon_max"]))
+        if collect_latents:
+            valid = np.asarray(batch.mask) > 0
+            latents.append(np.asarray(res["latents"])[valid])
+
+    if verbosity >= 1:
+        print(f"input has range  [{stim_min:.03f}, {stim_max:.03f}]")
+        print(f"output has range [{recon_min:.03f}, {recon_max:.03f}]")
+
+    n_elem = max(totals["n_elem"], 1.0)
+    results: Dict[str, float] = {
+        "count": int(totals["n_samples"]),
+        "cross-entropy": totals["bce_sum"] / n_elem,
+        "mse": 100.0 * totals["mse_sum"] / n_elem,  # percentages, evaluation.py:98-100
+        "mae": 100.0 * totals["mae_sum"] / n_elem,
+    }
+    if collect_latents:
+        results["latents"] = np.concatenate(latents) if latents else np.zeros((0,))
+
+    if verbosity >= 1:
+        print(f"\n{partition_name} evaluation results:")
+        for k, v in results.items():
+            if k == "latents":
+                continue
+            if "count" in k:
+                print(f"  {k + ' ':.<21s}{v:7d}")
+            elif "entropy" in k:
+                print(f"  {k + ' ':.<24s} {v:9.5f} nat")
+            else:
+                print(f"  {k + ' ':.<24s} {v:6.2f} %")
+
+    return results

@@ -30,13 +30,24 @@ import jax.numpy as jnp
 from midi_vae_tpu.core.types import LossOutput, ModelOutput
 
 
+_LOG_CLAMP = -100.0  # torch binary_cross_entropy clamps log terms at -100
+
+
 def bce_from_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """Elementwise binary cross-entropy from logits, in nats.
 
-    ``max(l, 0) - l·t + log(1 + exp(-|l|))`` ≡ ``-[t·log σ(l) + (1-t)·log(1-σ(l))]``.
-    One fused VPU expression; XLA folds it into the surrounding reduction.
+    ``-[t·max(log σ(l), -100) + (1-t)·max(log(1-σ(l)), -100)]`` — the log
+    terms are clamped at -100 exactly as torch's ``binary_cross_entropy``
+    clamps them. The clamp matters here beyond numerics: the reference's
+    default transforms normalize targets to [-0.5, 0.5]
+    (data_transformations.py:6, mean 0.5/std 1.0), and BCE against
+    negative targets is unbounded below without it — training would run
+    away to -inf. Everything stays one fused VPU expression
+    (log σ(l) = -softplus(-l)).
     """
-    return jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    log_p = jnp.maximum(-jax.nn.softplus(-logits), _LOG_CLAMP)
+    log_1mp = jnp.maximum(-jax.nn.softplus(logits), _LOG_CLAMP)
+    return -(targets * log_p + (1.0 - targets) * log_1mp)
 
 
 def kl_gaussian(mu: jax.Array, log_var: jax.Array) -> jax.Array:

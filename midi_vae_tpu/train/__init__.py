@@ -1,0 +1,1 @@
+from midi_vae_tpu.train.state import TrainState, create_train_state, make_train_step  # noqa: F401

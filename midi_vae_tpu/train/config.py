@@ -1,0 +1,133 @@
+"""Run configuration — one coherent config object (SURVEY §5 "config system").
+
+Field names and defaults mirror the reference CLI (train.py:770-1063)
+so checkpoints and launch scripts carry over; the dead YAML's
+hyperparameters (configs/vae.yaml) load through the same object via
+:func:`from_yaml`. Everything here is JSON-serializable so the config
+embeds in checkpoints (C10) and backfills on resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # Dataset (train.py:801-852)
+    dataset_name: str = "mnist"
+    protoval_split_id: Optional[int] = None
+    prototyping: bool = False
+    data_dir: Optional[str] = None
+    allow_download_dataset: bool = False
+    transform_type: str = "digits"
+    image_size: Optional[int] = None  # None → 32, matching the reference hardcode (train.py:105)
+
+    # Architecture (train.py:854-879)
+    arch: str = "VanillaVAE"
+    freeze_encoder: bool = False
+    n_features: int = 10  # latent dim
+    hidden_dims: Tuple[int, ...] = (32, 64, 128, 256)
+
+    # Loss (made real from models.py:16 / configs/vae.yaml:20 / models.py:218-219)
+    kld_weight: float = 1.0
+    kl_schedule: str = "constant"  # constant | multiplicative | linear | cyclical
+    kl_warmup_steps: int = 1000
+    log_var_clamp: Optional[Tuple[float, float]] = None
+
+    # Optimization (train.py:881-932)
+    epochs: int = 5
+    stop_after_epochs: Optional[int] = None  # train at most N epochs this invocation (preemption simulation / time-budgeted jobs)
+    lr_relative: float = 0.01
+    lr_encoder_mult: float = 1.0
+    lr_decoder_mult: float = 1.0
+    weight_decay: float = 0.0
+    optimizer: str = "AdamW"
+    scheduler: str = "OneCycle"
+
+    # Checkpointing (train.py:934-957)
+    models_dir: Optional[str] = "models"
+    checkpoint_path: str = ""
+    save_best_model: bool = False
+
+    # Reproducibility (train.py:959-969)
+    seed: Optional[int] = None
+    deterministic: bool = False
+    debug_nans: bool = False
+
+    # Hardware (train.py:971-1007)
+    batch_size_per_device: int = 128
+    num_devices: Optional[int] = None  # None → all visible devices
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+
+    # Logging (train.py:1009-1061)
+    log_interval: int = 10
+    print_interval: Optional[int] = None
+    log_wandb: bool = False
+    wandb_entity: Optional[str] = None
+    wandb_project: str = "midi_vae_tpu"
+    run_name: Optional[str] = None
+    run_id: Optional[str] = None
+    log_images: bool = True
+
+    # Derived at runtime (not CLI surface)
+    model_output_dir: Optional[str] = None
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["hidden_dims"] = list(self.hidden_dims)
+        if self.log_var_clamp is not None:
+            d["log_var_clamp"] = list(self.log_var_clamp)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TrainConfig":
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in field_names}
+        if "hidden_dims" in kwargs and kwargs["hidden_dims"] is not None:
+            kwargs["hidden_dims"] = tuple(kwargs["hidden_dims"])
+        if kwargs.get("log_var_clamp") is not None:
+            kwargs["log_var_clamp"] = tuple(kwargs["log_var_clamp"])
+        return cls(**kwargs)
+
+
+def from_yaml(path: str) -> TrainConfig:
+    """Load a config from YAML — makes the reference's dead ``configs/vae.yaml``
+    format real (C14). Supports both this package's flat schema and the
+    reference's Lightning-style nested schema (model_params/exp_params/...)."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+
+    if any(k in raw for k in ("model_params", "exp_params", "data_params", "trainer_params")):
+        # Reference vae.yaml schema (configs/vae.yaml:1-34)
+        model = raw.get("model_params", {})
+        data = raw.get("data_params", {})
+        exp = raw.get("exp_params", {})
+        trainer = raw.get("trainer_params", {})
+        flat: Dict[str, Any] = {}
+        if "latent_dim" in model:
+            flat["n_features"] = model["latent_dim"]
+        if "hidden_dims" in model:
+            flat["hidden_dims"] = model["hidden_dims"]
+        if "data_path" in data:
+            flat["data_dir"] = data["data_path"]
+        if "train_batch_size" in data:
+            flat["batch_size_per_device"] = data["train_batch_size"]
+        if "LR" in exp:
+            # the YAML's LR is absolute; convert to the relative-to-128 CLI convention
+            bs = data.get("train_batch_size", 128)
+            flat["lr_relative"] = exp["LR"] * 128 / bs
+        if "weight_decay" in exp:
+            flat["weight_decay"] = exp["weight_decay"]
+        if "kld_weight" in exp:
+            flat["kld_weight"] = exp["kld_weight"]
+        if "manual_seed" in exp:
+            flat["seed"] = exp["manual_seed"]
+        if "max_epochs" in trainer:
+            flat["epochs"] = trainer["max_epochs"]
+        return TrainConfig.from_dict(flat)
+
+    return TrainConfig.from_dict(raw)

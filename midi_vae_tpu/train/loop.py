@@ -1,0 +1,441 @@
+"""Training orchestration (reference: ``train.py:19-767``).
+
+Same phases as the reference ``run``: seed → checkpoint config restore →
+model build → data/loaders → optimizer/scheduler → logging setup →
+state restore → epoch loop (train, validate, save, log) → final
+test/val/train-under-eval-conditions evaluation. The hot loop is one
+jitted program per step (see ``train/state.py``); host code only
+shuffles indices, feeds the prefetch queue, and logs.
+
+Reference bugs deliberately not replicated (SURVEY §7):
+- checkpoints save on process 0 (train.py:444 inverts the rank gate)
+- ``best_epoch`` actually tracks the best validation epoch (the
+  reference initializes it and never updates, train.py:318)
+- the full parameter set is optimized and checkpointed (train.py:210-225,
+  445-451 silently drop the latent heads and final layer)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midi_vae_tpu.core.rng import epoch_key as derive_epoch_key
+from midi_vae_tpu.core.rng import process_key, root_key
+from midi_vae_tpu.data.fetch import fetch_dataset
+from midi_vae_tpu.data.pipeline import DeviceLoader
+from midi_vae_tpu.data.registry import image_dataset_sizes
+from midi_vae_tpu.data.transforms import VALID_TRANSFORMS, get_transform
+from midi_vae_tpu.evaluation.evaluate import evaluate, make_eval_step
+from midi_vae_tpu.io.checkpoint import (
+    CHECKPOINT_LATEST,
+    copy_best,
+    load_checkpoint,
+    restore_config,
+    save_checkpoint,
+)
+from midi_vae_tpu.io.logging import MetricLogger, generate_id, print_epoch_summary
+from midi_vae_tpu.losses.schedules import kl_weight_schedule
+from midi_vae_tpu.models.registry import build_model
+from midi_vae_tpu.models.vae import param_group_label
+from midi_vae_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+from midi_vae_tpu.train.config import TrainConfig
+from midi_vae_tpu.train.optim import build_optimizer, scale_lr
+from midi_vae_tpu.train.state import create_train_state, make_train_step
+
+
+def run(config: TrainConfig) -> dict:
+    """Run a training job (reference contract: train.py:19)."""
+    t_run_start = time.time()
+
+    if config.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    print("\nConfiguration:\n")
+    print(config)
+    devices = jax.devices()
+    print(f"\nFound {len(devices)} device(s): {[str(d) for d in devices]}")
+
+    # RESTORE OMITTED CONFIG FROM RESUMPTION CHECKPOINT (train.py:59-99) ======
+    checkpoint_payload = None
+    if config.checkpoint_path:
+        config.model_output_dir = os.path.dirname(config.checkpoint_path)
+        if not os.path.isfile(config.checkpoint_path):
+            print(
+                "Skipping premature resumption from preemption: no checkpoint file"
+                f" found at '{config.checkpoint_path}'"
+            )
+        else:
+            print(f"Loading resumption checkpoint '{config.checkpoint_path}'")
+            checkpoint_payload = load_checkpoint(config.checkpoint_path)
+            merged = restore_config(config.to_dict(), checkpoint_payload.get("config", {}))
+            config = TrainConfig.from_dict(merged)
+
+    start_epoch = 1 if checkpoint_payload is None else int(checkpoint_payload["epoch"]) + 1
+
+    # MODEL ===================================================================
+    n_class, raw_img_size, img_channels = image_dataset_sizes(config.dataset_name)
+    if config.image_size is None:
+        # Reference hardcodes 32 regardless of dataset (train.py:105); same
+        # default here, but --image-size genuinely works.
+        config.image_size = 32
+    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+    print(f"loading model '{config.arch}' for '{config.dataset_name}' dataset @ {config.image_size}px")
+    model = build_model(
+        config.arch,
+        in_channels=img_channels,
+        latent_dim=config.n_features,
+        input_dim=config.image_size,
+        hidden_dims=config.hidden_dims,
+        dtype=dtype,
+    )
+    encoder_config = {"input_size": config.image_size, "n_feature": config.n_features}
+
+    # MESH ====================================================================
+    mesh = make_mesh(config.num_devices)
+    n_devices = mesh.devices.size
+    global_batch_size = config.batch_size_per_device * n_devices
+    x_sharding = batch_sharding(mesh)
+    print(f"Data-parallel mesh over {n_devices} device(s); global batch size {global_batch_size}")
+
+    # DATASET (train.py:131-191) ==============================================
+    transform_args = {}
+    if config.dataset_name in VALID_TRANSFORMS:
+        transform_args["normalization"] = config.dataset_name
+    transform_train, transform_eval = get_transform(config.transform_type, config.image_size, transform_args)
+
+    dataset_args = dict(
+        dataset=config.dataset_name,
+        root=config.data_dir,
+        prototyping=config.prototyping,
+        download=config.allow_download_dataset,
+    )
+    if config.protoval_split_id is not None:
+        dataset_args["protoval_split_id"] = config.protoval_split_id
+    dataset_train, dataset_val, dataset_test, distinct_val_test = fetch_dataset(
+        **dataset_args, transform_train=transform_train, transform_eval=transform_eval
+    )
+    eval_set = "Val" if distinct_val_test else "Test"
+
+    seed = config.seed if config.seed is not None else int(time.time()) % 100000
+    loader_train = DeviceLoader(dataset_train, global_batch_size, train=True, seed=seed, sharding=x_sharding)
+    loader_val = DeviceLoader(dataset_val, global_batch_size, train=False, sharding=x_sharding)
+    loader_test = DeviceLoader(dataset_test, global_batch_size, train=False, sharding=x_sharding)
+
+    # OPTIMIZATION (train.py:193-244) =========================================
+    lr = scale_lr(config.lr_relative, global_batch_size)
+    total_steps = config.epochs * len(loader_train)
+    bundle = build_optimizer(
+        None,  # labels resolved lazily below once params exist
+        param_group_label,
+        optimizer=config.optimizer,
+        lr=lr,
+        lr_encoder_mult=config.lr_encoder_mult,
+        lr_decoder_mult=config.lr_decoder_mult,
+        weight_decay=config.weight_decay,
+        scheduler=config.scheduler,
+        total_steps=total_steps,
+        freeze_encoder=config.freeze_encoder,
+    )
+    kl_sched = kl_weight_schedule(
+        config.kl_schedule, config.kld_weight, warmup_steps=config.kl_warmup_steps
+    )
+
+    # STATE ===================================================================
+    init_key = root_key(seed)
+    sample_batch = jnp.zeros((2, config.image_size, config.image_size, img_channels), jnp.float32)
+    state = create_train_state(model, bundle.tx, init_key, sample_batch)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+    print(f"Model has {n_params:,} parameters")
+    state = replicate(state, mesh)
+
+    train_step = make_train_step(model, bundle.tx, kl_sched, log_var_clamp=config.log_var_clamp)
+    eval_step = make_eval_step(model)
+
+    # LOGGING (train.py:246-307) ==============================================
+    if config.run_name is None:
+        config.run_name = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    if config.run_id is None:
+        config.run_id = generate_id()
+    if not config.checkpoint_path and config.models_dir:
+        config.model_output_dir = os.path.join(
+            config.models_dir, config.dataset_name, f"{config.run_name}__{config.run_id}"
+        )
+        config.checkpoint_path = os.path.join(config.model_output_dir, CHECKPOINT_LATEST)
+    print(
+        "Model will not be saved."
+        if not config.checkpoint_path
+        else f"Model will be saved to '{config.checkpoint_path}'"
+    )
+
+    is_leader = jax.process_index() == 0
+    logger = MetricLogger(
+        config.model_output_dir,
+        use_wandb=config.log_wandb,
+        wandb_entity=config.wandb_entity,
+        wandb_project=config.wandb_project,
+        run_name=f"{config.run_name}__{config.run_id}",
+        run_id=config.run_id,
+        config=config.to_dict(),
+        is_leader=is_leader,
+        tags=["prototype" if config.prototyping else "final"],
+    )
+
+    # RESUME (train.py:309-329) ==============================================
+    total_step = 0
+    n_samples_seen = 0
+    best_stats = {"best_epoch": 0, "best_metric": float("inf")}
+    if checkpoint_payload is not None:
+        print(f"Loading state from checkpoint (epoch {checkpoint_payload['epoch']})")
+        from flax import serialization
+
+        state = serialization.from_state_dict(state, checkpoint_payload["state"])
+        state = replicate(state, mesh)
+        total_step = int(checkpoint_payload["total_step"])
+        n_samples_seen = int(checkpoint_payload["n_samples_seen"])
+        best_stats["best_epoch"] = int(checkpoint_payload.get("best_epoch", 0))
+        best_stats["best_metric"] = float(checkpoint_payload.get("best_metric", float("inf")))
+
+    # TRAIN (train.py:331-501) ===============================================
+    results: dict = {}
+    last_epoch = config.epochs
+    if config.stop_after_epochs is not None:
+        last_epoch = min(last_epoch, start_epoch + config.stop_after_epochs - 1)
+    for epoch in range(start_epoch, last_epoch + 1):
+        t_start_epoch = time.time()
+        # Resume-stable per-epoch randomness (train.py:345-369 semantics)
+        ekey = process_key(derive_epoch_key(seed, epoch), jax.process_index())
+
+        n_before = n_samples_seen
+        train_stats, state, total_step, n_samples_seen = train_one_epoch(
+            config=config,
+            model=model,
+            state=state,
+            train_step=train_step,
+            loader=loader_train,
+            logger=logger,
+            epoch=epoch,
+            epoch_key=ekey,
+            lr_schedules=bundle.lr_schedules,
+            n_samples_seen=n_samples_seen,
+        )
+        t_end_train = time.time()
+        duration_train = t_end_train - t_start_epoch
+        n_epoch_samples = n_samples_seen - n_before
+        train_stats["throughput"] = n_epoch_samples / max(duration_train, 1e-9)
+
+        print_epoch_summary(
+            "Training",
+            epoch,
+            config.epochs,
+            {
+                "total_step": total_step,
+                "steps": len(loader_train),
+                "samples": n_epoch_samples,
+                **train_stats,
+            },
+            duration_train,
+        )
+
+        # Validate (train.py:416-440)
+        t_start_val = time.time()
+        eval_stats = evaluate(
+            loader_val, model, state, partition_name=eval_set, seed=seed, eval_step=eval_step
+        )
+        duration_val = time.time() - t_start_val
+        eval_stats["throughput"] = loader_val.num_samples / max(duration_val, 1e-9)
+        print_epoch_summary("Evaluating", epoch, config.epochs, eval_stats, duration_val)
+
+        # Track best epoch by validation reconstruction metric
+        if eval_stats["cross-entropy"] < best_stats["best_metric"]:
+            best_stats["best_metric"] = eval_stats["cross-entropy"]
+            best_stats["best_epoch"] = epoch
+
+        # Save (train.py:442-464) — on the leader process
+        t_start_save = time.time()
+        if config.checkpoint_path and is_leader:
+            save_checkpoint(
+                config.checkpoint_path,
+                jax.device_get(state),
+                config=config.to_dict(),
+                epoch=epoch,
+                total_step=total_step,
+                n_samples_seen=n_samples_seen,
+                encoder_config=encoder_config,
+                transform_args=transform_args,
+                best_epoch=best_stats["best_epoch"],
+                best_metric=best_stats["best_metric"],
+            )
+            if config.save_best_model and best_stats["best_epoch"] == epoch:
+                best_path = copy_best(config.checkpoint_path)
+                print(f"Copied best model to {best_path}")
+        duration_save = time.time() - t_start_save
+
+        # Epochwise logging (train.py:469-496)
+        pre = "training/epochwise"
+        logger.log(
+            {
+                "training/stepwise/epoch": epoch,
+                "training/stepwise/n_samples_seen": n_samples_seen,
+                f"{pre}/epoch": epoch,
+                **{f"{pre}/train/{k}": v for k, v in train_stats.items()},
+                **{f"{pre}/{eval_set}/{k}": v for k, v in eval_stats.items() if k != "latents"},
+                f"{pre}/duration/train": duration_train,
+                f"{pre}/duration/val": duration_val,
+                f"{pre}/duration/saving": duration_save,
+                f"{pre}/duration/overall": time.time() - t_start_epoch,
+            },
+            step=total_step,
+        )
+        results["train"] = train_stats
+        results[eval_set.lower()] = eval_stats
+
+    if start_epoch > config.epochs:
+        print("Training already completed!")
+    else:
+        print(f"Training complete! (Trained epochs {start_epoch} to {config.epochs})")
+
+    # FINAL EVALUATION (train.py:503-551) ====================================
+    print(f"\nEvaluating final model (epoch {config.epochs}) performance")
+    print("\nEvaluating final model on test set...")
+    test_stats = evaluate(loader_test, model, state, partition_name="Test", seed=seed, eval_step=eval_step)
+    logger.log({f"eval/test/{k}": v for k, v in test_stats.items() if k != "latents"}, step=total_step)
+    results["final_test"] = test_stats
+
+    if distinct_val_test:
+        print(f"\nEvaluating final model on {eval_set} set...")
+        val_stats = evaluate(loader_val, model, state, partition_name=eval_set, seed=seed, eval_step=eval_step)
+        logger.log({f"eval/val/{k}": v for k, v in val_stats.items() if k != "latents"}, step=total_step)
+        results["final_val"] = val_stats
+
+    # Train partition under eval conditions (train.py:533-548)
+    print("\nEvaluating final model on train set under test conditions (no augmentation)...")
+    dataset_train_eval = fetch_dataset(
+        **dataset_args, transform_train=transform_eval, transform_eval=transform_eval
+    )[0]
+    loader_train_eval = DeviceLoader(dataset_train_eval, global_batch_size, train=False, sharding=x_sharding)
+    train_eval_stats = evaluate(
+        loader_train_eval, model, state, partition_name="Train", seed=seed, eval_step=eval_step
+    )
+    logger.log({f"eval/train/{k}": v for k, v in train_eval_stats.items() if k != "latents"}, step=total_step)
+    results["final_train"] = train_eval_stats
+
+    results["state"] = state
+    results["total_step"] = total_step
+    results["n_samples_seen"] = n_samples_seen
+    results["best_epoch"] = best_stats["best_epoch"]
+    results["duration_total"] = time.time() - t_run_start
+    logger.close()
+    return results
+
+
+def train_one_epoch(
+    *,
+    config: TrainConfig,
+    model,
+    state,
+    train_step,
+    loader: DeviceLoader,
+    logger: MetricLogger,
+    epoch: int,
+    epoch_key,
+    lr_schedules,
+    n_samples_seen: int = 0,
+    n_epoch: Optional[int] = None,
+):
+    """Train one epoch (reference: train.py:554-767).
+
+    Returns (stats, state, total_step, n_samples_seen). Loss components
+    stay on device between log points; the only host syncs happen at
+    print/log intervals and the end-of-epoch mean.
+    """
+    n_epoch = n_epoch if n_epoch is not None else config.epochs
+    print_interval = config.print_interval if config.print_interval is not None else config.log_interval
+    num_batches = len(loader)
+    world_batch = loader.batch_size
+
+    loss_sum = jnp.float32(0.0)  # device accumulator — no per-step sync
+    last_lo = None
+    t_epoch_start = time.time()
+    t_last_log = t_epoch_start
+    steps_since_log = 0
+
+    for batch_idx, batch in enumerate(loader.epoch(epoch)):
+        state, lo, grad_norm = train_step(state, batch.x, epoch_key)
+        loss_sum = loss_sum + lo.loss
+        last_lo = lo
+        n_samples_seen += world_batch
+        steps_since_log += 1
+        total_step = int(state.step) if batch_idx == num_batches - 1 else None  # sync only at epoch end
+
+        is_print = batch_idx <= 2 or batch_idx % print_interval == 0 or batch_idx >= num_batches - 1
+        is_log = batch_idx % config.log_interval == 0
+
+        if epoch <= 1 and batch_idx == 0:
+            print("stimuli.shape =", tuple(batch.x.shape))
+            print("logits.shape  =", tuple(lo.loss.shape) or "scalar")
+            print("loss =", float(lo.loss))
+
+        if is_print or is_log:
+            # Host sync point (the reference syncs every step, train.py:672-675)
+            step_now = int(state.step)
+            loss_f = float(lo.loss)
+            kld_f = float(lo.kld_loss)
+            w_f = float(lo.kld_weight)
+            lr_now = {
+                name: float(s(jnp.int32(step_now - 1))) for name, s in lr_schedules.items()
+            }
+            if is_print:
+                lr_print = next(iter(lr_now.values())) if lr_now else 0.0
+                print(
+                    f"Train Epoch:{epoch:4d}/{n_epoch}"
+                    f"  Step:{batch_idx + 1:4d}/{num_batches}"
+                    f"  Loss:[F: {loss_f:6.3f}, KL: {kld_f:6.3f}]"
+                    f"  LR: {lr_print:.5f}"
+                    f"  KL Weight: {w_f:.5f}"
+                )
+            if is_log:
+                t_now = time.time()
+                throughput = steps_since_log * world_batch / max(t_now - t_last_log, 1e-9)
+                t_last_log, steps_since_log = t_now, 0
+                log_dict = {
+                    "training/stepwise/epoch": epoch,
+                    "training/stepwise/epoch_progress": epoch - 1 + (batch_idx + 1) / num_batches,
+                    "training/stepwise/n_samples_seen": n_samples_seen,
+                    "training/stepwise/train/throughput": throughput,
+                    "training/stepwise/train/loss": loss_f,
+                    "training/stepwise/train/loss_recon": float(lo.reconstruction_loss),
+                    "training/stepwise/train/loss_kld": kld_f,
+                    "training/stepwise/train/kld_weight": w_f,
+                    "training/stepwise/train/grad_norm": float(grad_norm),
+                }
+                for name, v in lr_now.items():
+                    log_dict[f"training/stepwise/lr-{name}"] = v
+                logger.log(log_dict, step=step_now)
+
+        # Reconstruction image grids for the first batches (train.py:687-701)
+        if config.log_images and logger.wandb_run is not None and batch_idx <= 1:
+            _log_reconstruction_grid(logger, model, state, batch.x, int(state.step))
+
+    total_step = int(state.step)
+    del last_lo
+    stats = {"loss": float(loss_sum) / num_batches}
+    return stats, state, total_step, n_samples_seen
+
+
+def _log_reconstruction_grid(logger, model, state, x, step):
+    import wandb
+
+    from midi_vae_tpu.evaluation.inference import reconstruct, reconstruction_grid
+
+    recon = reconstruct(model, state.params, state.batch_stats, x[:8], jax.random.PRNGKey(0))
+    grid = reconstruction_grid(x[:8], recon, pairs=8)
+    logger.wandb_run.log(
+        {"training/stepwise/train/reconstruction": wandb.Image(np.asarray(grid))}, step=step
+    )

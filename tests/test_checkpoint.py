@@ -1,0 +1,96 @@
+"""Checkpoint I/O: atomicity, payload parity, config backfill (SURVEY C10)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from midi_vae_tpu.io.checkpoint import (
+    copy_best,
+    load_checkpoint,
+    restore_config,
+    save_checkpoint,
+)
+
+
+def _state():
+    return {
+        "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "opt": {"mu": np.zeros(3, np.float32)},
+        "step": jnp.int32(7),
+    }
+
+
+def test_roundtrip(tmp_path):
+    path = str(tmp_path / "checkpoint_latest.msgpack")
+    save_checkpoint(
+        path,
+        _state(),
+        config={"epochs": 5, "dataset_name": "mnist"},
+        epoch=3,
+        total_step=42,
+        n_samples_seen=5376,
+        encoder_config={"input_size": 32, "n_feature": 10},
+        transform_args={"normalization": "mnist"},
+        best_epoch=2,
+    )
+    payload = load_checkpoint(path)
+    # payload keys mirror utils.py:344-347 / train.py:445-460
+    assert payload["epoch"] == 3
+    assert payload["total_step"] == 42
+    assert payload["n_samples_seen"] == 5376
+    assert payload["best_epoch"] == 2
+    assert payload["config"]["dataset_name"] == "mnist"
+    assert payload["encoder_config"] == {"input_size": 32, "n_feature": 10}
+    np.testing.assert_array_equal(payload["state"]["params"]["w"], _state()["params"]["w"])
+    assert int(payload["state"]["step"]) == 7
+
+
+def test_restore_into_template(tmp_path):
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, _state())
+    template = {
+        "params": {"w": jnp.zeros((2, 3))},
+        "opt": {"mu": jnp.ones(3)},
+        "step": jnp.int32(0),
+    }
+    payload = load_checkpoint(path, state_template=template)
+    np.testing.assert_array_equal(np.asarray(payload["state"]["params"]["w"]), _state()["params"]["w"])
+
+
+def test_atomic_no_partial_file(tmp_path):
+    path = str(tmp_path / "c.msgpack")
+    save_checkpoint(path, _state())
+    # no tmp leftovers (utils.py:342-350 semantics)
+    assert os.listdir(tmp_path) == ["c.msgpack"]
+
+
+def test_overwrite_latest(tmp_path):
+    path = str(tmp_path / "c.msgpack")
+    save_checkpoint(path, _state(), epoch=1)
+    save_checkpoint(path, _state(), epoch=2)
+    assert load_checkpoint(path)["epoch"] == 2
+
+
+def test_copy_best(tmp_path):
+    path = str(tmp_path / "checkpoint_latest.msgpack")
+    save_checkpoint(path, _state(), epoch=4)
+    best = copy_best(path)
+    assert os.path.basename(best) == "best_model.msgpack"
+    assert load_checkpoint(best)["epoch"] == 4
+
+
+class TestRestoreConfig:
+    def test_backfills_none(self):
+        merged = restore_config({"lr": None, "epochs": 5}, {"lr": 0.01, "epochs": 5})
+        assert merged["lr"] == 0.01
+
+    def test_warns_on_mismatch_keeps_ours(self):
+        with pytest.warns(UserWarning, match="differs from checkpoint"):
+            merged = restore_config({"epochs": 10}, {"epochs": 5})
+        assert merged["epochs"] == 10  # live value wins (train.py:84-88)
+
+    def test_skips_identity_keys(self):
+        merged = restore_config({"global_rank": None}, {"global_rank": 3})
+        assert merged["global_rank"] is None

