@@ -1,0 +1,118 @@
+"""Flagship benchmark: training samples/sec/chip on 128px MIDI piano-rolls.
+
+The north-star metric (BASELINE.json): conv VAE train step — forward +
+ELBO + backward + AdamW update, one fused XLA program — fed by the
+fully on-device synthetic piano-roll generator (zero host↔device
+traffic in steady state). Runs on whatever backend JAX selects (the
+real TPU chip under the driver). Prints ONE JSON line.
+
+``vs_baseline`` compares against the PyTorch-CPU reference throughput
+recorded in BASELINE_MEASURED.json (measured by
+benchmarks/torch_cpu_baseline.py: same architecture, same image size,
+in-memory data, CPU).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+IMAGE_SIZE = 128
+BATCH = 256
+WARMUP_STEPS = 3
+MEASURE_STEPS = 30
+FUSED = os.environ.get("MIDI_VAE_BENCH_FUSED", "0") == "1"  # Pallas fused ELBO path
+
+
+def main():
+    from midi_vae_tpu.data.synthetic import make_pianoroll_batch
+    from midi_vae_tpu.losses.schedules import kl_weight_schedule
+    from midi_vae_tpu.models import VanillaVAE
+    from midi_vae_tpu.models.vae import param_group_label
+    from midi_vae_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+    from midi_vae_tpu.train.optim import build_optimizer
+    from midi_vae_tpu.train.state import create_train_state, make_train_step
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    mesh = make_mesh(n_chips)
+
+    model = VanillaVAE(
+        in_channels=1, latent_dim=10, input_dim=IMAGE_SIZE, hidden_dims=(32, 64, 128, 256), fused_reparam=FUSED
+    )
+    total_batch = BATCH * n_chips
+    bundle = build_optimizer(
+        None,
+        param_group_label,
+        optimizer="AdamW",
+        lr=1e-3,
+        scheduler="OneCycle",
+        total_steps=10000,
+    )
+    state = create_train_state(
+        model, bundle.tx, jax.random.PRNGKey(0), jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 1), jnp.float32)
+    )
+    state = replicate(state, mesh)
+    train_step = make_train_step(model, bundle.tx, kl_weight_schedule("constant", 2.5e-4), fused_loss=FUSED)
+    x_sharding = batch_sharding(mesh)
+
+    @jax.jit
+    def data_step(key):
+        x, _ = make_pianoroll_batch(key, total_batch, pitches=IMAGE_SIZE, steps=IMAGE_SIZE)
+        return jax.lax.with_sharding_constraint(x, x_sharding)
+
+    base_key = jax.random.PRNGKey(1)
+
+    def one_step(state, i):
+        x = data_step(jax.random.fold_in(base_key, i))
+        return train_step(state, x, base_key)
+
+    for i in range(WARMUP_STEPS):
+        state, lo, _ = one_step(state, i)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(WARMUP_STEPS, WARMUP_STEPS + MEASURE_STEPS):
+        state, lo, _ = one_step(state, i)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = total_batch * MEASURE_STEPS / dt
+    per_chip = samples_per_sec / n_chips
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    vs_baseline = None
+    if os.path.isfile(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        ref = baseline.get("torch_cpu_samples_per_sec")
+        if ref:
+            vs_baseline = per_chip / ref
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_pianoroll_128px",
+                "value": round(per_chip, 2),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
+                "extra": {
+                    "n_chips": n_chips,
+                    "batch_per_chip": BATCH,
+                    "steps": MEASURE_STEPS,
+                    "final_loss": round(float(lo.loss), 5),
+                    "backend": devices[0].platform,
+                    "fused": FUSED,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,8 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Number of devices in the data mesh. Default: all visible devices.")
     group.add_argument("--bf16", dest="bf16", action="store_true",
                        help="Use bfloat16 compute (float32 params).")
+    group.add_argument("--fused", action="store_true",
+                       help="Use the Pallas fused reparameterization + ELBO kernels.")
     group.add_argument("--cpu", dest="force_cpu", action="store_true",
                        help="Force the CPU backend (like the reference --no-cuda).")
     # accepted-but-inert reference flags, for launch-script compatibility
@@ -186,6 +188,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         batch_size_per_device=args.batch_size_per_device,
         num_devices=args.num_devices,
         dtype="bfloat16" if args.bf16 else "float32",
+        fused=args.fused,
         log_interval=args.log_interval,
         print_interval=args.print_interval,
         log_wandb=args.log_wandb,

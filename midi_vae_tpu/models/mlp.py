@@ -31,6 +31,7 @@ class MLPVAE(nn.Module):
     out_channels: Optional[int] = None
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None  # unused; kept for constructor parity
+    fused_reparam: bool = False
 
     name_tag = "MLPVAE"
 
@@ -75,7 +76,14 @@ class MLPVAE(nn.Module):
         return jax.nn.sigmoid(self.decode_logits(z, train))
 
     def reparameterize(self, mu: jax.Array, log_var: jax.Array) -> jax.Array:
-        eps = jax.random.normal(self.make_rng("reparam"), mu.shape, dtype=mu.dtype)
+        key = self.make_rng("reparam")
+        if self.fused_reparam:
+            from midi_vae_tpu.ops.fused_elbo import fused_reparam_kl
+
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            z, _ = fused_reparam_kl(mu, log_var, seed)
+            return z
+        eps = jax.random.normal(key, mu.shape, dtype=mu.dtype)
         return mu + eps * jnp.exp(0.5 * log_var)
 
     def __call__(self, x: jax.Array, train: bool = False) -> ModelOutput:

@@ -31,6 +31,7 @@ def build_model(
     hidden_dims=None,
     dtype=None,
     bn_axis_name=None,
+    fused_reparam: bool = False,
 ):
     """Construct a model by architecture name (case-insensitive).
 
@@ -49,4 +50,6 @@ def build_model(
         kwargs["dtype"] = dtype
     if bn_axis_name is not None:
         kwargs["bn_axis_name"] = bn_axis_name
+    if fused_reparam:
+        kwargs["fused_reparam"] = True
     return ctor(**kwargs)

@@ -192,6 +192,7 @@ class VanillaVAE(nn.Module):
     out_channels: Optional[int] = None  # defaults to in_channels
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    fused_reparam: bool = False  # use the Pallas on-core-PRNG reparam kernel
 
     name_tag = "VanillaVAE"
 
@@ -260,9 +261,19 @@ class VanillaVAE(nn.Module):
         """z = mu + eps·exp(log_var/2), eps ~ N(0, I) (reference: models.py:177-183).
 
         Uses the module's ``reparam`` RNG stream — the TPU-native
-        replacement for ``torch.randn_like`` device RNG.
+        replacement for ``torch.randn_like`` device RNG. With
+        ``fused_reparam=True`` the draw happens inside the Pallas kernel
+        (``ops/fused_elbo.py``) with the on-core PRNG seeded from the
+        same stream.
         """
-        eps = jax.random.normal(self.make_rng("reparam"), mu.shape, dtype=mu.dtype)
+        key = self.make_rng("reparam")
+        if self.fused_reparam:
+            from midi_vae_tpu.ops.fused_elbo import fused_reparam_kl
+
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, dtype=jnp.int32)
+            z, _ = fused_reparam_kl(mu, log_var, seed)
+            return z
+        eps = jax.random.normal(key, mu.shape, dtype=mu.dtype)
         return mu + eps * jnp.exp(0.5 * log_var)
 
     def __call__(self, x: jax.Array, train: bool = False) -> ModelOutput:

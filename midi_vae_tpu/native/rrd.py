@@ -1,0 +1,170 @@
+"""ctypes bindings + build for the C++ rollloader runtime.
+
+The RRD path replaces the reference's DataLoader worker processes
+(train.py:168-191) with a native threaded batch assembler over an
+mmap-ed raw tensor file — see ``rollloader.cc`` for the design. The
+shared library builds lazily with g++ on first use and is cached next
+to the source; everything degrades gracefully (``native_available()``)
+when no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+_MAGIC = 0x5252443144564154
+_HEADER_BYTES = 40
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "rollloader.cc")
+_LIB_PATH = os.path.join(_HERE, "_rollloader.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> Optional[str]:
+    if os.path.isfile(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", _SRC, "-o", _LIB_PATH]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        msg = getattr(e, "stderr", str(e))
+        print(f"rollloader native build failed ({msg}); falling back to pure-python loading")
+        return None
+    return _LIB_PATH
+
+
+def _load():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        path = _build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        lib.rrd_open.restype = ctypes.c_void_p
+        lib.rrd_open.argtypes = [ctypes.c_char_p]
+        lib.rrd_info.restype = ctypes.c_int
+        lib.rrd_info.argtypes = [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int64)] * 4
+        lib.rrd_close.argtypes = [ctypes.c_void_p]
+        lib.rrd_loader_create.restype = ctypes.c_void_p
+        lib.rrd_loader_create.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.rrd_loader_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int]
+        lib.rrd_loader_num_batches.restype = ctypes.c_long
+        lib.rrd_loader_num_batches.argtypes = [ctypes.c_void_p]
+        lib.rrd_loader_next.restype = ctypes.c_long
+        lib.rrd_loader_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.rrd_loader_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def write_rrd(images: np.ndarray, labels: np.ndarray, path: str) -> None:
+    """Serialize an NHWC uint8 dataset to the RRD raw format."""
+    assert images.ndim == 4 and images.dtype == np.uint8
+    n, h, w, c = images.shape
+    header = np.asarray([_MAGIC, n, h, w, c], dtype=np.uint64)
+    with open(path + ".tmp", "wb") as f:
+        f.write(header.tobytes())
+        f.write(np.ascontiguousarray(images).tobytes())
+        f.write(np.ascontiguousarray(labels.astype(np.int64)).tobytes())
+    os.rename(path + ".tmp", path)
+
+
+class NativeDataset:
+    """An RRD file opened through the native runtime (mmap, zero-copy)."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native rollloader unavailable (no compiler?)")
+        self._lib = lib
+        self._handle = lib.rrd_open(path.encode())
+        if not self._handle:
+            raise FileNotFoundError(f"cannot open RRD file: {path}")
+        vals = [ctypes.c_int64() for _ in range(4)]
+        lib.rrd_info(self._handle, *[ctypes.byref(v) for v in vals])
+        self.n, self.h, self.w, self.c = (v.value for v in vals)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def close(self):
+        if self._handle:
+            self._lib.rrd_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeLoader:
+    """Threaded batch iterator over a :class:`NativeDataset`.
+
+    Yields (images uint8 [B,H,W,C], labels int64 [B], n_valid) host
+    batches; compose with ``data.pipeline``'s device transforms. Batch
+    order and shuffles are deterministic for a given (seed, epoch).
+    """
+
+    def __init__(
+        self,
+        dataset: NativeDataset,
+        batch_size: int,
+        *,
+        drop_last: bool = True,
+        n_threads: int = 2,
+        prefetch_depth: int = 3,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self._lib = dataset._lib
+        self._handle = self._lib.rrd_loader_create(
+            dataset._handle, batch_size, int(drop_last), n_threads, prefetch_depth
+        )
+        n = len(dataset)
+        self.num_batches = n // batch_size if drop_last else -(-n // batch_size)
+
+    def epoch(self, seed: int, shuffle: bool = True) -> Iterator:
+        self._lib.rrd_loader_start_epoch(self._handle, seed & 0xFFFF_FFFF_FFFF_FFFF, int(shuffle))
+        ds = self.dataset
+        images = np.empty((self.batch_size, ds.h, ds.w, ds.c), dtype=np.uint8)
+        labels = np.empty(self.batch_size, dtype=np.int64)
+        img_ptr = images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        lbl_ptr = labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        while True:
+            valid = self._lib.rrd_loader_next(self._handle, img_ptr, lbl_ptr)
+            if valid <= 0:
+                break
+            yield images, labels, int(valid)
+
+    def close(self):
+        if self._handle:
+            self._lib.rrd_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

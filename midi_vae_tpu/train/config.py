@@ -35,6 +35,7 @@ class TrainConfig:
     kl_schedule: str = "constant"  # constant | multiplicative | linear | cyclical
     kl_warmup_steps: int = 1000
     log_var_clamp: Optional[Tuple[float, float]] = None
+    fused: bool = False  # Pallas fused reparam + BCE kernels on the hot path
 
     # Optimization (train.py:881-932)
     epochs: int = 5

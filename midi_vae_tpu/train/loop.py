@@ -94,6 +94,7 @@ def run(config: TrainConfig) -> dict:
         input_dim=config.image_size,
         hidden_dims=config.hidden_dims,
         dtype=dtype,
+        fused_reparam=config.fused,
     )
     encoder_config = {"input_size": config.image_size, "n_feature": config.n_features}
 
@@ -155,7 +156,9 @@ def run(config: TrainConfig) -> dict:
     print(f"Model has {n_params:,} parameters")
     state = replicate(state, mesh)
 
-    train_step = make_train_step(model, bundle.tx, kl_sched, log_var_clamp=config.log_var_clamp)
+    train_step = make_train_step(
+        model, bundle.tx, kl_sched, log_var_clamp=config.log_var_clamp, fused_loss=config.fused
+    )
     eval_step = make_eval_step(model)
 
     # LOGGING (train.py:246-307) ==============================================

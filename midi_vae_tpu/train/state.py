@@ -64,12 +64,16 @@ def make_train_step(
     *,
     log_var_clamp: Optional[Tuple[float, float]] = None,
     donate: bool = True,
+    fused_loss: bool = False,
 ) -> Callable:
     """Build the fused train step: (state, x, key) → (state, LossOutput, grad_norm).
 
     ``key`` is a per-epoch base key; the step counter is folded in on
     device, so the step stays a single compiled program for the whole
     run (no per-step retraces, resume-reproducible streams).
+    ``fused_loss=True`` computes the BCE reduction with the Pallas kernel
+    (``ops/fused_elbo.py``) instead of the XLA expression — numerically
+    identical, elementwise BCE never materialized in HBM.
     """
 
     def step_fn(state: TrainState, x: jax.Array, epoch_key: jax.Array):
@@ -83,8 +87,25 @@ def make_train_step(
                 rngs={"reparam": key},
                 mutable=["batch_stats"],
             )
-            lo = elbo_loss(out, kld_weight=kl_schedule(state.step), log_var_clamp=log_var_clamp)
+            lo = _loss(out, kl_schedule(state.step))
             return lo.loss, (lo, mutated["batch_stats"])
+
+        def _loss(out, w) -> LossOutput:
+            if not fused_loss:
+                return elbo_loss(out, kld_weight=w, log_var_clamp=log_var_clamp)
+            from midi_vae_tpu.ops.fused_elbo import fused_elbo_terms
+
+            lv = out.encoded.log_var
+            if log_var_clamp is not None:
+                lv = jnp.clip(lv, log_var_clamp[0], log_var_clamp[1])
+            loss, recon, kl = fused_elbo_terms(out.logits, out.input, out.encoded.mu, lv, w)
+            return LossOutput(
+                loss=loss,
+                reconstruction_loss=jax.lax.stop_gradient(recon),
+                kld_loss=jax.lax.stop_gradient(-kl),
+                kl=jax.lax.stop_gradient(kl),
+                kld_weight=jnp.asarray(w, loss.dtype),
+            )
 
         (_, (loss_output, batch_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
