@@ -1,0 +1,160 @@
+"""Generation / inference CLI: prior samples, reconstructions, latent
+interpolations from a trained checkpoint.
+
+The reference defines ``sample``/``generate`` methods but ships no
+script that calls them (SURVEY §3.4: "No script in the repo calls these
+— they are the public inference API surface"); this CLI makes that
+surface usable and adds the two capabilities BASELINE.json config #4
+asks for beyond the reference: latent interpolation and MIDI export of
+generated piano-rolls (``midi/derasterize.py``).
+
+Usage::
+
+    python -m midi_vae_tpu.cli.generate --checkpoint CKPT --mode sample -n 16 --out samples.png
+    python -m midi_vae_tpu.cli.generate --checkpoint CKPT --mode reconstruct --dataset mnist
+    python -m midi_vae_tpu.cli.generate --checkpoint CKPT --mode interpolate --steps 8 --slerp
+    python -m midi_vae_tpu.cli.generate --checkpoint CKPT --mode sample --export-midi out_dir/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Sample / reconstruct / interpolate from a trained VAE")
+    parser.add_argument("--checkpoint", type=str, required=True, help="Path to a .msgpack checkpoint")
+    parser.add_argument("--mode", choices=("sample", "reconstruct", "interpolate"), default="sample")
+    parser.add_argument("-n", "--num-samples", type=int, default=16)
+    parser.add_argument("--steps", type=int, default=8, help="Interpolation steps")
+    parser.add_argument("--slerp", action="store_true", help="Spherical instead of linear interpolation")
+    parser.add_argument("--dataset", type=str, default=None,
+                        help="Dataset for reconstruct/interpolate inputs (default: from checkpoint config)")
+    parser.add_argument("--data-dir", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", type=str, default=None, help="Output PNG path (default: <mode>.png)")
+    parser.add_argument("--export-midi", type=str, default=None,
+                        help="Directory to also write each generated roll as a .mid file")
+    return parser
+
+
+def _load_model_and_state(checkpoint_path: str):
+    from flax import serialization
+
+    from midi_vae_tpu.io.checkpoint import load_checkpoint
+    from midi_vae_tpu.models.registry import build_model
+
+    payload = load_checkpoint(checkpoint_path)
+    cfg = payload.get("config", {})
+    enc = payload.get("encoder_config", {})
+    image_size = int(enc.get("input_size") or cfg.get("image_size") or 32)
+    from midi_vae_tpu.data.registry import image_dataset_sizes
+
+    dataset = cfg.get("dataset_name", "mnist")
+    _, _, channels = image_dataset_sizes(dataset)
+    model = build_model(
+        cfg.get("arch", "VanillaVAE"),
+        in_channels=channels,
+        latent_dim=int(cfg.get("n_features", 10)),
+        input_dim=image_size,
+        hidden_dims=tuple(cfg.get("hidden_dims") or (32, 64, 128, 256)),
+    )
+    sample = jnp.zeros((2, image_size, image_size, channels), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, sample)
+    template = {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})}
+    state_dict = payload["state"]
+    restored = serialization.from_state_dict(
+        template, {"params": state_dict["params"], "batch_stats": state_dict.get("batch_stats", {})}
+    )
+    return model, restored["params"], restored["batch_stats"], cfg, image_size, channels, dataset
+
+
+def _fetch_eval_batch(dataset: str, data_dir: Optional[str], image_size: int, n: int, cfg: dict):
+    from midi_vae_tpu.data.fetch import fetch_dataset
+    from midi_vae_tpu.data.pipeline import DeviceLoader
+    from midi_vae_tpu.data.transforms import VALID_TRANSFORMS, get_transform
+
+    args = {"normalization": dataset} if dataset in VALID_TRANSFORMS else {}
+    _, transform_eval = get_transform(cfg.get("transform_type", "digits"), image_size, args)
+    _, _, test, _ = fetch_dataset(
+        dataset, root=data_dir, transform_train=transform_eval, transform_eval=transform_eval
+    )
+    loader = DeviceLoader(test, min(n, len(test)), train=False)
+    return next(iter(loader.epoch(1))).x
+
+
+def _to_grid(images: np.ndarray, cols: int = 8) -> np.ndarray:
+    """Tile [N, H, W, C] into one [H', W', C] uint8 image."""
+    images = np.clip(np.asarray(images, np.float32), 0.0, 1.0)
+    n, h, w, c = images.shape
+    cols = min(cols, n)
+    rows = -(-n // cols)
+    pad = rows * cols - n
+    if pad:
+        images = np.concatenate([images, np.zeros((pad, h, w, c), images.dtype)])
+    grid = images.reshape(rows, cols, h, w, c).transpose(0, 2, 1, 3, 4).reshape(rows * h, cols * w, c)
+    return (grid * 255).astype(np.uint8)
+
+
+def _save_png(grid: np.ndarray, path: str) -> None:
+    from PIL import Image
+
+    arr = grid[..., 0] if grid.shape[-1] == 1 else grid
+    Image.fromarray(arr).save(path)
+    print(f"wrote {path}")
+
+
+def _export_midi(rolls: np.ndarray, out_dir: str) -> None:
+    from midi_vae_tpu.midi.derasterize import roll_to_notes
+    from midi_vae_tpu.midi.smf import write_smf
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i, roll in enumerate(np.asarray(rolls)):
+        notes = roll_to_notes(np.clip(roll, 0.0, 1.0))
+        path = os.path.join(out_dir, f"generated_{i:03d}.mid")
+        write_smf(notes, path)
+    print(f"wrote {len(rolls)} .mid files to {out_dir}")
+
+
+def cli(argv=None) -> None:
+    from midi_vae_tpu.evaluation.inference import interpolate, reconstruct, sample_prior
+
+    args = get_parser().parse_args(argv)
+    model, params, batch_stats, cfg, image_size, channels, ckpt_dataset = _load_model_and_state(args.checkpoint)
+    dataset = args.dataset or ckpt_dataset
+    key = jax.random.PRNGKey(args.seed)
+    out_path = args.out or f"{args.mode}.png"
+
+    if args.mode == "sample":
+        images = sample_prior(model, params, batch_stats, key, args.num_samples)
+    elif args.mode == "reconstruct":
+        x = _fetch_eval_batch(dataset, args.data_dir, image_size, args.num_samples, cfg)
+        recon = reconstruct(model, params, batch_stats, x, key)
+        # interleave input | reconstruction pairs, like the wandb grids
+        from midi_vae_tpu.data.transforms import TransformSpec, denormalize
+
+        spec = TransformSpec(image_size)
+        x01 = denormalize(spec, x)
+        images = jnp.stack([x01, recon], axis=1).reshape(-1, *recon.shape[1:])
+    else:  # interpolate
+        x = _fetch_eval_batch(dataset, args.data_dir, image_size, 2, cfg)
+        path = interpolate(
+            model, params, batch_stats, x[:1], x[1:2],
+            steps=args.steps, mode="slerp" if args.slerp else "lerp",
+        )
+        images = path[:, 0]
+
+    images = np.asarray(jax.device_get(images))
+    _save_png(_to_grid(images), out_path)
+    if args.export_midi:
+        _export_midi(images, args.export_midi)
+
+
+if __name__ == "__main__":
+    cli()

@@ -45,7 +45,7 @@ def get_parser() -> argparse.ArgumentParser:
     group.add_argument("--allow-download-dataset", action="store_true",
                        help="Attempt to download the dataset if it is not found locally.")
     group.add_argument("--transform-type", type=str, default="digits",
-                       help="Name of transform stack (noaug|midi|digits). Default: %(default)s")
+                       help="Name of transform stack (noaug|midi|digits|pianoroll). Default: %(default)s")
     group.add_argument("--image-size", type=int,
                        help="Size of images to use as model input. Default: 32.")
 
@@ -101,6 +101,11 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Fully deterministic execution (fixed PRNG keys; XLA is deterministic).")
     group.add_argument("--debug-nans", action="store_true",
                        help="Enable jax_debug_nans NaN checking.")
+    group.add_argument("--profile-dir", type=str, default=None,
+                       help="Write a jax.profiler trace (TensorBoard/xprof format) for the "
+                            "first --profile-epochs epochs to this directory.")
+    group.add_argument("--profile-epochs", type=int, default=1,
+                       help="Number of leading epochs to trace. Default: %(default)s")
 
     # Hardware configuration args (train.py:971-1007) --------------------------
     group = parser.add_argument_group("Hardware configuration")
@@ -185,6 +190,8 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         seed=args.seed,
         deterministic=args.deterministic,
         debug_nans=args.debug_nans,
+        profile_dir=args.profile_dir,
+        profile_epochs=args.profile_epochs,
         batch_size_per_device=args.batch_size_per_device,
         num_devices=args.num_devices,
         dtype="bfloat16" if args.bf16 else "float32",

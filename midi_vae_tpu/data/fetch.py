@@ -31,6 +31,7 @@ SYNTHETIC_SIZES = {
     "vae-lines-synthetic": 1024,
     "vae-lines-large-synthetic": 4096,
     "pianoroll-synthetic": 4096,
+    "midi-synthetic": 128,  # .mid files, each yielding several windows
 }
 
 
@@ -42,6 +43,20 @@ def _synthetic_dataset(dataset: str, seed: int = 0) -> ArrayDataset:
         images, labels = generate_line_images(
             n, img_size=(128, 128), max_lines=20, line_width=0, full_length=False, seed=seed
         )
+    elif dataset == "midi-synthetic":
+        # Full MIDI ingestion exercised end-to-end: write a synthetic
+        # .mid corpus to a per-seed temp tree, then parse + rasterize it
+        # through the real folder path (factory → SMF → parser → windows).
+        import tempfile
+
+        from midi_vae_tpu.data.sources import load_midi_folder
+        from midi_vae_tpu.midi.factory import generate_midi_dataset
+
+        corpus = os.path.join(tempfile.gettempdir(), f"midi_vae_tpu_synth_{seed}")
+        if not os.path.isdir(corpus):
+            generate_midi_dataset(n, corpus, seed=seed)
+        ds = load_midi_folder(corpus)
+        images, labels = ds.images, ds.labels
     elif dataset == "pianoroll-synthetic":
         # Host-side materialization of the on-device generator, for the
         # disk-free piano-roll workflow.
@@ -83,6 +98,16 @@ def fetch_image_dataset(
         dataset_val = None
     elif dataset.startswith("sageev") or dataset.startswith("vae-lines"):
         full = load_image_folder(os.path.join(root, dataset))
+        train_idx, test_idx = random_train_test_split(len(full), TRAIN_TEST_RATIO, seed=split_seed)
+        dataset_train = full.subset(train_idx).with_transform(transform_train)
+        dataset_test = full.subset(test_idx).with_transform(transform_eval)
+        dataset_val = None
+    elif dataset.startswith("midi"):
+        # A folder of .mid files: parse + rasterize (data/sources.py),
+        # then the same 80/20 folder-split contract as sageev*.
+        from midi_vae_tpu.data.sources import load_midi_folder
+
+        full = load_midi_folder(os.path.join(root, dataset))
         train_idx, test_idx = random_train_test_split(len(full), TRAIN_TEST_RATIO, seed=split_seed)
         dataset_train = full.subset(train_idx).with_transform(transform_train)
         dataset_test = full.subset(test_idx).with_transform(transform_eval)

@@ -27,6 +27,12 @@ def image_dataset_sizes(dataset: str):
         # On-device synthetic piano-rolls (capability extension; no
         # reference equivalent — BASELINE.json north star).
         return -1, 128, 1
+    if dataset == "midi-synthetic" or dataset.startswith("midi"):
+        # Real MIDI ingestion: .mid files parsed (native/midiparse.cc)
+        # and rasterized to 128-pitch rolls (midi/rasterize.py). Any
+        # ``midi*`` name maps to a folder of .mid files under the data
+        # root; ``midi-synthetic`` generates its corpus in a temp dir.
+        return -1, 128, 1
     if dataset == "mnist":
         return 10, 28, 1
     if dataset == "svhn":

@@ -116,6 +116,85 @@ def write_image_folder(images: np.ndarray, labels: np.ndarray, path: str, label_
         Image.fromarray(arr).save(os.path.join(class_dir, f"image_{i + 1}.png"))
 
 
+# --------------------------------------------------------------- MIDI folder
+
+MIDI_EXTENSIONS = (".mid", ".midi")
+
+
+def load_midi_folder(
+    root: str,
+    *,
+    pitches: int = 128,
+    steps: int = 128,
+    seconds_per_step: float = 0.05,
+    use_cache: bool = True,
+) -> ArrayDataset:
+    """Load a tree of .mid files as rasterized piano-roll windows.
+
+    The MIDI ingestion path (BASELINE north star; no reference
+    equivalent — the reference consumes pre-rasterized PNGs): each file
+    is parsed (native C++ parser when available, ``midi/parse.py``),
+    rasterized to velocity piano-rolls, and chopped into
+    non-overlapping [pitches, steps] windows. Class subdirectories act
+    as labels (ImageFolder semantics); a flat tree gets label 0.
+
+    The rasterized corpus caches to ``_midi_cache.rrd`` next to the
+    tree (the native runtime's raw format, ``native/rrd.py``), so
+    subsequent runs mmap it directly and can stream it through
+    ``NativeLoader`` without re-parsing.
+    """
+    from midi_vae_tpu.midi.parse import parse_midi
+    from midi_vae_tpu.midi.rasterize import notes_to_windows
+    from midi_vae_tpu.native.rrd import read_rrd, write_rrd
+
+    cache = os.path.join(root, f"_midi_cache_{pitches}x{steps}.rrd")
+    if use_cache and os.path.isfile(cache):
+        images, labels = read_rrd(cache)
+        return ArrayDataset(
+            images=np.asarray(images), labels=labels, name=os.path.basename(root)
+        )
+
+    class_dirs = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+    sources: List[Tuple[str, int]] = []  # (file path, label)
+    class_names: List[str]
+    if class_dirs and any(
+        f.lower().endswith(MIDI_EXTENSIONS) for d in class_dirs for f in os.listdir(os.path.join(root, d))
+    ):
+        class_names = class_dirs
+        for idx, cls in enumerate(class_dirs):
+            cdir = os.path.join(root, cls)
+            sources += [
+                (os.path.join(cdir, f), idx)
+                for f in sorted(os.listdir(cdir))
+                if f.lower().endswith(MIDI_EXTENSIONS)
+            ]
+    else:
+        class_names = ["midi"]
+        sources = [
+            (os.path.join(root, f), 0) for f in sorted(os.listdir(root)) if f.lower().endswith(MIDI_EXTENSIONS)
+        ]
+    if not sources:
+        raise FileNotFoundError(f"No .mid files found under {root}")
+
+    all_windows, all_labels = [], []
+    for fpath, label in sources:
+        windows = notes_to_windows(
+            parse_midi(fpath), pitches=pitches, steps=steps, seconds_per_step=seconds_per_step
+        )
+        all_windows.append(windows)
+        all_labels.append(np.full(len(windows), label, np.int64))
+    images_arr = np.concatenate(all_windows)
+    labels_arr = np.concatenate(all_labels)
+    if use_cache:
+        try:
+            write_rrd(images_arr, labels_arr, cache)
+        except OSError:
+            pass  # read-only dataset dir: skip the cache, stay functional
+    return ArrayDataset(
+        images=images_arr, labels=labels_arr, name=os.path.basename(root), class_names=class_names
+    )
+
+
 # -------------------------------------------------------------------- MNIST
 
 

@@ -34,6 +34,8 @@ NORMALIZATION = {
     "vae-lines-synthetic": ((0.5,), (1.0,)),
     "vae-lines-large-synthetic": ((0.5,), (1.0,)),
     "pianoroll-synthetic": ((0.5,), (1.0,)),
+    "midi-synthetic": ((0.5,), (1.0,)),
+    "midi-folder": ((0.5,), (1.0,)),
 }
 
 VALID_TRANSFORMS = list(NORMALIZATION.keys())
@@ -55,6 +57,12 @@ class TransformSpec:
     std: Tuple[float, ...] = (1.0,)
     random_crop: bool = False  # False → center crop
     grayscale: bool = False
+    # MIDI piano-roll augmentation (north star "crop/shift/velocity
+    # augment"; midi/rasterize.py) — applied pre-normalization in [0,1]
+    pianoroll_augment: bool = False
+    max_pitch_shift: int = 6
+    max_time_shift: int = 16
+    velocity_scale: Tuple[float, float] = (0.7, 1.2)
 
 
 def get_transform(transform_type: str = "noaug", image_size: int = 32, args: Optional[dict] = None):
@@ -76,6 +84,12 @@ def get_transform(transform_type: str = "noaug", image_size: int = 32, args: Opt
         # The reference's digits stack center-crops for train as well
         # (data_transformations.py:94-102).
         train = TransformSpec(image_size, mean, std, random_crop=False)
+        test = TransformSpec(image_size, mean, std, random_crop=False)
+    elif transform_type == "pianoroll":
+        # Capability extension (no reference equivalent): stochastic
+        # pitch/time-shift + velocity scaling on the roll, then the
+        # standard crop/normalize stack.
+        train = TransformSpec(image_size, mean, std, random_crop=True, pianoroll_augment=True)
         test = TransformSpec(image_size, mean, std, random_crop=False)
     else:
         raise NotImplementedError(f"Unknown transform type: {transform_type}")
@@ -129,6 +143,17 @@ def apply_transform(spec: TransformSpec, batch: jax.Array, key: Optional[jax.Arr
         x = x.astype(jnp.float32) / 255.0
     else:
         x = x.astype(jnp.float32)
+
+    if spec.pianoroll_augment and key is not None:
+        from midi_vae_tpu.midi.rasterize import augment_pianoroll_batch
+
+        x = augment_pianoroll_batch(
+            jax.random.fold_in(key, 2),
+            x,
+            max_pitch_shift=spec.max_pitch_shift,
+            max_time_shift=spec.max_time_shift,
+            velocity_scale=spec.velocity_scale,
+        )
 
     x = _resize_shortest(x, spec.image_size)
     if spec.random_crop and key is not None:

@@ -1,0 +1,209 @@
+"""Standard MIDI File (SMF) reader/writer, pure Python.
+
+The portable implementation of the note-event contract shared with the
+C++ parser (``native/midiparse.cc``): a MIDI file parses to flat arrays
+``(onset_sec, duration_sec, pitch, velocity)`` sorted by onset. Tempo
+changes (set-tempo meta events across all tracks, as the spec requires
+for format 1) are applied when converting ticks to seconds; note-on with
+velocity 0 is treated as note-off; unterminated notes close at the end
+of the track.
+
+This module is the *fallback and oracle*: production paths prefer the
+native parser (see :func:`midi_vae_tpu.midi.parse.parse_midi`), and the
+test suite cross-checks the two on generated files.
+
+No reference equivalent — the reference consumes pre-rasterized PNGs
+(SURVEY appendix; datasets.py:97-107).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import List, Tuple
+
+import numpy as np
+
+DEFAULT_TEMPO_US = 500000  # 120 bpm, MIDI spec default
+MAX_PITCH = 128
+
+
+@dataclasses.dataclass
+class NoteArrays:
+    """Flat note-event arrays, the cross-language parse result."""
+
+    onset: np.ndarray  # float64 [N] seconds
+    duration: np.ndarray  # float64 [N] seconds
+    pitch: np.ndarray  # int32 [N] 0..127
+    velocity: np.ndarray  # int32 [N] 1..127
+
+    def __len__(self) -> int:
+        return len(self.onset)
+
+    @property
+    def total_seconds(self) -> float:
+        if len(self.onset) == 0:
+            return 0.0
+        return float(np.max(self.onset + self.duration))
+
+
+def _read_varlen(data: bytes, pos: int) -> Tuple[int, int]:
+    value = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        value = (value << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return value, pos
+
+
+def _write_varlen(value: int) -> bytes:
+    out = [value & 0x7F]
+    value >>= 7
+    while value:
+        out.append(0x80 | (value & 0x7F))
+        value >>= 7
+    return bytes(reversed(out))
+
+
+def read_smf(path: str) -> NoteArrays:
+    """Parse an SMF format 0/1 file into note arrays (onsets in seconds)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"MThd":
+        raise ValueError(f"not a MIDI file (bad header): {path}")
+    hlen, fmt, ntrks, division = struct.unpack(">IHHH", data[4:14])
+    pos = 8 + hlen
+
+    # Pass 1: gather (tick, tempo) changes and raw (tick, kind, pitch, vel)
+    # note events across every track, then merge on ticks.
+    tempo_changes: List[Tuple[int, int]] = []  # (tick, microseconds/quarter)
+    raw: List[Tuple[int, int, int, int]] = []  # (tick, on/off, pitch, vel)
+
+    for _ in range(ntrks):
+        if data[pos : pos + 4] != b"MTrk":
+            raise ValueError(f"bad track chunk at byte {pos}: {path}")
+        (tlen,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        tpos, tend = pos + 8, pos + 8 + tlen
+        pos = tend
+
+        tick = 0
+        running = 0
+        while tpos < tend:
+            delta, tpos = _read_varlen(data, tpos)
+            tick += delta
+            status = data[tpos]
+            if status & 0x80:
+                tpos += 1
+                if status < 0xF0:
+                    running = status
+            else:
+                status = running  # running status reuses the previous one
+
+            kind = status & 0xF0
+            if kind in (0x90, 0x80):  # note on / note off
+                pitch, vel = data[tpos], data[tpos + 1]
+                tpos += 2
+                on = kind == 0x90 and vel > 0
+                raw.append((tick, 1 if on else 0, pitch, vel))
+            elif kind in (0xA0, 0xB0, 0xE0):  # two data bytes
+                tpos += 2
+            elif kind in (0xC0, 0xD0):  # one data byte
+                tpos += 1
+            elif status == 0xFF:  # meta
+                meta = data[tpos]
+                length, tpos = _read_varlen(data, tpos + 1)
+                if meta == 0x51 and length == 3:
+                    tempo = int.from_bytes(data[tpos : tpos + 3], "big")
+                    tempo_changes.append((tick, tempo))
+                tpos += length
+            elif status in (0xF0, 0xF7):  # sysex
+                length, tpos = _read_varlen(data, tpos + 1)
+                tpos += length
+            else:
+                raise ValueError(f"unhandled status byte 0x{status:02x} in {path}")
+
+    # Tick → seconds conversion (piecewise-linear over the tempo map).
+    tempo_changes.sort()
+    if division & 0x8000:  # SMPTE: ticks are already wall-clock
+        fps = 256 - (division >> 8)  # two's complement of the negative byte
+        tpf = division & 0xFF
+
+        def tick_to_sec(t: int) -> float:
+            return t / (fps * tpf)
+
+    else:
+        ppq = division or 96
+        anchors_t = [0]
+        anchors_s = [0.0]
+        tempo = DEFAULT_TEMPO_US
+        for ctick, ctempo in tempo_changes:
+            anchors_s.append(anchors_s[-1] + (ctick - anchors_t[-1]) * tempo / (ppq * 1e6))
+            anchors_t.append(ctick)
+            tempo = ctempo
+        tempos = [DEFAULT_TEMPO_US] + [tc[1] for tc in tempo_changes]
+
+        def tick_to_sec(t: int) -> float:
+            i = np.searchsorted(anchors_t, t, side="right") - 1
+            return anchors_s[i] + (t - anchors_t[i]) * tempos[i] / (ppq * 1e6)
+
+    # Pair note-ons with the matching note-off (FIFO per pitch).
+    raw.sort(key=lambda e: (e[0], e[1]))  # offs before ons at the same tick
+    open_notes: dict[int, List[Tuple[int, int]]] = {}
+    notes: List[Tuple[float, float, int, int]] = []
+    max_tick = 0
+    for tick, on, pitch, vel in raw:
+        max_tick = max(max_tick, tick)
+        if on:
+            open_notes.setdefault(pitch, []).append((tick, vel))
+        else:
+            stack = open_notes.get(pitch)
+            if stack:
+                start, svel = stack.pop(0)
+                notes.append((tick_to_sec(start), tick_to_sec(tick) - tick_to_sec(start), pitch, svel))
+    for pitch, stack in open_notes.items():  # unterminated: close at track end
+        for start, svel in stack:
+            notes.append((tick_to_sec(start), tick_to_sec(max_tick) - tick_to_sec(start), pitch, svel))
+
+    notes.sort()
+    if not notes:
+        return NoteArrays(
+            onset=np.zeros(0), duration=np.zeros(0), pitch=np.zeros(0, np.int32), velocity=np.zeros(0, np.int32)
+        )
+    onset, duration, pitch, velocity = zip(*notes)
+    return NoteArrays(
+        onset=np.asarray(onset, np.float64),
+        duration=np.asarray(duration, np.float64),
+        pitch=np.asarray(pitch, np.int32),
+        velocity=np.asarray(velocity, np.int32),
+    )
+
+
+def write_smf(notes: NoteArrays, path: str, *, tempo_us: int = DEFAULT_TEMPO_US, ppq: int = 480) -> None:
+    """Write note arrays as a single-track SMF format-0 file.
+
+    The dataset factory and the parser tests use this; onsets/durations
+    are quantized to ``ppq`` ticks under a constant tempo.
+    """
+    events: List[Tuple[int, int, int, int]] = []  # (tick, order, status, [pitch, vel])
+    sec_per_tick = tempo_us / (ppq * 1e6)
+    for onset, dur, pitch, vel in zip(notes.onset, notes.duration, notes.pitch, notes.velocity):
+        start = round(float(onset) / sec_per_tick)
+        end = round(float(onset + dur) / sec_per_tick)
+        end = max(end, start + 1)  # at least one tick long
+        events.append((start, 1, int(pitch), int(vel)))
+        events.append((end, 0, int(pitch), 0))
+    events.sort(key=lambda e: (e[0], e[1]))
+
+    body = bytearray()
+    body += _write_varlen(0) + bytes([0xFF, 0x51, 0x03]) + int(tempo_us).to_bytes(3, "big")
+    last_tick = 0
+    for tick, on, pitch, vel in events:
+        body += _write_varlen(tick - last_tick)
+        last_tick = tick
+        body += bytes([0x90 if on else 0x80, pitch & 0x7F, vel & 0x7F])
+    body += _write_varlen(0) + bytes([0xFF, 0x2F, 0x00])  # end of track
+
+    with open(path, "wb") as f:
+        f.write(b"MThd" + struct.pack(">IHHH", 6, 0, 1, ppq))
+        f.write(b"MTrk" + struct.pack(">I", len(body)) + bytes(body))

@@ -12,64 +12,39 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
+
+from midi_vae_tpu.native._build import load_library
 
 _MAGIC = 0x5252443144564154
 _HEADER_BYTES = 40
 
-_HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "rollloader.cc")
-_LIB_PATH = os.path.join(_HERE, "_rollloader.so")
-
-_lib = None
-_lib_lock = threading.Lock()
-
-
-def _build() -> Optional[str]:
-    if os.path.isfile(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
-        return _LIB_PATH
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", _SRC, "-o", _LIB_PATH]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        msg = getattr(e, "stderr", str(e))
-        print(f"rollloader native build failed ({msg}); falling back to pure-python loading")
-        return None
-    return _LIB_PATH
-
 
 def _load():
-    global _lib
-    with _lib_lock:
-        if _lib is not None:
-            return _lib
-        path = _build()
-        if path is None:
-            return None
-        lib = ctypes.CDLL(path)
-        lib.rrd_open.restype = ctypes.c_void_p
-        lib.rrd_open.argtypes = [ctypes.c_char_p]
-        lib.rrd_info.restype = ctypes.c_int
-        lib.rrd_info.argtypes = [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int64)] * 4
-        lib.rrd_close.argtypes = [ctypes.c_void_p]
-        lib.rrd_loader_create.restype = ctypes.c_void_p
-        lib.rrd_loader_create.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int]
-        lib.rrd_loader_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int]
-        lib.rrd_loader_num_batches.restype = ctypes.c_long
-        lib.rrd_loader_num_batches.argtypes = [ctypes.c_void_p]
-        lib.rrd_loader_next.restype = ctypes.c_long
-        lib.rrd_loader_next.argtypes = [
-            ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.rrd_loader_destroy.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return _lib
+    lib = load_library("rollloader")
+    if lib is None or getattr(lib, "_configured", False):
+        return lib
+    lib._configured = True
+    lib.rrd_open.restype = ctypes.c_void_p
+    lib.rrd_open.argtypes = [ctypes.c_char_p]
+    lib.rrd_info.restype = ctypes.c_int
+    lib.rrd_info.argtypes = [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int64)] * 4
+    lib.rrd_close.argtypes = [ctypes.c_void_p]
+    lib.rrd_loader_create.restype = ctypes.c_void_p
+    lib.rrd_loader_create.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.rrd_loader_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int]
+    lib.rrd_loader_num_batches.restype = ctypes.c_long
+    lib.rrd_loader_num_batches.argtypes = [ctypes.c_void_p]
+    lib.rrd_loader_next.restype = ctypes.c_long
+    lib.rrd_loader_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.rrd_loader_destroy.argtypes = [ctypes.c_void_p]
+    return lib
 
 
 def native_available() -> bool:
@@ -86,6 +61,24 @@ def write_rrd(images: np.ndarray, labels: np.ndarray, path: str) -> None:
         f.write(np.ascontiguousarray(images).tobytes())
         f.write(np.ascontiguousarray(labels.astype(np.int64)).tobytes())
     os.rename(path + ".tmp", path)
+
+
+def read_rrd(path: str, mmap: bool = True):
+    """Read an RRD file into ``(images uint8 [N,H,W,C], labels int64 [N])``
+    with numpy — no native runtime needed, so RRD doubles as the
+    cache/interchange format (e.g. the rasterized-MIDI corpus cache in
+    ``data/sources.py``). ``mmap=True`` maps images lazily."""
+    header = np.fromfile(path, dtype=np.uint64, count=5)
+    if len(header) != 5 or header[0] != _MAGIC:
+        raise ValueError(f"not an RRD file: {path}")
+    n, h, w, c = (int(v) for v in header[1:])
+    image_bytes = n * h * w * c
+    if mmap:
+        images = np.memmap(path, dtype=np.uint8, mode="r", offset=_HEADER_BYTES, shape=(n, h, w, c))
+    else:
+        images = np.fromfile(path, dtype=np.uint8, count=image_bytes, offset=_HEADER_BYTES).reshape(n, h, w, c)
+    labels = np.fromfile(path, dtype=np.int64, count=n, offset=_HEADER_BYTES + image_bytes)
+    return images, labels
 
 
 class NativeDataset:

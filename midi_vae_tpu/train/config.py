@@ -56,6 +56,10 @@ class TrainConfig:
     seed: Optional[int] = None
     deterministic: bool = False
     debug_nans: bool = False
+    # Profiling (SURVEY §5: jax.profiler.trace + StepTraceAnnotation replace
+    # the reference's manual torch.cuda.Event timing, train.py:632-655)
+    profile_dir: Optional[str] = None
+    profile_epochs: int = 1  # trace this many leading epochs
 
     # Hardware (train.py:971-1007)
     batch_size_per_device: int = 128

@@ -210,8 +210,19 @@ def run(config: TrainConfig) -> dict:
     last_epoch = config.epochs
     if config.stop_after_epochs is not None:
         last_epoch = min(last_epoch, start_epoch + config.stop_after_epochs - 1)
+    profiling = False
     for epoch in range(start_epoch, last_epoch + 1):
         t_start_epoch = time.time()
+        # Profiler trace for the leading epochs (SURVEY §5: jax.profiler
+        # replaces the reference's torch.cuda.Event phase timing)
+        if config.profile_dir and epoch < start_epoch + config.profile_epochs:
+            if not profiling:
+                jax.profiler.start_trace(config.profile_dir)
+                profiling = True
+        elif profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"Wrote profiler trace to {config.profile_dir}")
         # Resume-stable per-epoch randomness (train.py:345-369 semantics)
         ekey = process_key(derive_epoch_key(seed, epoch), jax.process_index())
 
@@ -299,6 +310,10 @@ def run(config: TrainConfig) -> dict:
         results["train"] = train_stats
         results[eval_set.lower()] = eval_stats
 
+    if profiling:
+        jax.profiler.stop_trace()
+        print(f"Wrote profiler trace to {config.profile_dir}")
+
     if start_epoch > config.epochs:
         print("Training already completed!")
     else:
@@ -370,7 +385,8 @@ def train_one_epoch(
     steps_since_log = 0
 
     for batch_idx, batch in enumerate(loader.epoch(epoch)):
-        state, lo, grad_norm = train_step(state, batch.x, epoch_key)
+        with jax.profiler.StepTraceAnnotation("train_step", step_num=batch_idx):
+            state, lo, grad_norm = train_step(state, batch.x, epoch_key)
         loss_sum = loss_sum + lo.loss
         last_lo = lo
         n_samples_seen += world_batch

@@ -1,0 +1,105 @@
+"""Generation CLI + roll→MIDI derasterization tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from midi_vae_tpu.midi.derasterize import roll_to_notes
+from midi_vae_tpu.midi.rasterize import notes_to_windows
+from midi_vae_tpu.midi.smf import NoteArrays
+
+
+class TestDerasterize:
+    def test_roundtrip_notes_roll_notes(self):
+        notes = NoteArrays(
+            onset=np.array([0.0, 1.0, 2.0]),
+            duration=np.array([0.5, 0.25, 1.0]),
+            pitch=np.array([60, 64, 72], np.int32),
+            velocity=np.array([100, 64, 127], np.int32),
+        )
+        spc = 0.05
+        roll = notes_to_windows(notes, steps=64, seconds_per_step=spc)[0]
+        back = roll_to_notes(roll, seconds_per_step=spc)
+        assert len(back) == 3
+        np.testing.assert_array_equal(back.pitch, notes.pitch)
+        np.testing.assert_allclose(back.onset, notes.onset, atol=spc)
+        np.testing.assert_allclose(back.duration, notes.duration, atol=2 * spc)
+        np.testing.assert_allclose(back.velocity, notes.velocity, atol=1)
+
+    def test_empty_roll(self):
+        back = roll_to_notes(np.zeros((128, 64)))
+        assert len(back) == 0
+
+    def test_adjacent_notes_not_merged(self):
+        # same pitch, gap of one silent column between runs
+        roll = np.zeros((128, 32))
+        roll[50, 2:6] = 0.8
+        roll[50, 7:10] = 0.6
+        back = roll_to_notes(roll, seconds_per_step=1.0)
+        assert len(back) == 2
+        np.testing.assert_allclose(back.onset, [2.0, 7.0])
+        np.testing.assert_allclose(back.duration, [4.0, 3.0])
+
+
+@pytest.fixture(scope="module")
+def trained_checkpoint(tmp_path_factory):
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    tmp_path = tmp_path_factory.mktemp("gen")
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        arch="MLPVAE",
+        n_features=8,
+        hidden_dims=(64,),
+        epochs=1,
+        batch_size_per_device=16,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "models"),
+        log_images=False,
+        run_name="gentest",
+        run_id="gen123",
+    )
+    run(config)
+    return config.checkpoint_path
+
+
+class TestGenerateCLI:
+    def test_sample_mode(self, trained_checkpoint, tmp_path):
+        from midi_vae_tpu.cli.generate import cli
+
+        out = str(tmp_path / "samples.png")
+        cli(["--checkpoint", trained_checkpoint, "--mode", "sample", "-n", "4", "--out", out])
+        assert os.path.isfile(out)
+
+    def test_reconstruct_mode(self, trained_checkpoint, tmp_path):
+        from midi_vae_tpu.cli.generate import cli
+
+        out = str(tmp_path / "recon.png")
+        cli(["--checkpoint", trained_checkpoint, "--mode", "reconstruct", "-n", "4", "--out", out])
+        assert os.path.isfile(out)
+
+    def test_interpolate_slerp(self, trained_checkpoint, tmp_path):
+        from midi_vae_tpu.cli.generate import cli
+
+        out = str(tmp_path / "interp.png")
+        cli(["--checkpoint", trained_checkpoint, "--mode", "interpolate", "--steps", "5", "--slerp", "--out", out])
+        assert os.path.isfile(out)
+
+    def test_export_midi(self, trained_checkpoint, tmp_path):
+        from midi_vae_tpu.cli.generate import cli
+        from midi_vae_tpu.midi.parse import parse_midi
+
+        out = str(tmp_path / "s.png")
+        mid_dir = str(tmp_path / "mids")
+        cli([
+            "--checkpoint", trained_checkpoint, "--mode", "sample", "-n", "2",
+            "--out", out, "--export-midi", mid_dir,
+        ])
+        files = sorted(os.listdir(mid_dir))
+        assert len(files) == 2
+        parse_midi(os.path.join(mid_dir, files[0]))  # parses back cleanly

@@ -1,0 +1,320 @@
+"""MIDI subsystem tests: SMF round-trip, native↔Python parser parity,
+rasterization, augmentation, and dataset integration."""
+
+import numpy as np
+import pytest
+
+from midi_vae_tpu.midi.factory import generate_midi_dataset, random_notes
+from midi_vae_tpu.midi.parse import parse_midi
+from midi_vae_tpu.midi.smf import NoteArrays, read_smf, write_smf
+from midi_vae_tpu.native.midiparse import native_midiparse_available, parse_midi_native
+
+
+def _random_notes(seed=0, n=64):
+    return random_notes(np.random.default_rng(seed), n)
+
+
+# ----------------------------------------------------------------- SMF layer
+
+
+class TestSMF:
+    def test_write_read_roundtrip(self, tmp_path):
+        notes = _random_notes()
+        p = str(tmp_path / "a.mid")
+        write_smf(notes, p)
+        back = read_smf(p)
+        assert len(back) == len(notes)
+        # quantization at ppq=480/120bpm is ~1 ms
+        assert np.abs(back.onset - notes.onset).max() < 2e-3
+        assert np.array_equal(np.sort(back.pitch), np.sort(notes.pitch))
+        assert set(back.velocity) <= set(notes.velocity.tolist())
+        # SMF cannot represent the pairing of overlapping same-pitch
+        # notes (FIFO convention reassigns durations); the per-pitch
+        # multisets of on-times and off-times ARE preserved.
+        for pitch in np.unique(notes.pitch):
+            src, got = notes.pitch == pitch, back.pitch == pitch
+            np.testing.assert_allclose(np.sort(back.onset[got]), np.sort(notes.onset[src]), atol=2e-3)
+            np.testing.assert_allclose(
+                np.sort((back.onset + back.duration)[got]),
+                np.sort((notes.onset + notes.duration)[src]),
+                atol=2e-3,
+            )
+
+    def test_empty_file(self, tmp_path):
+        empty = NoteArrays(
+            onset=np.zeros(0), duration=np.zeros(0), pitch=np.zeros(0, np.int32), velocity=np.zeros(0, np.int32)
+        )
+        p = str(tmp_path / "empty.mid")
+        write_smf(empty, p)
+        assert len(read_smf(p)) == 0
+        assert empty.total_seconds == 0.0
+
+    def test_tempo_scales_time(self, tmp_path):
+        notes = _random_notes(n=16)
+        fast, slow = str(tmp_path / "fast.mid"), str(tmp_path / "slow.mid")
+        write_smf(notes, fast, tempo_us=250000)
+        write_smf(notes, slow, tempo_us=500000)
+        a, b = read_smf(fast), read_smf(slow)
+        # same tick content at half the tempo period → same seconds, both
+        # files store the notes at their true wall-clock positions
+        assert np.abs(a.onset - b.onset).max() < 4e-3
+
+    def test_overlapping_same_pitch_fifo(self, tmp_path):
+        # two overlapping notes on one pitch: offs pair with the earlier on
+        notes = NoteArrays(
+            onset=np.array([0.0, 0.5]),
+            duration=np.array([1.0, 1.5]),
+            pitch=np.array([60, 60], np.int32),
+            velocity=np.array([80, 90], np.int32),
+        )
+        p = str(tmp_path / "o.mid")
+        write_smf(notes, p)
+        back = read_smf(p)
+        assert len(back) == 2
+        np.testing.assert_allclose(back.onset, [0.0, 0.5], atol=2e-3)
+        np.testing.assert_allclose(back.duration, [1.0, 1.5], atol=4e-3)
+
+    def test_rejects_garbage(self, tmp_path):
+        p = str(tmp_path / "bad.mid")
+        with open(p, "wb") as f:
+            f.write(b"definitely not midi")
+        with pytest.raises(ValueError):
+            read_smf(p)
+
+
+# ------------------------------------------------------------- native parser
+
+
+@pytest.mark.skipif(not native_midiparse_available(), reason="no native toolchain")
+class TestNativeParser:
+    def test_matches_python_oracle(self, tmp_path):
+        for seed in range(5):
+            notes = _random_notes(seed=seed, n=100)
+            p = str(tmp_path / f"{seed}.mid")
+            write_smf(notes, p)
+            py, nat = read_smf(p), parse_midi_native(p)
+            assert len(py) == len(nat)
+            np.testing.assert_allclose(nat.onset, py.onset, atol=1e-9)
+            np.testing.assert_allclose(nat.duration, py.duration, atol=1e-9)
+            np.testing.assert_array_equal(nat.pitch, py.pitch)
+            np.testing.assert_array_equal(nat.velocity, py.velocity)
+
+    def test_rejects_garbage(self, tmp_path):
+        p = str(tmp_path / "bad.mid")
+        with open(p, "wb") as f:
+            f.write(b"definitely not midi either")
+        with pytest.raises(ValueError):
+            parse_midi_native(p)
+
+    def test_dispatcher_prefers_native(self, tmp_path):
+        notes = _random_notes(n=10)
+        p = str(tmp_path / "d.mid")
+        write_smf(notes, p)
+        assert len(parse_midi(p)) == 10
+
+
+# ------------------------------------------------------------- rasterization
+
+
+class TestRasterize:
+    def test_host_windows_basic(self):
+        from midi_vae_tpu.midi.rasterize import notes_to_windows
+
+        notes = NoteArrays(
+            onset=np.array([0.0, 1.0]),
+            duration=np.array([0.5, 0.25]),
+            pitch=np.array([60, 64], np.int32),
+            velocity=np.array([127, 64], np.int32),
+        )
+        w = notes_to_windows(notes, steps=64, seconds_per_step=0.05)
+        assert w.shape == (1, 128, 64, 1)
+        # note 1: cols 0..10 at pitch 60, velocity 255
+        assert (w[0, 60, 0:10, 0] == 255).all()
+        assert w[0, 60, 10:, 0].sum() == 0
+        # note 2: onset 1.0s → col 20, dur 0.25 → 5 cols, vel 64/127*255
+        expected_v = int(np.clip(64 / 127 * 255, 0, 255))
+        assert (w[0, 64, 20:25, 0] == expected_v).all()
+        # silence elsewhere
+        assert w.sum() == 10 * 255 + 5 * expected_v
+
+    def test_host_windows_drop_empty(self):
+        from midi_vae_tpu.midi.rasterize import notes_to_windows
+
+        # one note at t=0 and one at t=20s: the windows between are silent
+        notes = NoteArrays(
+            onset=np.array([0.0, 20.0]),
+            duration=np.array([0.5, 0.5]),
+            pitch=np.array([60, 61], np.int32),
+            velocity=np.array([100, 100], np.int32),
+        )
+        w = notes_to_windows(notes, steps=64, seconds_per_step=0.05)
+        assert len(w) == 2  # silent middle windows dropped
+
+    def test_jit_matches_host(self):
+        import jax.numpy as jnp
+
+        from midi_vae_tpu.midi.rasterize import notes_to_windows, rasterize_notes
+
+        notes = _random_notes(seed=3, n=24)
+        spc = 0.0625  # 8s / 128 steps: every note lands in window 0
+        host = notes_to_windows(notes, steps=128, seconds_per_step=spc, min_notes_per_window=0)
+
+        dev = rasterize_notes(
+            jnp.asarray(notes.onset / spc, jnp.float32),
+            jnp.asarray(notes.duration / spc, jnp.float32),
+            jnp.asarray(notes.pitch),
+            jnp.asarray(notes.velocity / 127.0, jnp.float32),
+            jnp.ones(len(notes), bool),
+            steps=128,
+        )
+        got = np.asarray(jnp.round(dev * 255).astype(jnp.uint8))
+        expect = host[0, :, :, 0] if len(host) else np.zeros_like(got)
+        # row-occupancy must agree; velocity may differ ±1 from rounding
+        np.testing.assert_array_equal(got > 0, expect > 0)
+        assert np.abs(got.astype(int) - expect.astype(int)).max() <= 1
+
+    def test_jit_padding_mask(self):
+        import jax.numpy as jnp
+
+        from midi_vae_tpu.midi.rasterize import rasterize_notes
+
+        onset = jnp.array([0.0, 5.0], jnp.float32)
+        dur = jnp.array([4.0, 4.0], jnp.float32)
+        pitch = jnp.array([10, 20], jnp.int32)
+        vel = jnp.array([1.0, 1.0], jnp.float32)
+        roll = rasterize_notes(onset, dur, pitch, vel, jnp.array([True, False]), steps=16)
+        assert roll[10].sum() == 4  # valid note painted
+        assert roll[20].sum() == 0  # padded note suppressed
+
+    def test_batch_shape(self):
+        import jax
+        import jax.numpy as jnp
+
+        from midi_vae_tpu.midi.rasterize import rasterize_batch
+
+        B, N = 4, 8
+        key = jax.random.PRNGKey(0)
+        out = rasterize_batch(
+            jax.random.uniform(key, (B, N)) * 100,
+            jnp.ones((B, N)) * 4,
+            jax.random.randint(key, (B, N), 0, 128),
+            jnp.ones((B, N)) * 0.5,
+            jnp.ones((B, N), bool),
+            steps=128,
+        )
+        assert out.shape == (B, 128, 128, 1)
+
+
+# -------------------------------------------------------------- augmentation
+
+
+class TestAugment:
+    def _roll(self):
+        import jax.numpy as jnp
+
+        roll = jnp.zeros((128, 128, 1))
+        return roll.at[60, 10:20, 0].set(0.8)
+
+    def test_deterministic_per_key(self):
+        import jax
+
+        from midi_vae_tpu.midi.rasterize import augment_pianoroll
+
+        r = self._roll()
+        a = augment_pianoroll(jax.random.PRNGKey(1), r)
+        b = augment_pianoroll(jax.random.PRNGKey(1), r)
+        c = augment_pianoroll(jax.random.PRNGKey(2), r)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    def test_mass_preserved_up_to_scale(self):
+        import jax
+
+        from midi_vae_tpu.midi.rasterize import augment_pianoroll
+
+        r = self._roll()
+        # shifts are small; the note sits mid-roll so nothing falls off
+        out = augment_pianoroll(jax.random.PRNGKey(0), r, max_pitch_shift=4, max_time_shift=8)
+        occupied = np.asarray(out > 0).sum()
+        assert occupied == 10  # same cells, shifted
+        vals = np.asarray(out)[np.asarray(out) > 0]
+        assert 0.8 * 0.7 - 1e-5 <= vals[0] <= min(0.8 * 1.2, 1.0) + 1e-5
+
+    def test_edge_rows_zeroed_not_wrapped(self):
+        import jax
+        import jax.numpy as jnp
+
+        from midi_vae_tpu.midi.rasterize import augment_pianoroll
+
+        roll = jnp.zeros((128, 128, 1)).at[127, :, 0].set(1.0)  # top pitch row
+        # forcing large shifts: with max shift = 1 in each sign, try keys
+        # until one shifts up (dp=+1) — wrapped row must not appear at 0
+        for k in range(20):
+            out = np.asarray(augment_pianoroll(jax.random.PRNGKey(k), roll, max_pitch_shift=1, max_time_shift=0))
+            assert out[0].sum() == 0.0  # never wraps around
+
+    def test_batch_variant(self):
+        import jax
+        import jax.numpy as jnp
+
+        from midi_vae_tpu.midi.rasterize import augment_pianoroll_batch
+
+        rolls = jnp.stack([self._roll()] * 3)
+        out = augment_pianoroll_batch(jax.random.PRNGKey(0), rolls)
+        assert out.shape == rolls.shape
+        # per-sample keys → samples differ
+        assert not np.array_equal(np.asarray(out[0]), np.asarray(out[1]))
+
+
+# ------------------------------------------------------------------ datasets
+
+
+class TestMidiDatasets:
+    def test_factory_writes_class_tree(self, tmp_path):
+        n = generate_midi_dataset(12, str(tmp_path / "corpus"), seed=0)
+        assert n == 12
+        classes = sorted((tmp_path / "corpus").iterdir())
+        assert all(d.name.endswith("_density") for d in classes)
+        files = [f for d in classes for f in d.iterdir()]
+        assert len(files) == 12
+
+    def test_load_midi_folder_and_cache(self, tmp_path):
+        from midi_vae_tpu.data.sources import load_midi_folder
+
+        corpus = str(tmp_path / "corpus")
+        generate_midi_dataset(8, corpus, seed=1)
+        ds = load_midi_folder(corpus)
+        assert ds.images.dtype == np.uint8
+        assert ds.images.shape[1:] == (128, 128, 1)
+        assert len(ds.images) == len(ds.labels) > 0
+        assert ds.images.max() > 0
+        # second load hits the RRD cache and matches
+        ds2 = load_midi_folder(corpus)
+        np.testing.assert_array_equal(np.asarray(ds2.images), np.asarray(ds.images))
+        np.testing.assert_array_equal(ds2.labels, ds.labels)
+
+    def test_fetch_midi_synthetic_end_to_end(self):
+        from midi_vae_tpu.data.fetch import fetch_dataset
+        from midi_vae_tpu.data.transforms import get_transform
+
+        tr, ev = get_transform("pianoroll", 128, {"normalization": "midi-synthetic"})
+        train, val, test, distinct = fetch_dataset("midi-synthetic", transform_train=tr, transform_eval=ev)
+        assert len(train) > len(test) > 0
+        assert not distinct
+
+    def test_device_loader_on_midi(self):
+        import jax
+
+        from midi_vae_tpu.data.fetch import fetch_dataset
+        from midi_vae_tpu.data.pipeline import DeviceLoader
+        from midi_vae_tpu.data.transforms import get_transform
+
+        tr, ev = get_transform("pianoroll", 128, {"normalization": "midi-synthetic"})
+        train, *_ = fetch_dataset("midi-synthetic", transform_train=tr, transform_eval=ev)
+        loader = DeviceLoader(train, 16, train=True, seed=0)
+        batch = next(iter(loader.epoch(1)))
+        assert batch.x.shape == (16, 128, 128, 1)
+        x = np.asarray(batch.x)
+        assert np.isfinite(x).all()
+        assert -0.5 - 1e-6 <= x.min() and x.max() <= 0.5 + 1e-6  # normalized [−.5,.5]
+        jax.block_until_ready(batch.x)
