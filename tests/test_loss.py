@@ -140,3 +140,61 @@ class TestKLSchedules:
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
             kl_weight_schedule("bogus")
+
+
+class TestTorchReferenceParity:
+    """ELBO numerics against the PyTorch formulation the reference uses
+    (models.py:208-216: F.binary_cross_entropy(recon, input) +
+    w · mean(-0.5·sum(1 + logvar − mu² − e^logvar))) — the 'bitwise-close
+    ELBO' CPU-parity check from the BASELINE north star."""
+
+    def test_elbo_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(7)
+        B, H, W, D = 8, 16, 16, 10
+        logits = rng.normal(size=(B, H, W, 1)).astype(np.float32) * 2
+        targets = rng.uniform(size=(B, H, W, 1)).astype(np.float32)
+        mu = rng.normal(size=(B, D)).astype(np.float32)
+        log_var = rng.normal(size=(B, D)).astype(np.float32)
+        w = 0.00025
+
+        lo = elbo_loss(make_output(logits, targets, mu, log_var), kld_weight=w)
+
+        t_recon = torch.sigmoid(torch.from_numpy(logits))
+        t_bce = F.binary_cross_entropy(t_recon, torch.from_numpy(targets))
+        t_mu, t_lv = torch.from_numpy(mu), torch.from_numpy(log_var)
+        t_kld = torch.mean(-0.5 * torch.sum(1 + t_lv - t_mu**2 - t_lv.exp(), dim=1), dim=0)
+        t_loss = t_bce + w * t_kld
+
+        np.testing.assert_allclose(float(lo.reconstruction_loss), float(t_bce), rtol=1e-5)
+        np.testing.assert_allclose(float(lo.kl), float(t_kld), rtol=1e-5)
+        np.testing.assert_allclose(float(lo.loss), float(t_loss), rtol=1e-5)
+        # reporting convention: kld_loss is the negated KL (models.py:224)
+        np.testing.assert_allclose(float(lo.kld_loss), -float(t_kld), rtol=1e-5)
+
+    def test_fused_kernel_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from midi_vae_tpu.ops.fused_elbo import fused_elbo_terms
+
+        rng = np.random.default_rng(11)
+        B, H, W, D = 4, 32, 32, 10
+        logits = rng.normal(size=(B, H, W, 1)).astype(np.float32) * 3
+        targets = (rng.uniform(size=(B, H, W, 1)) > 0.7).astype(np.float32)
+        mu = rng.normal(size=(B, D)).astype(np.float32)
+        log_var = rng.normal(size=(B, D)).astype(np.float32)
+        w = 0.00025
+
+        loss, recon, kl = fused_elbo_terms(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(mu), jnp.asarray(log_var), w
+        )
+        t_bce = F.binary_cross_entropy(torch.sigmoid(torch.from_numpy(logits)), torch.from_numpy(targets))
+        t_mu, t_lv = torch.from_numpy(mu), torch.from_numpy(log_var)
+        t_kld = torch.mean(-0.5 * torch.sum(1 + t_lv - t_mu**2 - t_lv.exp(), dim=1), dim=0)
+
+        np.testing.assert_allclose(float(recon), float(t_bce), rtol=2e-5)
+        np.testing.assert_allclose(float(kl), float(t_kld), rtol=2e-5)
+        np.testing.assert_allclose(float(loss), float(t_bce + w * t_kld), rtol=2e-5)
