@@ -102,6 +102,16 @@ def fetch_image_dataset(
         dataset_train = full.subset(train_idx).with_transform(transform_train)
         dataset_test = full.subset(test_idx).with_transform(transform_eval)
         dataset_val = None
+    elif dataset.startswith("rrd:"):
+        # Out-of-core RRD stream: splits stay lazy index subsets; batches
+        # are gathered by the native threaded loader at train time.
+        from midi_vae_tpu.data.sources import open_rrd_stream
+
+        full = open_rrd_stream(dataset[4:])
+        train_idx, test_idx = random_train_test_split(len(full), TRAIN_TEST_RATIO, seed=split_seed)
+        dataset_train = full.subset(train_idx).with_transform(transform_train)
+        dataset_test = full.subset(test_idx).with_transform(transform_eval)
+        dataset_val = None
     elif dataset.startswith("midi"):
         # A folder of .mid files: parse + rasterize (data/sources.py),
         # then the same 80/20 folder-split contract as sageev*.

@@ -133,6 +133,122 @@ class DeviceLoader:
             yield queue.popleft()
 
 
+class NativeDeviceLoader:
+    """:class:`DeviceLoader`-shaped iterator over an out-of-core
+    :class:`~midi_vae_tpu.data.sources.RRDStreamDataset`.
+
+    Host batching (shuffled gather from the mmap-ed file) runs on the
+    C++ thread pool (``native/rollloader.cc``); this class only moves
+    finished uint8 batches to device and applies the jitted transform —
+    so datasets larger than host RAM feed the chip at full rate. Same
+    epoch/len/num_samples surface as :class:`DeviceLoader`.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        train: bool,
+        seed: int = 0,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        prefetch: int = 2,
+        n_threads: int = 4,
+    ):
+        from midi_vae_tpu.native.rrd import NativeDataset, NativeLoader
+
+        if len(dataset) == 0:
+            raise ValueError("empty dataset")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+        self.prefetch = max(1, prefetch)
+        self._x_sharding = sharding
+        self._native_ds = NativeDataset(dataset.path)
+        self._loader = NativeLoader(
+            self._native_ds,
+            batch_size,
+            drop_last=train,
+            n_threads=n_threads,
+            prefetch_depth=max(2, prefetch + 1),
+            indices=dataset.indices,
+            reuse_buffers=False,  # batches go straight to async device_put
+        )
+        self.num_batches = self._loader.num_batches
+        if self.num_batches == 0:
+            raise ValueError(
+                f"dataset of {len(dataset)} samples yields no batches at batch_size={batch_size} (drop_last)"
+            )
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    @property
+    def num_samples(self) -> int:
+        n = len(self.dataset)
+        return self.num_batches * self.batch_size if self.train else n
+
+    def epoch(self, epoch: int = 1) -> Iterator[Batch]:
+        # same resume-stable seed derivation as DeviceLoader
+        epoch_seed = int(host_rng(self.seed, epoch).integers(0, 2**63 - 1)) if self.train else 0
+        ekey = epoch_key(self.seed, epoch) if self.train else None
+        spec = self.dataset.transform
+
+        def launch(batch_idx: int, images, labels, valid) -> Batch:
+            mask = np.zeros(self.batch_size, np.float32)
+            mask[:valid] = 1.0
+            x = jax.device_put(images, self._x_sharding)
+            y = jax.device_put(labels.astype(np.int32), self._x_sharding and _scalar_sharding(self._x_sharding))
+            m = jax.device_put(mask, self._x_sharding and _scalar_sharding(self._x_sharding))
+            key = jax.random.fold_in(ekey, batch_idx) if (ekey is not None and spec is not None) else None
+            x = apply_transform(spec, x, key) if spec is not None else _scale_only(x)
+            return Batch(x=x, y=y, mask=m)
+
+        queue: collections.deque = collections.deque()
+        for i, (images, labels, valid) in enumerate(self._loader.epoch(seed=epoch_seed, shuffle=self.train)):
+            queue.append(launch(i, images, labels, valid))
+            if len(queue) > self.prefetch:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
+
+    def close(self):
+        self._loader.close()
+        self._native_ds.close()
+
+
+def make_loader(
+    dataset,
+    batch_size: int,
+    *,
+    train: bool,
+    seed: int = 0,
+    sharding: Optional[jax.sharding.Sharding] = None,
+    prefetch: int = 2,
+):
+    """Route a dataset to the right loader: RRD streams → the native
+    threaded path, in-memory arrays → :class:`DeviceLoader`."""
+    if getattr(dataset, "is_rrd_stream", False):
+        from midi_vae_tpu.native.rrd import native_available
+
+        if native_available():
+            return NativeDeviceLoader(
+                dataset, batch_size, train=train, seed=seed, sharding=sharding, prefetch=prefetch
+            )
+        # no toolchain: degrade to mmap-backed python batching
+        from midi_vae_tpu.native.rrd import read_rrd
+
+        images, labels = read_rrd(dataset.path, mmap=True)
+        dataset = ArrayDataset(
+            images=images[dataset.indices],
+            labels=labels[dataset.indices],
+            name=dataset.name,
+            transform=dataset.transform,
+        )
+    return DeviceLoader(dataset, batch_size, train=train, seed=seed, sharding=sharding, prefetch=prefetch)
+
+
 @jax.jit
 def _scale_only(x: jax.Array) -> jax.Array:
     if x.dtype == jnp.uint8:

@@ -33,6 +33,13 @@ def image_dataset_sizes(dataset: str):
         # ``midi*`` name maps to a folder of .mid files under the data
         # root; ``midi-synthetic`` generates its corpus in a temp dir.
         return -1, 128, 1
+    if dataset.startswith("rrd:"):
+        # Out-of-core raw-tensor stream (native/rollloader.cc): the name
+        # carries the file path; shape comes from the RRD header.
+        from midi_vae_tpu.data.sources import rrd_shape
+
+        _, h, w, c = rrd_shape(dataset[4:])
+        return -1, min(h, w), c
     if dataset == "mnist":
         return 10, 28, 1
     if dataset == "svhn":

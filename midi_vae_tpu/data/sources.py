@@ -53,6 +53,59 @@ class ArrayDataset:
         return dataclasses.replace(self, transform=transform)
 
 
+# ----------------------------------------------------------------- RRD stream
+
+
+@dataclasses.dataclass
+class RRDStreamDataset:
+    """An out-of-core dataset: an RRD file streamed through the native
+    threaded loader (``native/rollloader.cc``) instead of resident arrays.
+
+    Carries a row-index subset so train/test splits stay lazy — nothing
+    is materialized in host RAM beyond the in-flight batch buffers. The
+    pipeline's ``make_loader`` routes this to :class:`NativeDeviceLoader`.
+    """
+
+    path: str
+    indices: np.ndarray  # int64 row subset of the file
+    name: str = ""
+    transform: Optional["TransformSpec"] = None
+    is_rrd_stream = True
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    @property
+    def labels(self) -> np.ndarray:
+        """Labels for this split (reads only the label block — small)."""
+        from midi_vae_tpu.native.rrd import read_rrd
+
+        _, labels = read_rrd(self.path, mmap=True)
+        return labels[self.indices]
+
+    def subset(self, indices: np.ndarray) -> "RRDStreamDataset":
+        return dataclasses.replace(self, indices=self.indices[indices])
+
+    def with_transform(self, transform: "TransformSpec") -> "RRDStreamDataset":
+        return dataclasses.replace(self, transform=transform)
+
+
+def open_rrd_stream(path: str) -> RRDStreamDataset:
+    """Open an RRD file as a streaming dataset over all rows."""
+    from midi_vae_tpu.native.rrd import read_rrd
+
+    images, _ = read_rrd(path, mmap=True)  # header check; images stay lazy
+    return RRDStreamDataset(
+        path=path, indices=np.arange(len(images), dtype=np.int64), name=os.path.basename(path)
+    )
+
+
+def rrd_shape(path: str):
+    """(n, h, w, c) of an RRD file from its header."""
+    header = np.fromfile(path, dtype=np.uint64, count=5)
+    return tuple(int(v) for v in header[1:5])
+
+
 # ---------------------------------------------------------------- ImageFolder
 
 

@@ -67,6 +67,7 @@ struct Loader {
   int depth = 2;
 
   std::vector<uint64_t> order;
+  std::vector<uint64_t> base_indices;  // optional row subset (dataset splits)
   long num_batches = 0;
 
   // ring of filled slots
@@ -159,8 +160,12 @@ struct Loader {
     stop = false;
     ++epoch_seq;
 
-    order.resize(ds->n);
-    for (uint64_t i = 0; i < ds->n; ++i) order[i] = i;
+    if (!base_indices.empty()) {
+      order = base_indices;  // epoch order draws from the split subset
+    } else {
+      order.resize(ds->n);
+      for (uint64_t i = 0; i < ds->n; ++i) order[i] = i;
+    }
     if (shuffle) {
       std::mt19937_64 rng(seed);
       std::shuffle(order.begin(), order.end(), rng);
@@ -288,6 +293,11 @@ void* rrd_loader_create(void* dataset, long batch_size, int drop_last, int n_thr
   loader->n_threads = std::max(1, n_threads);
   loader->depth = std::max(2, prefetch_depth);
   return loader;
+}
+
+void rrd_loader_set_indices(void* handle, const uint64_t* indices, long n) {
+  auto* loader = static_cast<Loader*>(handle);
+  loader->base_indices.assign(indices, indices + n);
 }
 
 void rrd_loader_start_epoch(void* handle, uint64_t seed, int shuffle) {

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 
@@ -34,6 +34,7 @@ def _load():
     lib.rrd_close.argtypes = [ctypes.c_void_p]
     lib.rrd_loader_create.restype = ctypes.c_void_p
     lib.rrd_loader_create.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.rrd_loader_set_indices.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_long]
     lib.rrd_loader_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int]
     lib.rrd_loader_num_batches.restype = ctypes.c_long
     lib.rrd_loader_num_batches.argtypes = [ctypes.c_void_p]
@@ -127,15 +128,26 @@ class NativeLoader:
         drop_last: bool = True,
         n_threads: int = 2,
         prefetch_depth: int = 3,
+        indices: Optional[np.ndarray] = None,
+        reuse_buffers: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
+        self.reuse_buffers = reuse_buffers
         self._lib = dataset._lib
         self._handle = self._lib.rrd_loader_create(
             dataset._handle, batch_size, int(drop_last), n_threads, prefetch_depth
         )
         n = len(dataset)
+        if indices is not None:
+            idx = np.ascontiguousarray(indices, dtype=np.uint64)
+            assert idx.size == 0 or int(idx.max()) < n, "split index out of range"
+            self._lib.rrd_loader_set_indices(
+                self._handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(idx)
+            )
+            n = len(idx)
+        self.num_samples_total = n
         self.num_batches = n // batch_size if drop_last else -(-n // batch_size)
 
     def epoch(self, seed: int, shuffle: bool = True) -> Iterator:
@@ -149,7 +161,12 @@ class NativeLoader:
             valid = self._lib.rrd_loader_next(self._handle, img_ptr, lbl_ptr)
             if valid <= 0:
                 break
-            yield images, labels, int(valid)
+            if self.reuse_buffers:
+                yield images, labels, int(valid)
+            else:
+                # fresh arrays per batch: safe to hand to async consumers
+                # (jax.device_put) that may read after the next iteration
+                yield images.copy(), labels.copy(), int(valid)
 
     def close(self):
         if self._handle:

@@ -29,7 +29,7 @@ import numpy as np
 from midi_vae_tpu.core.rng import epoch_key as derive_epoch_key
 from midi_vae_tpu.core.rng import process_key, root_key
 from midi_vae_tpu.data.fetch import fetch_dataset
-from midi_vae_tpu.data.pipeline import DeviceLoader
+from midi_vae_tpu.data.pipeline import DeviceLoader, make_loader
 from midi_vae_tpu.data.registry import image_dataset_sizes
 from midi_vae_tpu.data.transforms import VALID_TRANSFORMS, get_transform
 from midi_vae_tpu.evaluation.evaluate import evaluate, make_eval_step
@@ -125,9 +125,9 @@ def run(config: TrainConfig) -> dict:
     eval_set = "Val" if distinct_val_test else "Test"
 
     seed = config.seed if config.seed is not None else int(time.time()) % 100000
-    loader_train = DeviceLoader(dataset_train, global_batch_size, train=True, seed=seed, sharding=x_sharding)
-    loader_val = DeviceLoader(dataset_val, global_batch_size, train=False, sharding=x_sharding)
-    loader_test = DeviceLoader(dataset_test, global_batch_size, train=False, sharding=x_sharding)
+    loader_train = make_loader(dataset_train, global_batch_size, train=True, seed=seed, sharding=x_sharding)
+    loader_val = make_loader(dataset_val, global_batch_size, train=False, sharding=x_sharding)
+    loader_test = make_loader(dataset_test, global_batch_size, train=False, sharding=x_sharding)
 
     # OPTIMIZATION (train.py:193-244) =========================================
     lr = scale_lr(config.lr_relative, global_batch_size)
@@ -337,7 +337,7 @@ def run(config: TrainConfig) -> dict:
     dataset_train_eval = fetch_dataset(
         **dataset_args, transform_train=transform_eval, transform_eval=transform_eval
     )[0]
-    loader_train_eval = DeviceLoader(dataset_train_eval, global_batch_size, train=False, sharding=x_sharding)
+    loader_train_eval = make_loader(dataset_train_eval, global_batch_size, train=False, sharding=x_sharding)
     train_eval_stats = evaluate(
         loader_train_eval, model, state, partition_name="Train", seed=seed, eval_step=eval_step
     )
