@@ -23,10 +23,15 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 IMAGE_SIZE = 128
-BATCH = 256
+# batch sweep on TPU v5 lite (f32): 256→195k, 512→410k, 1024→572k,
+# 2048→1.57M samples/sec/chip; 3072+ exceeds the 16G HBM. 2048 is the knee.
+BATCH = int(os.environ.get("MIDI_VAE_BENCH_BATCH", "2048"))
 WARMUP_STEPS = 3
 MEASURE_STEPS = 30
 FUSED = os.environ.get("MIDI_VAE_BENCH_FUSED", "0") == "1"  # Pallas fused ELBO path
+# bf16 toggle (measured SLOWER here: 136k vs 195k samples/sec — the first
+# conv has 1 input channel, so MXU gains nothing and the casts cost VPU)
+BF16 = os.environ.get("MIDI_VAE_BENCH_BF16", "0") == "1"
 
 
 def main():
@@ -43,7 +48,12 @@ def main():
     mesh = make_mesh(n_chips)
 
     model = VanillaVAE(
-        in_channels=1, latent_dim=10, input_dim=IMAGE_SIZE, hidden_dims=(32, 64, 128, 256), fused_reparam=FUSED
+        in_channels=1,
+        latent_dim=10,
+        input_dim=IMAGE_SIZE,
+        hidden_dims=(32, 64, 128, 256),
+        fused_reparam=FUSED,
+        dtype=jnp.bfloat16 if BF16 else jnp.float32,
     )
     total_batch = BATCH * n_chips
     bundle = build_optimizer(
@@ -108,6 +118,7 @@ def main():
                     "final_loss": round(float(lo.loss), 5),
                     "backend": devices[0].platform,
                     "fused": FUSED,
+                    "dtype": "bfloat16" if BF16 else "float32",
                 },
             }
         )
