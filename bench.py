@@ -26,8 +26,10 @@ IMAGE_SIZE = 128
 # batch sweep on TPU v5 lite (f32): 256→195k, 512→410k, 1024→572k,
 # 2048→1.57M samples/sec/chip; 3072+ exceeds the 16G HBM. 2048 is the knee.
 BATCH = int(os.environ.get("MIDI_VAE_BENCH_BATCH", "2048"))
-WARMUP_STEPS = 3
-MEASURE_STEPS = 30
+WARMUP_STEPS = 20
+# at ~1.5M samples/sec a 2048-batch step is ~1.3 ms — 1500 steps ≈ 2 s of
+# steady state, enough to average out tunnel/dispatch jitter
+MEASURE_STEPS = int(os.environ.get("MIDI_VAE_BENCH_STEPS", "1500"))
 FUSED = os.environ.get("MIDI_VAE_BENCH_FUSED", "0") == "1"  # Pallas fused ELBO path
 # bf16 toggle (measured SLOWER here: 136k vs 195k samples/sec — the first
 # conv has 1 input channel, so MXU gains nothing and the casts cost VPU)
