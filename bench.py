@@ -23,8 +23,9 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 IMAGE_SIZE = 128
-# batch sweep on TPU v5 lite (f32): 256→195k, 512→410k, 1024→572k,
-# 2048→1.57M samples/sec/chip; 3072+ exceeds the 16G HBM. 2048 is the knee.
+# batch sweep on TPU v5 lite (f32, sustained 1500-step window): 256→195k,
+# 512→410k, 1024→572k, 2048→1.27M samples/sec/chip; 3072+ exceeds the 16G
+# HBM. 2048 is the knee.
 BATCH = int(os.environ.get("MIDI_VAE_BENCH_BATCH", "2048"))
 WARMUP_STEPS = 20
 # at ~1.5M samples/sec a 2048-batch step is ~1.3 ms — 1500 steps ≈ 2 s of

@@ -77,7 +77,7 @@ def _load_model_and_state(checkpoint_path: str):
 
 def _fetch_eval_batch(dataset: str, data_dir: Optional[str], image_size: int, n: int, cfg: dict):
     from midi_vae_tpu.data.fetch import fetch_dataset
-    from midi_vae_tpu.data.pipeline import DeviceLoader
+    from midi_vae_tpu.data.pipeline import make_loader
     from midi_vae_tpu.data.transforms import VALID_TRANSFORMS, get_transform
 
     args = {"normalization": dataset} if dataset in VALID_TRANSFORMS else {}
@@ -85,7 +85,8 @@ def _fetch_eval_batch(dataset: str, data_dir: Optional[str], image_size: int, n:
     _, _, test, _ = fetch_dataset(
         dataset, root=data_dir, transform_train=transform_eval, transform_eval=transform_eval
     )
-    loader = DeviceLoader(test, min(n, len(test)), train=False)
+    # make_loader (not DeviceLoader) so rrd: stream datasets route natively
+    loader = make_loader(test, min(n, len(test)), train=False)
     return next(iter(loader.epoch(1))).x
 
 

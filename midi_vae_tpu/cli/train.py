@@ -154,13 +154,20 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
 
     base = from_yaml(args.config_yaml) if args.config_yaml else TrainConfig()
 
+    # Which flags did the user literally type? Scan the raw argv tokens so an
+    # explicit flag overrides YAML even when its value equals the built-in
+    # default (e.g. --batch-size 128 on top of a YAML saying 100).
+    if argv is None:
+        argv = sys.argv[1:]
     explicitly_set = set()
-    if argv is not None:
-        parser = get_parser()
-        defaults = vars(parser.parse_args([]))
-        for key, value in vars(args).items():
-            if key in defaults and value != defaults[key]:
-                explicitly_set.add(key)
+    opt_to_dest = {
+        opt: action.dest for action in get_parser()._get_optional_actions() for opt in action.option_strings
+    }
+    for tok in argv:
+        if tok.startswith("--"):
+            dest = opt_to_dest.get(tok.split("=", 1)[0])
+            if dest:
+                explicitly_set.add(dest)
 
     config = base
     mapping = dict(

@@ -52,9 +52,19 @@ def _synthetic_dataset(dataset: str, seed: int = 0) -> ArrayDataset:
         from midi_vae_tpu.data.sources import load_midi_folder
         from midi_vae_tpu.midi.factory import generate_midi_dataset
 
+        # generate into a private tmp dir, then atomic-rename: a crashed or
+        # concurrent generator can never leave a half-corpus that later runs
+        # silently mistake for complete
         corpus = os.path.join(tempfile.gettempdir(), f"midi_vae_tpu_synth_{seed}")
         if not os.path.isdir(corpus):
-            generate_midi_dataset(n, corpus, seed=seed)
+            staging = tempfile.mkdtemp(prefix=f"midi_vae_tpu_synth_{seed}_", dir=tempfile.gettempdir())
+            generate_midi_dataset(n, staging, seed=seed)
+            try:
+                os.rename(staging, corpus)
+            except OSError:  # lost the race: another process finished first
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
         ds = load_midi_folder(corpus)
         images, labels = ds.images, ds.labels
     elif dataset == "pianoroll-synthetic":

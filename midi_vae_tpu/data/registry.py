@@ -27,7 +27,7 @@ def image_dataset_sizes(dataset: str):
         # On-device synthetic piano-rolls (capability extension; no
         # reference equivalent — BASELINE.json north star).
         return -1, 128, 1
-    if dataset == "midi-synthetic" or dataset.startswith("midi"):
+    if dataset.startswith("midi"):
         # Real MIDI ingestion: .mid files parsed (native/midiparse.cc)
         # and rasterized to 128-pitch rolls (midi/rasterize.py). Any
         # ``midi*`` name maps to a folder of .mid files under the data

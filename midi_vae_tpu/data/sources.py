@@ -200,14 +200,19 @@ def load_midi_folder(
     from midi_vae_tpu.midi.rasterize import notes_to_windows
     from midi_vae_tpu.native.rrd import read_rrd, write_rrd
 
-    cache = os.path.join(root, f"_midi_cache_{pitches}x{steps}.rrd")
+    # cache key carries every rasterization parameter; a resolution change
+    # must miss, never silently return rolls at the wrong time scale
+    spc_tag = f"{seconds_per_step:g}".replace(".", "p")
+    cache = os.path.join(root, f"_midi_cache_{pitches}x{steps}@{spc_tag}.rrd")
+    class_dirs = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
     if use_cache and os.path.isfile(cache):
         images, labels = read_rrd(cache)
         return ArrayDataset(
-            images=np.asarray(images), labels=labels, name=os.path.basename(root)
+            images=np.asarray(images),
+            labels=labels,
+            name=os.path.basename(root),
+            class_names=class_dirs or ["midi"],
         )
-
-    class_dirs = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
     sources: List[Tuple[str, int]] = []  # (file path, label)
     class_names: List[str]
     if class_dirs and any(

@@ -24,12 +24,18 @@ def _build(name: str) -> Optional[str]:
     lib_path = os.path.join(_HERE, f"_{name}.so")
     if os.path.isfile(lib_path) and os.path.getmtime(lib_path) >= os.path.getmtime(src):
         return lib_path
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", src, "-o", lib_path]
+    # compile to a per-process temp name, then atomic rename — concurrent
+    # processes (multi-host jobs, parallel tests) never dlopen a half-written .so
+    tmp_path = f"{lib_path}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", src, "-o", tmp_path]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        os.replace(tmp_path, lib_path)
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
         msg = getattr(e, "stderr", str(e))
         print(f"native build of {name} failed ({msg}); falling back to pure python")
+        if os.path.isfile(tmp_path):
+            os.unlink(tmp_path)
         return None
     return lib_path
 

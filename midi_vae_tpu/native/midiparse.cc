@@ -32,9 +32,13 @@ struct Note {
   double onset, duration;
   int32_t pitch, velocity;
   bool operator<(const Note& o) const {
+    // full (onset, duration, pitch, velocity) order — must match the Python
+    // oracle's tuple sort exactly (midi/smf.py) or chord-doubled notes with
+    // equal timing would make the cross-check order-dependent
     if (onset != o.onset) return onset < o.onset;
     if (duration != o.duration) return duration < o.duration;
-    return pitch < o.pitch;
+    if (pitch != o.pitch) return pitch < o.pitch;
+    return velocity < o.velocity;
   }
 };
 

@@ -44,4 +44,8 @@ TRAIN_PID=$!
 _forward() { kill -TERM "${TRAIN_PID}" 2>/dev/null || true; }
 trap _forward TERM INT
 
-wait "${TRAIN_PID}"
+# first wait returns immediately (status 128+SIG) when the trapped signal
+# arrives; the second actually waits for the trainer to flush its final
+# checkpoint after the forwarded TERM.
+wait "${TRAIN_PID}" || true
+wait "${TRAIN_PID}" || true

@@ -190,3 +190,28 @@ class TestCLI:
         config = args_to_config(get_parser().parse_args(argv), argv)
         assert config.epochs == 3  # explicit CLI wins
         assert config.n_features == 20  # YAML wins over CLI default
+
+    def test_cli_flag_equal_to_default_still_overrides_yaml(self, tmp_path):
+        """An explicitly typed flag must beat YAML even when its value happens
+        to equal the argparse default (regression: the old detection compared
+        values, not typed tokens)."""
+        yaml_path = tmp_path / "c.yaml"
+        yaml_path.write_text("batch_size_per_device: 100\nepochs: 100\n")
+        default_bs = get_parser().parse_args([]).batch_size_per_device
+        argv = ["--config", str(yaml_path), f"--batch-size={default_bs}"]
+        config = args_to_config(get_parser().parse_args(argv), argv)
+        assert config.batch_size_per_device == default_bs  # typed flag wins
+        assert config.epochs == 100  # untyped stays YAML
+
+    def test_main_entry_argv_defaults_to_sys_argv(self, tmp_path, monkeypatch):
+        """argv=None (the __main__ path) must still detect typed flags."""
+        import sys
+
+        yaml_path = tmp_path / "c.yaml"
+        yaml_path.write_text("epochs: 100\n")
+        default_epochs = get_parser().parse_args([]).epochs
+        monkeypatch.setattr(
+            sys, "argv", ["train", "--config", str(yaml_path), "--epochs", str(default_epochs)]
+        )
+        config = args_to_config(get_parser().parse_args(sys.argv[1:]), None)
+        assert config.epochs == default_epochs
