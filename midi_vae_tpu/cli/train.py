@@ -117,6 +117,11 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Use bfloat16 compute (float32 params).")
     group.add_argument("--fused", action="store_true",
                        help="Use the Pallas fused reparameterization + ELBO kernels.")
+    group.add_argument("--multihost", action="store_true",
+                       help="Initialize jax.distributed for multi-host (TPU pod) training: one "
+                            "process per host, coordinator discovered from the standard JAX env "
+                            "vars / TPU metadata. Replaces the reference's torchrun launch "
+                            "(scripts/mnist.sh:149).")
     group.add_argument("--cpu", dest="force_cpu", action="store_true",
                        help="Force the CPU backend (like the reference --no-cuda).")
     # accepted-but-inert reference flags, for launch-script compatibility
@@ -233,6 +238,13 @@ def cli(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.multihost:
+        import jax
+
+        # one JAX process per host; coordinator/process_id come from the
+        # standard env (JAX_COORDINATOR_ADDRESS etc.) or TPU metadata
+        jax.distributed.initialize()
+        print(f"jax.distributed initialized: process {jax.process_index()} of {jax.process_count()}")
     config = args_to_config(args, argv)
 
     from midi_vae_tpu.train.loop import run

@@ -39,6 +39,23 @@ class Batch(NamedTuple):
     mask: jax.Array  # float32 [B], 1.0 = real sample, 0.0 = padding
 
 
+def put_sharded(arr: np.ndarray, sharding: Optional[jax.sharding.Sharding]) -> jax.Array:
+    """Host array → (sharded) device array, multi-host aware.
+
+    Single-process: plain ``device_put``. Multi-process (a TPU pod with
+    one JAX process per host, ``jax.distributed.initialize``): ``arr``
+    is this process's *local* slice of the global batch, assembled into
+    one global array via ``make_array_from_process_local_data`` — the
+    single-controller replacement for the reference's per-rank
+    DistributedSampler shards (train.py:165-166, 371-375).
+    """
+    if sharding is None:
+        return jax.device_put(arr)
+    if jax.process_count() > 1 and isinstance(sharding, jax.sharding.NamedSharding):
+        return jax.make_array_from_process_local_data(sharding, arr)
+    return jax.device_put(arr, sharding)
+
+
 class DeviceLoader:
     """Iterate an :class:`ArrayDataset` as device batches.
 
@@ -88,11 +105,12 @@ class DeviceLoader:
         n = len(self.dataset)
         return self.num_batches * self.batch_size if self.train else n
 
-    def _make_host_batch(self, indices: np.ndarray):
+    def _make_host_batch(self, indices: np.ndarray, size: Optional[int] = None):
+        size = size if size is not None else self.batch_size
         images = self.dataset.images[indices]
         labels = self.dataset.labels[indices]
-        pad = self.batch_size - len(indices)
-        mask = np.ones(self.batch_size, np.float32)
+        pad = size - len(indices)
+        mask = np.ones(size, np.float32)
         if pad:
             images = np.concatenate([images, np.zeros((pad, *images.shape[1:]), images.dtype)])
             labels = np.concatenate([labels, np.zeros(pad, labels.dtype)])
@@ -111,12 +129,31 @@ class DeviceLoader:
 
         spec = self.dataset.transform
 
+        # Multi-host: every process walks the SAME deterministic order (the
+        # seed is shared config) and materializes only its slice of each
+        # global batch; put_sharded assembles the global array.
+        n_proc = jax.process_count()
+        local_bs = self.batch_size // n_proc
+        rank = jax.process_index()
+
         def launch(batch_idx: int) -> Batch:
             lo = batch_idx * self.batch_size
-            images, labels, mask = self._make_host_batch(order[lo : lo + self.batch_size])
-            x = jax.device_put(images, self._x_sharding)
-            y = jax.device_put(labels, self._x_sharding and _scalar_sharding(self._x_sharding))
-            m = jax.device_put(mask, self._x_sharding and _scalar_sharding(self._x_sharding))
+            global_idx = order[lo : lo + self.batch_size]
+            if n_proc > 1:
+                # pad the global slice first so every process sees the same
+                # padding layout, then take the local window
+                pad = self.batch_size - len(global_idx)
+                local_idx = global_idx[rank * local_bs : (rank + 1) * local_bs]
+                images, labels, mask = self._make_host_batch(local_idx, size=local_bs)
+                if pad:  # recompute mask from global positions
+                    pos = np.arange(rank * local_bs, (rank + 1) * local_bs)
+                    mask = (pos < len(global_idx)).astype(np.float32)
+            else:
+                images, labels, mask = self._make_host_batch(global_idx)
+            scalar_sh = self._x_sharding and _scalar_sharding(self._x_sharding)
+            x = put_sharded(images, self._x_sharding)
+            y = put_sharded(labels, scalar_sh)
+            m = put_sharded(mask, scalar_sh)
             key = jax.random.fold_in(ekey, batch_idx) if (ekey is not None and spec is not None) else None
             if spec is not None:
                 x = apply_transform(spec, x, key)
@@ -198,9 +235,10 @@ class NativeDeviceLoader:
         def launch(batch_idx: int, images, labels, valid) -> Batch:
             mask = np.zeros(self.batch_size, np.float32)
             mask[:valid] = 1.0
-            x = jax.device_put(images, self._x_sharding)
-            y = jax.device_put(labels.astype(np.int32), self._x_sharding and _scalar_sharding(self._x_sharding))
-            m = jax.device_put(mask, self._x_sharding and _scalar_sharding(self._x_sharding))
+            scalar_sh = self._x_sharding and _scalar_sharding(self._x_sharding)
+            x = put_sharded(images, self._x_sharding)
+            y = put_sharded(labels.astype(np.int32), scalar_sh)
+            m = put_sharded(mask, scalar_sh)
             key = jax.random.fold_in(ekey, batch_idx) if (ekey is not None and spec is not None) else None
             x = apply_transform(spec, x, key) if spec is not None else _scale_only(x)
             return Batch(x=x, y=y, mask=m)

@@ -55,6 +55,13 @@ def make_eval_step(model) -> Callable:
         recon_masked_min = jnp.min(jnp.where(m > 0, out.output, big))
         recon_masked_max = jnp.max(jnp.where(m > 0, out.output, -big))
 
+        # latent-health partials (capability extension — the reference
+        # reports no latent diagnostics): per-dim KL and posterior-mean
+        # moments for the active-units measure (Burda et al. 2016).
+        mu, lv = out.encoded.mu, out.encoded.log_var
+        mv = mask.reshape(-1, 1)
+        kl_dim = -0.5 * (1.0 + lv - jnp.square(mu) - jnp.exp(lv)) * mv
+
         return {
             "bce_sum": jnp.sum(bce),
             "mse_sum": jnp.sum(sq),
@@ -65,6 +72,9 @@ def make_eval_step(model) -> Callable:
             "stim_max": stim_masked_max,
             "recon_min": recon_masked_min,
             "recon_max": recon_masked_max,
+            "kl_dim_sum": jnp.sum(kl_dim, axis=0),
+            "mu_sum": jnp.sum(mu * mv, axis=0),
+            "mu_sq_sum": jnp.sum(jnp.square(mu) * mv, axis=0),
             "latents": out.latents,
         }
 
@@ -91,6 +101,7 @@ def evaluate(
     base_key = jax.random.PRNGKey(seed)
 
     totals = {"bce_sum": 0.0, "mse_sum": 0.0, "mae_sum": 0.0, "n_elem": 0.0, "n_samples": 0.0}
+    vec_totals = {"kl_dim_sum": 0.0, "mu_sum": 0.0, "mu_sq_sum": 0.0}
     stim_min, stim_max = np.inf, -np.inf
     recon_min, recon_max = np.inf, -np.inf
     latents = []
@@ -99,6 +110,8 @@ def evaluate(
         res = step_fn(state.params, state.batch_stats, batch.x, batch.mask, jax.random.fold_in(base_key, i))
         for k in totals:
             totals[k] += float(res[k])
+        for k in vec_totals:
+            vec_totals[k] = vec_totals[k] + np.asarray(res[k], np.float64)
         stim_min = min(stim_min, float(res["stim_min"]))
         stim_max = max(stim_max, float(res["stim_max"]))
         recon_min = min(recon_min, float(res["recon_min"]))
@@ -112,11 +125,17 @@ def evaluate(
         print(f"output has range [{recon_min:.03f}, {recon_max:.03f}]")
 
     n_elem = max(totals["n_elem"], 1.0)
+    n = max(totals["n_samples"], 1.0)
+    # active units: dims whose posterior mean varies across the dataset
+    # (Var_x(E[z|x]) > 0.01, Burda et al. 2016) — collapsed dims don't count
+    mu_var = vec_totals["mu_sq_sum"] / n - np.square(vec_totals["mu_sum"] / n)
     results: Dict[str, float] = {
         "count": int(totals["n_samples"]),
         "cross-entropy": totals["bce_sum"] / n_elem,
         "mse": 100.0 * totals["mse_sum"] / n_elem,  # percentages, evaluation.py:98-100
         "mae": 100.0 * totals["mae_sum"] / n_elem,
+        "kl": float(np.sum(vec_totals["kl_dim_sum"]) / n),
+        "active-units": int(np.sum(mu_var > 0.01)),
     }
     if collect_latents:
         results["latents"] = np.concatenate(latents) if latents else np.zeros((0,))
@@ -126,9 +145,9 @@ def evaluate(
         for k, v in results.items():
             if k == "latents":
                 continue
-            if "count" in k:
+            if "count" in k or "units" in k:
                 print(f"  {k + ' ':.<21s}{v:7d}")
-            elif "entropy" in k:
+            elif "entropy" in k or k == "kl":
                 print(f"  {k + ' ':.<24s} {v:9.5f} nat")
             else:
                 print(f"  {k + ' ':.<24s} {v:6.2f} %")
