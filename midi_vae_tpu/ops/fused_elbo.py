@@ -47,8 +47,9 @@ def _interpret():
 
 def _reparam_kl_kernel(seed_ref, mu_ref, lv_ref, z_ref, kl_ref):
     pltpu.prng_seed(seed_ref[0])
-    mu = mu_ref[:]
-    lv = lv_ref[:]
+    # compute in f32 regardless of storage dtype (bf16 models); cast at the ref
+    mu = mu_ref[:].astype(jnp.float32)
+    lv = lv_ref[:].astype(jnp.float32)
 
     # Box-Muller: two uniform draws → one standard normal draw
     bits1 = pltpu.bitcast(pltpu.prng_random_bits(mu.shape), jnp.uint32)
@@ -62,7 +63,7 @@ def _reparam_kl_kernel(seed_ref, mu_ref, lv_ref, z_ref, kl_ref):
     u2 = i2.astype(jnp.float32) * (1.0 / (1 << 24))
     eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
 
-    z_ref[:] = mu + eps * jnp.exp(0.5 * lv)
+    z_ref[:] = (mu + eps * jnp.exp(0.5 * lv)).astype(z_ref.dtype)
     # KL partial: -0.5 · Σ_batch Σ_dim (1 + lv - mu² - e^lv); mean over batch
     # applied by the caller (models.py:214 semantics).
     kl_ref[0, 0] = -0.5 * jnp.sum(1.0 + lv - mu * mu - jnp.exp(lv))
@@ -110,7 +111,7 @@ def _reparam_kl_bwd(res, cotangents):
     # ∂kl/∂mu = mu/B; ∂kl/∂lv = -0.5·(1-e^lv)/B
     d_mu = g_z + g_kl * mu / batch
     d_lv = g_z * 0.5 * (z - mu) + g_kl * (-0.5) * (1.0 - jnp.exp(log_var)) / batch
-    return d_mu, d_lv, None
+    return d_mu.astype(mu.dtype), d_lv.astype(log_var.dtype), None
 
 
 fused_reparam_kl.defvjp(_reparam_kl_fwd, _reparam_kl_bwd)
@@ -124,8 +125,8 @@ _BCE_BLOCK_ROWS = 256  # rows of the flattened (N/128, 128) view per grid step
 def _bce_fwd_kernel(l_ref, t_ref, out_ref):
     i = pl.program_id(0)
 
-    logits = l_ref[:]
-    t = t_ref[:]
+    logits = l_ref[:].astype(jnp.float32)
+    t = t_ref[:].astype(jnp.float32)
     log_p = jnp.maximum(-jax.nn.softplus(-logits), _LOG_CLAMP)
     log_1mp = jnp.maximum(-jax.nn.softplus(logits), _LOG_CLAMP)
     partial = -jnp.sum(t * log_p + (1.0 - t) * log_1mp)
@@ -138,8 +139,8 @@ def _bce_fwd_kernel(l_ref, t_ref, out_ref):
 
 
 def _bce_grad_kernel(l_ref, t_ref, g_ref, out_ref):
-    logits = l_ref[:]
-    t = t_ref[:]
+    logits = l_ref[:].astype(jnp.float32)
+    t = t_ref[:].astype(jnp.float32)
     p = jax.nn.sigmoid(logits)
     log_p = -jax.nn.softplus(-logits)
     log_1mp = -jax.nn.softplus(logits)
@@ -225,7 +226,7 @@ def _bce_bwd(res, g):
         out_specs=pl.BlockSpec((block, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(l2, t2, scaled_g)
-    d_logits = grads2.reshape(-1)[: logits.size].reshape(logits.shape)
+    d_logits = grads2.reshape(-1)[: logits.size].reshape(logits.shape).astype(logits.dtype)
     return d_logits, None
 
 
@@ -244,6 +245,7 @@ def fused_elbo_terms(logits, targets, mu, log_var, kld_weight):
     model when ``fused=True``. Composition matches models.py:208-216.
     """
     recon = fused_bce_mean(logits, targets)
-    kl = -0.5 * jnp.mean(jnp.sum(1.0 + log_var - mu**2 - jnp.exp(log_var), axis=-1))
+    mu32, lv32 = mu.astype(jnp.float32), log_var.astype(jnp.float32)
+    kl = -0.5 * jnp.mean(jnp.sum(1.0 + lv32 - mu32**2 - jnp.exp(lv32), axis=-1))
     loss = recon + jnp.asarray(kld_weight, recon.dtype) * kl
     return loss, recon, kl

@@ -152,3 +152,65 @@ def test_fused_train_step_end_to_end():
         losses.append(float(lo.loss))
         assert np.isfinite(losses[-1]) and np.isfinite(float(gn))
     assert losses[-1] < losses[0]
+
+
+class TestBF16:
+    """The fused kernels must accept bfloat16 storage (bf16 models put bf16
+    mu/log_var/logits through them; regression: f32-into-bf16-ref swap error)."""
+
+    def test_reparam_bf16(self):
+        import jax
+        import jax.numpy as jnp
+
+        from midi_vae_tpu.ops.fused_elbo import fused_reparam_kl
+
+        mu = jnp.ones((8, 16), jnp.bfloat16)
+        lv = jnp.zeros((8, 16), jnp.bfloat16)
+        z, kl = fused_reparam_kl(mu, lv, jnp.int32(3))
+        assert z.dtype == jnp.bfloat16
+        assert jnp.isfinite(kl)
+        # grads flow and keep the primal dtype
+        g = jax.grad(lambda m, l: fused_reparam_kl(m, l, jnp.int32(3))[1])(mu, lv)
+        assert g.dtype == jnp.bfloat16
+
+    def test_bce_bf16_matches_f32(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from midi_vae_tpu.ops.fused_elbo import fused_bce_mean
+
+        rng = np.random.default_rng(0)
+        logits32 = jnp.asarray(rng.normal(size=(4, 32, 32, 1)) * 2, jnp.float32)
+        targets32 = jnp.asarray((rng.uniform(size=(4, 32, 32, 1)) > 0.5), jnp.float32)
+        out32 = float(fused_bce_mean(logits32, targets32))
+        out16 = float(fused_bce_mean(logits32.astype(jnp.bfloat16), targets32.astype(jnp.bfloat16)))
+        assert abs(out32 - out16) < 0.02  # bf16 storage, f32 accumulate
+        g = jax.grad(fused_bce_mean)(logits32.astype(jnp.bfloat16), targets32.astype(jnp.bfloat16))
+        assert g.dtype == jnp.bfloat16
+
+    def test_bf16_fused_train_step(self):
+        """Full bf16 model with both fused kernels runs one step (the
+        configs/midi.yaml combination)."""
+        import jax
+        import jax.numpy as jnp
+
+        from midi_vae_tpu.losses.schedules import kl_weight_schedule
+        from midi_vae_tpu.models import VanillaVAE
+        from midi_vae_tpu.models.vae import param_group_label
+        from midi_vae_tpu.train.optim import build_optimizer
+        from midi_vae_tpu.train.state import create_train_state, make_train_step
+
+        model = VanillaVAE(
+            in_channels=1, latent_dim=4, input_dim=32, hidden_dims=(8, 16),
+            fused_reparam=True, dtype=jnp.bfloat16,
+        )
+        bundle = build_optimizer(
+            None, param_group_label, optimizer="AdamW", lr=1e-3, scheduler="OneCycle", total_steps=10
+        )
+        x = jnp.zeros((4, 32, 32, 1), jnp.float32)
+        state = create_train_state(model, bundle.tx, jax.random.PRNGKey(0), x[:2])
+        step = make_train_step(model, bundle.tx, kl_weight_schedule("constant", 2.5e-4), fused_loss=True)
+        state, lo, gn = step(state, x, jax.random.PRNGKey(1))
+        assert jnp.isfinite(lo.loss)
+        assert jnp.isfinite(gn)
