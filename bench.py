@@ -98,6 +98,19 @@ def main():
     samples_per_sec = total_batch * MEASURE_STEPS / dt
     per_chip = samples_per_sec / n_chips
 
+    # Inference path: decode-only prior sampling (evaluation/inference.py),
+    # the serving-side batched generation throughput.
+    from midi_vae_tpu.evaluation.inference import sample_prior
+
+    sample_batch = total_batch
+    out = sample_prior(model, state.params, state.batch_stats, base_key, sample_batch)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(50):
+        out = sample_prior(model, state.params, state.batch_stats, jax.random.fold_in(base_key, i), sample_batch)
+    jax.block_until_ready(out)
+    gen_per_sec = sample_batch * 50 / (time.perf_counter() - t0) / n_chips
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
     vs_baseline = None
     if os.path.isfile(baseline_path):
@@ -122,6 +135,7 @@ def main():
                     "backend": devices[0].platform,
                     "fused": FUSED,
                     "dtype": "bfloat16" if BF16 else "float32",
+                    "sample_throughput_per_chip": round(gen_per_sec, 2),
                 },
             }
         )
