@@ -1,0 +1,122 @@
+"""Micro-batching request queue for jitted inference.
+
+TPU-shaped serving core: callers submit variable-size requests; a
+background thread coalesces them into one padded batch per tick
+(bounded by ``max_batch`` and ``max_wait_ms``), runs the jitted model
+function ONCE per bucket-size (static shapes — no retraces), and slices
+each caller's rows back out. Throughput comes from batching; latency is
+bounded by the wait window.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Callable, Sequence
+
+import numpy as np
+
+_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // _BUCKETS[-1]) * _BUCKETS[-1]
+
+
+class MicroBatcher:
+    """Coalesce per-request arrays into padded device batches.
+
+    Parameters
+    ----------
+    fn : Callable[[np.ndarray], np.ndarray]
+        The batched model function (normally a jitted closure over
+        params). Called with [B, ...] input; must return [B, ...]
+        results. B is always one of the static bucket sizes, so ``fn``
+        compiles once per bucket.
+    max_batch : int
+        Upper bound on coalesced batch size per tick.
+    max_wait_ms : float
+        How long the batcher waits to fill a batch before dispatching
+        what it has.
+    """
+
+    def __init__(self, fn: Callable, *, max_batch: int = 64, max_wait_ms: float = 2.0):
+        self.fn = fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        self.batches_dispatched = 0
+        self.requests_served = 0
+
+    def submit(self, x: np.ndarray) -> Future:
+        """Enqueue a [n, ...] request; resolves to the [n, ...] result."""
+        if self._stop.is_set():
+            raise RuntimeError("batcher is closed")
+        fut: Future = Future()
+        self._queue.put((np.asarray(x), fut))
+        return fut
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        return self.submit(x).result()
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            pending = [first]
+            total = len(first[0])
+            deadline = _now() + self.max_wait
+            while total < self.max_batch and _now() < deadline:
+                try:
+                    item = self._queue.get(timeout=max(0.0, deadline - _now()))
+                except queue.Empty:
+                    break
+                pending.append(item)
+                total += len(item[0])
+            self._dispatch(pending, total)
+
+    def _dispatch(self, pending: Sequence, total: int):
+        xs = [x for x, _ in pending]
+        batch = np.concatenate(xs)
+        size = _bucket(len(batch))
+        if size > len(batch):  # pad to the bucket so shapes stay static
+            pad = np.zeros((size - len(batch), *batch.shape[1:]), batch.dtype)
+            batch = np.concatenate([batch, pad])
+        try:
+            out = np.asarray(self.fn(batch))
+        except Exception as e:  # propagate to every waiter
+            for _, fut in pending:
+                fut.set_exception(e)
+            return
+        offset = 0
+        for x, fut in pending:
+            fut.set_result(out[offset : offset + len(x)])
+            offset += len(x)
+        self.batches_dispatched += 1
+        self.requests_served += len(pending)
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        # fail any stragglers
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+                fut.set_exception(RuntimeError("batcher closed"))
+            except queue.Empty:
+                break
+
+
+def _now() -> float:
+    import time
+
+    return time.monotonic()

@@ -1,0 +1,152 @@
+"""HTTP inference server over a trained checkpoint.
+
+Minimal stdlib server (no extra dependencies) wrapping the
+:class:`~midi_vae_tpu.serving.batcher.MicroBatcher`:
+
+- ``POST /reconstruct`` — body ``{"images": [[...]]}`` (nested lists,
+  [N,H,W,C] in [0,1]) → ``{"reconstructions": [...]}``
+- ``POST /encode`` — same input → ``{"mu": [...], "log_var": [...]}``
+- ``POST /sample`` — ``{"n": 4, "seed": 0}`` → ``{"samples": [...]}``
+- ``GET /healthz`` — liveness + batcher stats
+
+Run: ``python -m midi_vae_tpu.serving.server --checkpoint CKPT --port 8000``
+
+Reconstruct/encode go through the micro-batcher (concurrent requests
+coalesce into one device program); sampling runs direct (already
+batched by ``n``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midi_vae_tpu.serving.batcher import MicroBatcher
+
+
+class InferenceService:
+    """Jitted model entry points + batchers, built from a checkpoint."""
+
+    def __init__(self, checkpoint_path: str, *, max_batch: int = 64, max_wait_ms: float = 2.0):
+        from midi_vae_tpu.cli.generate import _load_model_and_state
+
+        (self.model, self.params, self.batch_stats, self.config,
+         self.image_size, self.channels, self.dataset) = _load_model_and_state(checkpoint_path)
+
+        model, params, batch_stats = self.model, self.params, self.batch_stats
+
+        @jax.jit
+        def _reconstruct(x):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, train=False, rngs={"reparam": jax.random.PRNGKey(0)},
+            )
+            return out.output
+
+        @jax.jit
+        def _encode(x):
+            enc = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False, method=type(model).encode
+            )
+            return jnp.concatenate([enc.mu, enc.log_var], axis=-1)
+
+        self.reconstruct = MicroBatcher(_reconstruct, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        self.encode = MicroBatcher(_encode, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        self.latent_dim = self.model.latent_dim
+
+    def sample(self, n: int, seed: int = 0) -> np.ndarray:
+        from midi_vae_tpu.evaluation.inference import sample_prior
+
+        out = sample_prior(self.model, self.params, self.batch_stats, jax.random.PRNGKey(seed), n)
+        return np.asarray(out)
+
+    def close(self):
+        self.reconstruct.close()
+        self.encode.close()
+
+
+def make_handler(service: InferenceService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "model": type(service.model).__name__,
+                    "image_size": service.image_size,
+                    "latent_dim": service.latent_dim,
+                    "batches_dispatched": service.reconstruct.batches_dispatched,
+                    "requests_served": service.reconstruct.requests_served,
+                })
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/sample":
+                    n = int(payload.get("n", 1))
+                    out = service.sample(n, int(payload.get("seed", 0)))
+                    self._json(200, {"samples": out.tolist()})
+                elif self.path in ("/reconstruct", "/encode"):
+                    x = np.asarray(payload["images"], np.float32)
+                    if x.ndim == 3:
+                        x = x[None]
+                    out = getattr(service, self.path[1:])(x)
+                    if self.path == "/reconstruct":
+                        self._json(200, {"reconstructions": out.tolist()})
+                    else:
+                        d = service.latent_dim
+                        self._json(200, {"mu": out[:, :d].tolist(), "log_var": out[:, d:].tolist()})
+                else:
+                    self._json(404, {"error": "unknown path"})
+            except Exception as e:  # noqa: BLE001 - report, don't crash the server
+                self._json(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(checkpoint: str, port: int = 8000, host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    """Start the server (returns it; call ``.shutdown()`` to stop)."""
+    service = InferenceService(checkpoint)
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd.service = service  # type: ignore[attr-defined]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    print(f"serving {checkpoint} on http://{host}:{httpd.server_address[1]}")
+    return httpd
+
+
+def cli(argv: Optional[list] = None):
+    parser = argparse.ArgumentParser(description="Serve a trained VAE checkpoint over HTTP")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", default="127.0.0.1")
+    args = parser.parse_args(argv)
+    httpd = serve(args.checkpoint, args.port, args.host)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,155 @@
+"""Serving subsystem tests: micro-batcher semantics and the HTTP server."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from midi_vae_tpu.serving.batcher import MicroBatcher, _bucket
+
+
+class TestBucket:
+    def test_rounds_up_to_bucket(self):
+        assert _bucket(1) == 1
+        assert _bucket(3) == 4
+        assert _bucket(65) == 128
+        assert _bucket(300) == 512  # beyond the table: multiples of 256
+
+
+class TestMicroBatcher:
+    def test_result_roundtrip(self):
+        batcher = MicroBatcher(lambda x: x * 2.0, max_wait_ms=1.0)
+        x = np.arange(6, dtype=np.float32).reshape(3, 2)
+        np.testing.assert_array_equal(batcher(x), x * 2)
+        batcher.close()
+
+    def test_concurrent_requests_coalesce(self):
+        calls = []
+
+        def fn(x):
+            calls.append(len(x))
+            time.sleep(0.01)
+            return x + 1.0
+
+        batcher = MicroBatcher(fn, max_batch=64, max_wait_ms=50.0)
+        futs = []
+        for i in range(8):
+            futs.append(batcher.submit(np.full((2, 3), float(i), np.float32)))
+        outs = [f.result(timeout=5) for f in futs]
+        for i, out in enumerate(outs):
+            np.testing.assert_array_equal(out, np.full((2, 3), float(i) + 1.0))
+        # all 8 requests fit the window → far fewer dispatches than requests
+        assert batcher.batches_dispatched < 8
+        assert batcher.requests_served == 8
+        # dispatched batches are padded to static bucket sizes
+        assert all(c in (1, 2, 4, 8, 16, 32, 64) for c in calls)
+        batcher.close()
+
+    def test_error_propagates(self):
+        def fn(x):
+            raise ValueError("boom")
+
+        batcher = MicroBatcher(fn, max_wait_ms=1.0)
+        with pytest.raises(ValueError, match="boom"):
+            batcher(np.zeros((1, 2), np.float32))
+        batcher.close()
+
+    def test_closed_batcher_rejects(self):
+        batcher = MicroBatcher(lambda x: x, max_wait_ms=1.0)
+        batcher.close()
+        with pytest.raises(RuntimeError):
+            batcher.submit(np.zeros((1, 2)))
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import jax
+
+    from midi_vae_tpu.serving.server import serve
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    tmp_path = tmp_path_factory.mktemp("serve")
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        arch="MLPVAE",
+        n_features=8,
+        hidden_dims=(64,),
+        epochs=1,
+        batch_size_per_device=16,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "m"),
+        log_images=False,
+        run_name="srv",
+        run_id="srv1",
+    )
+    run(config)
+    httpd = serve(config.checkpoint_path, port=0)  # ephemeral port
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    httpd.service.close()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+class TestServer:
+    def test_healthz(self, server):
+        with urllib.request.urlopen(f"{server}/healthz", timeout=10) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert health["image_size"] == 32
+        assert health["latent_dim"] == 8
+
+    def test_sample(self, server):
+        out = _post(f"{server}/sample", {"n": 3, "seed": 1})
+        samples = np.asarray(out["samples"])
+        assert samples.shape == (3, 32, 32, 1)
+        assert (samples >= 0).all() and (samples <= 1).all()
+
+    def test_reconstruct_and_encode(self, server):
+        x = np.random.default_rng(0).uniform(0, 1, (2, 32, 32, 1)).astype(np.float32)
+        rec = np.asarray(_post(f"{server}/reconstruct", {"images": x.tolist()})["reconstructions"])
+        assert rec.shape == x.shape
+        enc = _post(f"{server}/encode", {"images": x.tolist()})
+        assert np.asarray(enc["mu"]).shape == (2, 8)
+        assert np.asarray(enc["log_var"]).shape == (2, 8)
+
+    def test_concurrent_load_batches(self, server):
+        """Parallel clients coalesce into shared device batches."""
+        x = np.random.default_rng(1).uniform(0, 1, (1, 32, 32, 1)).astype(np.float32).tolist()
+        results = [None] * 12
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = _post(f"{server}/reconstruct", {"images": x})
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors
+        assert all(r is not None for r in results)
+
+    def test_bad_request_is_400(self, server):
+        req = urllib.request.Request(
+            f"{server}/reconstruct", data=b'{"wrong": 1}', headers={"Content-Type": "application/json"}
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc_info.value.code == 400
