@@ -31,7 +31,7 @@ SYNTHETIC_SIZES = {
     "vae-lines-synthetic": 1024,
     "vae-lines-large-synthetic": 4096,
     "pianoroll-synthetic": 4096,
-    "midi-synthetic": 128,  # .mid files, each yielding several windows
+    "midi-synthetic": 512,  # .mid files, each yielding 1-2 training windows
 }
 
 
@@ -55,7 +55,7 @@ def _synthetic_dataset(dataset: str, seed: int = 0) -> ArrayDataset:
         # generate into a private tmp dir, then atomic-rename: a crashed or
         # concurrent generator can never leave a half-corpus that later runs
         # silently mistake for complete
-        corpus = os.path.join(tempfile.gettempdir(), f"midi_vae_tpu_synth_{seed}")
+        corpus = os.path.join(tempfile.gettempdir(), f"midi_vae_tpu_synth_{n}files_{seed}")
         if not os.path.isdir(corpus):
             staging = tempfile.mkdtemp(prefix=f"midi_vae_tpu_synth_{seed}_", dir=tempfile.gettempdir())
             generate_midi_dataset(n, staging, seed=seed)
