@@ -98,16 +98,26 @@ def main():
     samples_per_sec = total_batch * MEASURE_STEPS / dt
     per_chip = samples_per_sec / n_chips
 
-    # Inference path: decode-only prior sampling (evaluation/inference.py),
-    # the serving-side batched generation throughput.
-    from midi_vae_tpu.evaluation.inference import sample_prior
+    # Inference path: decode-only prior sampling, batch sharded over the data
+    # mesh (replicated decode would make the per-chip division wrong).
+    from jax.sharding import NamedSharding, PartitionSpec
 
     sample_batch = total_batch
-    out = sample_prior(model, state.params, state.batch_stats, base_key, sample_batch)
-    jax.block_until_ready(out)
+    z_sharding = NamedSharding(mesh, PartitionSpec("data", None))
+
+    @jax.jit
+    def sample_step(key):
+        z = jax.random.normal(key, (sample_batch, model.latent_dim), jnp.float32)
+        z = jax.lax.with_sharding_constraint(z, z_sharding)
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            z, train=False, method=type(model).decode,
+        )
+
+    jax.block_until_ready(sample_step(base_key))
     t0 = time.perf_counter()
     for i in range(50):
-        out = sample_prior(model, state.params, state.batch_stats, jax.random.fold_in(base_key, i), sample_batch)
+        out = sample_step(jax.random.fold_in(base_key, i))
     jax.block_until_ready(out)
     gen_per_sec = sample_batch * 50 / (time.perf_counter() - t0) / n_chips
 

@@ -133,6 +133,11 @@ class DeviceLoader:
         # seed is shared config) and materializes only its slice of each
         # global batch; put_sharded assembles the global array.
         n_proc = jax.process_count()
+        if n_proc > 1 and self.batch_size % n_proc:
+            raise ValueError(
+                f"global batch size {self.batch_size} must divide evenly across "
+                f"{n_proc} processes — remainder samples would silently never be served"
+            )
         local_bs = self.batch_size // n_proc
         rank = jax.process_index()
 
@@ -196,6 +201,14 @@ class NativeDeviceLoader:
 
         if len(dataset) == 0:
             raise ValueError("empty dataset")
+        if jax.process_count() > 1:
+            # per-host index partitioning for the native stream is not built
+            # yet; every process would otherwise feed identical full batches
+            # (duplicated data, no actual parallelism) — fail loudly instead
+            raise NotImplementedError(
+                "NativeDeviceLoader does not support multi-process training yet; "
+                "use an in-memory dataset (DeviceLoader shards per process)"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train

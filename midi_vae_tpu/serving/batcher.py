@@ -46,10 +46,13 @@ class MicroBatcher:
 
     def __init__(self, fn: Callable, *, max_batch: int = 64, max_wait_ms: float = 2.0):
         self.fn = fn
-        self.max_batch = max_batch
+        # clamp the cap to a bucket size so padding never exceeds it
+        self.max_batch = _bucket(max_batch)
         self.max_wait = max_wait_ms / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        self._submit_lock = threading.Lock()  # serializes submit vs close drain
+        self._carry = None  # item admitted from the queue but deferred to the next tick
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         self.batches_dispatched = 0
@@ -57,10 +60,13 @@ class MicroBatcher:
 
     def submit(self, x: np.ndarray) -> Future:
         """Enqueue a [n, ...] request; resolves to the [n, ...] result."""
-        if self._stop.is_set():
-            raise RuntimeError("batcher is closed")
         fut: Future = Future()
-        self._queue.put((np.asarray(x), fut))
+        with self._submit_lock:
+            # checked under the lock: close() drains under the same lock, so a
+            # put can never land after the drain and hang its caller
+            if self._stop.is_set():
+                raise RuntimeError("batcher is closed")
+            self._queue.put((np.asarray(x), fut))
         return fut
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
@@ -68,10 +74,13 @@ class MicroBatcher:
 
     def _loop(self):
         while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.05)
-            except queue.Empty:
-                continue
+            if self._carry is not None:
+                first, self._carry = self._carry, None
+            else:
+                try:
+                    first = self._queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
             pending = [first]
             total = len(first[0])
             deadline = _now() + self.max_wait
@@ -80,40 +89,48 @@ class MicroBatcher:
                     item = self._queue.get(timeout=max(0.0, deadline - _now()))
                 except queue.Empty:
                     break
+                if total + len(item[0]) > self.max_batch:
+                    self._carry = item  # respect the cap; serve it next tick
+                    break
                 pending.append(item)
                 total += len(item[0])
-            self._dispatch(pending, total)
+            self._dispatch(pending)
 
-    def _dispatch(self, pending: Sequence, total: int):
-        xs = [x for x, _ in pending]
-        batch = np.concatenate(xs)
-        size = _bucket(len(batch))
-        if size > len(batch):  # pad to the bucket so shapes stay static
-            pad = np.zeros((size - len(batch), *batch.shape[1:]), batch.dtype)
-            batch = np.concatenate([batch, pad])
+    def _dispatch(self, pending: Sequence):
         try:
+            xs = [x for x, _ in pending]
+            batch = np.concatenate(xs)
+            size = _bucket(len(batch))
+            if size > len(batch):  # pad to the bucket so shapes stay static
+                pad = np.zeros((size - len(batch), *batch.shape[1:]), batch.dtype)
+                batch = np.concatenate([batch, pad])
             out = np.asarray(self.fn(batch))
-        except Exception as e:  # propagate to every waiter
+        except Exception as e:  # propagate (incl. shape-mismatch concat errors)
+            # to every waiter; the dispatcher thread itself must survive
             for _, fut in pending:
                 fut.set_exception(e)
             return
+        # counters first: a caller woken by result() must see them updated
+        self.batches_dispatched += 1
+        self.requests_served += len(pending)
         offset = 0
         for x, fut in pending:
             fut.set_result(out[offset : offset + len(x)])
             offset += len(x)
-        self.batches_dispatched += 1
-        self.requests_served += len(pending)
 
     def close(self):
         self._stop.set()
         self._thread.join(timeout=2.0)
-        # fail any stragglers
-        while True:
-            try:
-                _, fut = self._queue.get_nowait()
-                fut.set_exception(RuntimeError("batcher closed"))
-            except queue.Empty:
-                break
+        with self._submit_lock:  # no submit can interleave with the drain
+            if self._carry is not None:
+                self._carry[1].set_exception(RuntimeError("batcher closed"))
+                self._carry = None
+            while True:
+                try:
+                    _, fut = self._queue.get_nowait()
+                    fut.set_exception(RuntimeError("batcher closed"))
+                except queue.Empty:
+                    break
 
 
 def _now() -> float:

@@ -57,6 +57,39 @@ class TestMicroBatcher:
             batcher(np.zeros((1, 2), np.float32))
         batcher.close()
 
+    def test_shape_mismatch_fails_request_not_thread(self):
+        """A bad request must error its own waiters and leave the dispatcher
+        alive (regression: concat outside try killed the loop thread)."""
+        batcher = MicroBatcher(lambda x: x, max_batch=64, max_wait_ms=30.0)
+        f1 = batcher.submit(np.zeros((1, 4, 4, 1), np.float32))
+        f2 = batcher.submit(np.zeros((1, 8, 8, 1), np.float32))  # mismatched
+        with pytest.raises(ValueError):
+            f1.result(timeout=5)
+        with pytest.raises(ValueError):
+            f2.result(timeout=5)
+        assert batcher._thread.is_alive()
+        # the batcher still serves well-formed requests afterwards
+        out = batcher(np.ones((2, 4, 4, 1), np.float32))
+        assert out.shape == (2, 4, 4, 1)
+        batcher.close()
+
+    def test_max_batch_is_a_hard_cap(self):
+        """Coalescing must never dispatch more rows than max_batch
+        (regression: over-admission + bucket rounding doubled the cap)."""
+        calls = []
+
+        def fn(x):
+            calls.append(len(x))
+            time.sleep(0.005)
+            return x
+
+        batcher = MicroBatcher(fn, max_batch=8, max_wait_ms=30.0)
+        futs = [batcher.submit(np.zeros((5, 2), np.float32)) for _ in range(4)]
+        for f in futs:
+            f.result(timeout=5)
+        assert all(c <= 8 for c in calls), calls
+        batcher.close()
+
     def test_closed_batcher_rejects(self):
         batcher = MicroBatcher(lambda x: x, max_wait_ms=1.0)
         batcher.close()
