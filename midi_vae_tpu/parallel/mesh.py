@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
@@ -29,6 +30,21 @@ def make_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = N
             raise ValueError(f"requested {num_devices} devices, only {len(devs)} available")
         devs = devs[:num_devices]
     return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_data: int, n_model: int, devices: Optional[Sequence] = None) -> Mesh:
+    """2-D ``(data, model)`` mesh for combined data + tensor parallelism.
+
+    The model axis shards the dense latent heads / decoder-input matmuls
+    (``parallel/sharding_rules.py``); convs stay replicated over it (a
+    1.3M-param CNN gains nothing from conv sharding, SURVEY §2.3 — the
+    machinery is here for when dense layers grow).
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_data * n_model > len(devs):
+        raise ValueError(f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, have {len(devs)}")
+    grid = np.asarray(devs[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -4,6 +4,7 @@ virtual 8-device CPU mesh must agree with single-device training."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from midi_vae_tpu.losses.schedules import kl_weight_schedule
@@ -134,3 +135,59 @@ def test_graft_entry_single_and_multichip(eight_devices):
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
     ge.dryrun_multichip(8)
+
+
+class TestTensorParallel:
+    """2-D (data, model) mesh: dense layers sharded, gradients match 1-device."""
+
+    def _setup(self, latent=8):
+        import optax
+
+        from midi_vae_tpu.models import VanillaVAE
+
+        model = VanillaVAE(in_channels=1, latent_dim=latent, input_dim=32, hidden_dims=(8, 16))
+        x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (8, 32, 32, 1)), jnp.float32)
+        tx = optax.adamw(1e-3)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), x[:2])
+        step = make_train_step(model, tx, kl_weight_schedule("constant", 2.5e-4), donate=False)
+        return model, state, step, x
+
+    def test_tp_step_matches_single_device(self, eight_devices):
+        from midi_vae_tpu.parallel.mesh import batch_sharding, make_mesh_2d
+        from midi_vae_tpu.parallel.sharding_rules import shard_state, tp_param_specs
+
+        model, state, step, x = self._setup()
+        ref_state, ref_lo, ref_gn = step(state, x, jax.random.PRNGKey(1))
+
+        mesh = make_mesh_2d(4, 2)
+        specs = tp_param_specs(state.params)
+        tp_state = shard_state(state, mesh, specs)
+        xs = jax.device_put(x, batch_sharding(mesh))
+        tp_state, tp_lo, tp_gn = step(tp_state, xs, jax.random.PRNGKey(1))
+
+        np.testing.assert_allclose(float(tp_lo.loss), float(ref_lo.loss), rtol=1e-5)
+        np.testing.assert_allclose(float(tp_gn), float(ref_gn), rtol=1e-4)
+        # updated dense params agree with the single-device update
+        np.testing.assert_allclose(
+            np.asarray(tp_state.params["fc_mu"]["kernel"]),
+            np.asarray(ref_state.params["fc_mu"]["kernel"]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_tp_specs_shape(self, eight_devices):
+        from midi_vae_tpu.parallel.mesh import MODEL_AXIS
+        from midi_vae_tpu.parallel.sharding_rules import tp_param_specs
+
+        model, state, _, _ = self._setup()
+        specs = tp_param_specs(state.params)
+        assert specs["fc_mu"]["kernel"] == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+        assert specs["decoder_input"]["kernel"] == jax.sharding.PartitionSpec(MODEL_AXIS, None)
+        assert specs["encoder"]["ConvBlock_0"]["Conv_0"]["kernel"] == jax.sharding.PartitionSpec()
+
+    def test_mesh_2d_shape(self, eight_devices):
+        from midi_vae_tpu.parallel.mesh import make_mesh_2d
+
+        mesh = make_mesh_2d(4, 2)
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+        with pytest.raises(ValueError):
+            make_mesh_2d(8, 2)
