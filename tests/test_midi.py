@@ -318,3 +318,111 @@ class TestMidiDatasets:
         assert np.isfinite(x).all()
         assert -0.5 - 1e-6 <= x.min() and x.max() <= 0.5 + 1e-6  # normalized [−.5,.5]
         jax.block_until_ready(batch.x)
+
+
+class TestTempoMap:
+    """Multi-tempo SMF files: the piecewise tick→seconds conversion must
+    agree between the Python oracle and the C++ parser."""
+
+    @staticmethod
+    def _write_multi_tempo(path, ppq=480):
+        """Hand-craft a format-0 file: tempo 120bpm, a note, tempo change to
+        60bpm mid-file, another note."""
+        import struct
+
+        from midi_vae_tpu.midi.smf import _write_varlen
+
+        body = bytearray()
+        body += _write_varlen(0) + bytes([0xFF, 0x51, 0x03]) + (500000).to_bytes(3, "big")  # 120 bpm
+        body += _write_varlen(0) + bytes([0x90, 60, 100])          # note on at tick 0
+        body += _write_varlen(ppq) + bytes([0x80, 60, 0])          # off after 1 beat (0.5 s)
+        body += _write_varlen(0) + bytes([0xFF, 0x51, 0x03]) + (1000000).to_bytes(3, "big")  # 60 bpm
+        body += _write_varlen(ppq) + bytes([0x90, 72, 90])         # on 1 beat later (1.0 s at 60bpm)
+        body += _write_varlen(2 * ppq) + bytes([0x80, 72, 0])      # off 2 beats later (2.0 s)
+        body += _write_varlen(0) + bytes([0xFF, 0x2F, 0x00])
+        with open(path, "wb") as f:
+            f.write(b"MThd" + struct.pack(">IHHH", 6, 0, 1, ppq))
+            f.write(b"MTrk" + struct.pack(">I", len(body)) + bytes(body))
+
+    def test_python_oracle_times(self, tmp_path):
+        p = str(tmp_path / "t.mid")
+        self._write_multi_tempo(p)
+        notes = read_smf(p)
+        assert len(notes) == 2
+        # note 1: tick 0..480 at 120bpm → 0.0s..0.5s
+        np.testing.assert_allclose(notes.onset[0], 0.0, atol=1e-9)
+        np.testing.assert_allclose(notes.duration[0], 0.5, atol=1e-9)
+        # note 2: starts 1 beat after the 60bpm switch at tick 480 →
+        # 0.5s + 1.0s = 1.5s; lasts 2 beats at 60bpm = 2.0s
+        np.testing.assert_allclose(notes.onset[1], 1.5, atol=1e-9)
+        np.testing.assert_allclose(notes.duration[1], 2.0, atol=1e-9)
+
+    @pytest.mark.skipif(not native_midiparse_available(), reason="no native toolchain")
+    def test_native_matches_oracle(self, tmp_path):
+        p = str(tmp_path / "t.mid")
+        self._write_multi_tempo(p)
+        py, nat = read_smf(p), parse_midi_native(p)
+        np.testing.assert_allclose(nat.onset, py.onset, atol=1e-12)
+        np.testing.assert_allclose(nat.duration, py.duration, atol=1e-12)
+
+    def test_running_status(self, tmp_path):
+        """Events reusing the previous status byte parse identically."""
+        import struct
+
+        from midi_vae_tpu.midi.smf import _write_varlen
+
+        ppq = 480
+        body = bytearray()
+        body += _write_varlen(0) + bytes([0x90, 60, 100])  # explicit status
+        body += _write_varlen(10) + bytes([64, 90])        # running: note-on 64
+        body += _write_varlen(100) + bytes([60, 0])        # running: vel 0 = off
+        body += _write_varlen(10) + bytes([64, 0])
+        body += _write_varlen(0) + bytes([0xFF, 0x2F, 0x00])
+        p = str(tmp_path / "r.mid")
+        with open(p, "wb") as f:
+            f.write(b"MThd" + struct.pack(">IHHH", 6, 0, 1, ppq))
+            f.write(b"MTrk" + struct.pack(">I", len(body)) + bytes(body))
+        py = read_smf(p)
+        assert len(py) == 2
+        assert sorted(py.pitch.tolist()) == [60, 64]
+        if native_midiparse_available():
+            nat = parse_midi_native(p)
+            np.testing.assert_allclose(nat.onset, py.onset)
+            np.testing.assert_array_equal(nat.pitch, py.pitch)
+
+
+@pytest.mark.skipif(not native_midiparse_available(), reason="no native toolchain")
+class TestParserRobustness:
+    """The C++ parser must reject malformed bytes cleanly (no crash, no
+    hang) — bounds-checked cursor behavior under truncation/mutation."""
+
+    def test_truncations(self, tmp_path):
+        notes = _random_notes(n=30)
+        full = tmp_path / "full.mid"
+        write_smf(notes, str(full))
+        data = full.read_bytes()
+        for cut in range(0, len(data), max(1, len(data) // 40)):
+            p = tmp_path / f"cut_{cut}.mid"
+            p.write_bytes(data[:cut])
+            try:
+                parse_midi_native(str(p))
+            except ValueError:
+                pass  # clean rejection is the contract
+
+    def test_random_mutations(self, tmp_path):
+        rng = np.random.default_rng(0)
+        notes = _random_notes(n=30)
+        full = tmp_path / "full.mid"
+        write_smf(notes, str(full))
+        data = bytearray(full.read_bytes())
+        for trial in range(60):
+            mutated = bytearray(data)
+            for _ in range(rng.integers(1, 6)):
+                mutated[rng.integers(0, len(mutated))] = rng.integers(0, 256)
+            p = tmp_path / f"mut_{trial}.mid"
+            p.write_bytes(bytes(mutated))
+            try:
+                out = parse_midi_native(str(p))
+                assert len(out) >= 0  # parsed: result must be well-formed
+            except ValueError:
+                pass
