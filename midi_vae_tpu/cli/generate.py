@@ -129,13 +129,14 @@ def cli(argv=None) -> None:
     args = get_parser().parse_args(argv)
     model, params, batch_stats, cfg, image_size, channels, ckpt_dataset = _load_model_and_state(args.checkpoint)
     dataset = args.dataset or ckpt_dataset
+    data_dir = args.data_dir or cfg.get("data_dir")  # checkpoint remembers its corpus root
     key = jax.random.PRNGKey(args.seed)
     out_path = args.out or f"{args.mode}.png"
 
     if args.mode == "sample":
         images = sample_prior(model, params, batch_stats, key, args.num_samples)
     elif args.mode == "reconstruct":
-        x = _fetch_eval_batch(dataset, args.data_dir, image_size, args.num_samples, cfg)
+        x = _fetch_eval_batch(dataset, data_dir, image_size, args.num_samples, cfg)
         recon = reconstruct(model, params, batch_stats, x, key)
         # interleave input | reconstruction pairs, like the wandb grids
         from midi_vae_tpu.data.transforms import TransformSpec, denormalize
@@ -144,7 +145,7 @@ def cli(argv=None) -> None:
         x01 = denormalize(spec, x)
         images = jnp.stack([x01, recon], axis=1).reshape(-1, *recon.shape[1:])
     else:  # interpolate
-        x = _fetch_eval_batch(dataset, args.data_dir, image_size, 2, cfg)
+        x = _fetch_eval_batch(dataset, data_dir, image_size, 2, cfg)
         path = interpolate(
             model, params, batch_stats, x[:1], x[1:2],
             steps=args.steps, mode="slerp" if args.slerp else "lerp",
