@@ -91,6 +91,9 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Output directory for all models. Ignored if --checkpoint is set.")
     group.add_argument("--checkpoint", dest="checkpoint_path", default="", type=str, metavar="PATH",
                        help="Save and resume partially trained model state from this checkpoint.")
+    group.add_argument("--async-checkpoint", action="store_true",
+                       help="Write checkpoints on a background thread (the step loop never "
+                            "stalls on serialization; at most one write in flight).")
     group.add_argument("--save-best-model", action="store_true",
                        help="Save a copy of the model with best validation performance.")
 
@@ -199,6 +202,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         models_dir=args.models_dir,
         checkpoint_path=args.checkpoint_path,
         save_best_model=args.save_best_model,
+        async_checkpoint=args.async_checkpoint,
         seed=args.seed,
         deterministic=args.deterministic,
         debug_nans=args.debug_nans,

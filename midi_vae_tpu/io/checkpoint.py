@@ -91,6 +91,48 @@ def load_checkpoint(checkpoint_path: str, state_template=None) -> Dict[str, Any]
     return payload
 
 
+class AsyncCheckpointWriter:
+    """Background-thread checkpoint writes so the train loop never stalls
+    on serialization/disk (TPU-preemption-friendly frequent saves).
+
+    Semantics match Orbax's async checkpointing contract: ``save`` hands
+    off host arrays (the caller does ``jax.device_get`` first — cheap
+    relative to the write) and returns immediately; a new save waits for
+    the previous one, so at most one write is in flight and the latest
+    file is always a complete atomic snapshot (tmp + rename, as the sync
+    path).
+    """
+
+    def __init__(self):
+        import threading
+
+        self._thread: Optional["threading.Thread"] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, checkpoint_path: str, state, **kwargs) -> None:
+        import threading
+
+        self.wait()  # at most one write in flight; surfaces prior errors
+
+        def _write():
+            try:
+                save_checkpoint(checkpoint_path, state, **kwargs)
+            except BaseException as e:  # surfaced on the next save/wait
+                self._error = e
+
+        self._thread = threading.Thread(target=_write, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) lands; re-raise its error."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+
 def copy_best(checkpoint_path: str, best_path: Optional[str] = None) -> str:
     """Copy the latest checkpoint to the best-model file (train.py:461-464)."""
     import shutil

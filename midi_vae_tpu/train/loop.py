@@ -35,6 +35,7 @@ from midi_vae_tpu.data.transforms import VALID_TRANSFORMS, get_transform
 from midi_vae_tpu.evaluation.evaluate import evaluate, make_eval_step
 from midi_vae_tpu.io.checkpoint import (
     CHECKPOINT_LATEST,
+    AsyncCheckpointWriter,
     copy_best,
     load_checkpoint,
     restore_config,
@@ -210,6 +211,7 @@ def run(config: TrainConfig) -> dict:
     last_epoch = config.epochs
     if config.stop_after_epochs is not None:
         last_epoch = min(last_epoch, start_epoch + config.stop_after_epochs - 1)
+    async_writer = AsyncCheckpointWriter() if config.async_checkpoint else None
     profiling = False
     for epoch in range(start_epoch, last_epoch + 1):
         t_start_epoch = time.time()
@@ -274,9 +276,7 @@ def run(config: TrainConfig) -> dict:
         # Save (train.py:442-464) — on the leader process
         t_start_save = time.time()
         if config.checkpoint_path and is_leader:
-            save_checkpoint(
-                config.checkpoint_path,
-                jax.device_get(state),
+            save_kwargs = dict(
                 config=config.to_dict(),
                 epoch=epoch,
                 total_step=total_step,
@@ -286,7 +286,14 @@ def run(config: TrainConfig) -> dict:
                 best_epoch=best_stats["best_epoch"],
                 best_metric=best_stats["best_metric"],
             )
+            host_state = jax.device_get(state)
+            if async_writer is not None:
+                async_writer.save(config.checkpoint_path, host_state, **save_kwargs)
+            else:
+                save_checkpoint(config.checkpoint_path, host_state, **save_kwargs)
             if config.save_best_model and best_stats["best_epoch"] == epoch:
+                if async_writer is not None:
+                    async_writer.wait()  # best copies the completed latest file
                 best_path = copy_best(config.checkpoint_path)
                 print(f"Copied best model to {best_path}")
         duration_save = time.time() - t_start_save
@@ -313,6 +320,8 @@ def run(config: TrainConfig) -> dict:
     if profiling:
         jax.profiler.stop_trace()
         print(f"Wrote profiler trace to {config.profile_dir}")
+    if async_writer is not None:
+        async_writer.wait()  # the final checkpoint must be on disk before eval/return
 
     if start_epoch > config.epochs:
         print("Training already completed!")

@@ -94,3 +94,73 @@ class TestRestoreConfig:
     def test_skips_identity_keys(self):
         merged = restore_config({"global_rank": None}, {"global_rank": 3})
         assert merged["global_rank"] is None
+
+
+class TestAsyncWriter:
+    def _payload(self):
+        return {"w": np.arange(10, dtype=np.float32)}
+
+    def test_async_save_roundtrips(self, tmp_path):
+        from midi_vae_tpu.io.checkpoint import AsyncCheckpointWriter, load_checkpoint
+
+        writer = AsyncCheckpointWriter()
+        path = str(tmp_path / "ck.msgpack")
+        writer.save(path, self._payload(), epoch=3, total_step=42)
+        writer.wait()
+        payload = load_checkpoint(path)
+        np.testing.assert_array_equal(payload["state"]["w"], np.arange(10, dtype=np.float32))
+        assert payload["epoch"] == 3 and payload["total_step"] == 42
+
+    def test_successive_saves_keep_latest(self, tmp_path):
+        from midi_vae_tpu.io.checkpoint import AsyncCheckpointWriter, load_checkpoint
+
+        writer = AsyncCheckpointWriter()
+        path = str(tmp_path / "ck.msgpack")
+        for epoch in range(5):
+            writer.save(path, self._payload(), epoch=epoch)
+        writer.wait()
+        assert load_checkpoint(path)["epoch"] == 4
+        # no stray tmp files: every write completed atomically
+        assert [f for f in os.listdir(tmp_path) if f.startswith(".tmp.")] == []
+
+    def test_write_error_surfaces_on_wait(self, tmp_path):
+        from midi_vae_tpu.io.checkpoint import AsyncCheckpointWriter
+
+        blocker = tmp_path / "not_a_dir"
+        blocker.write_text("a regular file where the checkpoint dir should go")
+        writer = AsyncCheckpointWriter()
+        writer.save(str(blocker / "ck.msgpack"), self._payload())  # fails in the thread
+        with pytest.raises(OSError):
+            writer.wait()
+        # the writer recovers: a good save afterwards works
+        good = str(tmp_path / "ok.msgpack")
+        writer.save(good, self._payload())
+        writer.wait()
+        assert os.path.isfile(good)
+
+    def test_train_run_with_async_checkpoint(self, tmp_path):
+        import jax
+
+        from midi_vae_tpu.io.checkpoint import load_checkpoint
+        from midi_vae_tpu.train.config import TrainConfig
+        from midi_vae_tpu.train.loop import run
+
+        config = TrainConfig(
+            dataset_name="vae-lines-synthetic",
+            transform_type="noaug",
+            image_size=32,
+            arch="MLPVAE",
+            n_features=8,
+            hidden_dims=(64,),
+            epochs=2,
+            batch_size_per_device=16,
+            num_devices=1,
+            seed=0,
+            models_dir=str(tmp_path / "m"),
+            log_images=False,
+            async_checkpoint=True,
+        )
+        results = run(config)
+        payload = load_checkpoint(config.checkpoint_path)
+        assert payload["epoch"] == 2
+        assert payload["total_step"] == results["total_step"]
