@@ -120,7 +120,9 @@ class AsyncCheckpointWriter:
             except BaseException as e:  # surfaced on the next save/wait
                 self._error = e
 
-        self._thread = threading.Thread(target=_write, daemon=True)
+        # non-daemon: interpreter shutdown joins the thread, so a crash
+        # mid-run still lands the last handed-off checkpoint on disk
+        self._thread = threading.Thread(target=_write, daemon=False)
         self._thread.start()
 
     def wait(self) -> None:
@@ -144,8 +146,21 @@ def copy_best(checkpoint_path: str, best_path: Optional[str] = None) -> str:
 
 
 # Keys that never restore from a checkpoint (identity/hardware of THIS run;
-# reference list at train.py:77)
-NON_RESTORED_KEYS = frozenset({"resume", "gpu", "global_rank", "local_rank", "cpu_workers", "checkpoint_path"})
+# reference list at train.py:77). Per-run execution knobs (async writes,
+# profiling) belong here too — they aren't training state.
+NON_RESTORED_KEYS = frozenset(
+    {
+        "resume",
+        "gpu",
+        "global_rank",
+        "local_rank",
+        "cpu_workers",
+        "checkpoint_path",
+        "async_checkpoint",
+        "profile_dir",
+        "profile_epochs",
+    }
+)
 
 
 def restore_config(

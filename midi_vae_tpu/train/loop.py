@@ -211,6 +211,10 @@ def run(config: TrainConfig) -> dict:
     last_epoch = config.epochs
     if config.stop_after_epochs is not None:
         last_epoch = min(last_epoch, start_epoch + config.stop_after_epochs - 1)
+    # The writer thread is non-daemon: if an exception unwinds out of the
+    # epoch loop, interpreter shutdown still joins the in-flight write, so
+    # every handed-off checkpoint lands on disk (tmp+rename keeps the
+    # latest file atomic even under SIGTERM mid-write).
     async_writer = AsyncCheckpointWriter() if config.async_checkpoint else None
     profiling = False
     for epoch in range(start_epoch, last_epoch + 1):
