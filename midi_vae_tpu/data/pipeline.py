@@ -201,34 +201,38 @@ class NativeDeviceLoader:
 
         if len(dataset) == 0:
             raise ValueError("empty dataset")
-        if jax.process_count() > 1:
-            # per-host index partitioning for the native stream is not built
-            # yet; every process would otherwise feed identical full batches
-            # (duplicated data, no actual parallelism) — fail loudly instead
-            raise NotImplementedError(
-                "NativeDeviceLoader does not support multi-process training yet; "
-                "use an in-memory dataset (DeviceLoader shards per process)"
+        self._n_proc = jax.process_count()
+        self._rank = jax.process_index()
+        if self._n_proc > 1 and batch_size % self._n_proc:
+            raise ValueError(
+                f"global batch size {batch_size} must divide evenly across {self._n_proc} processes"
             )
         self.dataset = dataset
         self.batch_size = batch_size
+        self.local_batch_size = batch_size // self._n_proc
         self.train = train
         self.seed = seed
         self.prefetch = max(1, prefetch)
+        self._n_threads = n_threads
         self._x_sharding = sharding
         self._native_ds = NativeDataset(dataset.path)
-        self._loader = NativeLoader(
-            self._native_ds,
-            batch_size,
-            drop_last=train,
-            n_threads=n_threads,
-            prefetch_depth=max(2, prefetch + 1),
-            indices=dataset.indices,
-            reuse_buffers=False,  # batches go straight to async device_put
-        )
-        self.num_batches = self._loader.num_batches
+        self._loader = None
+        if self._n_proc == 1:
+            # single-process fast path: one persistent loader, C++ shuffles
+            self._loader = NativeLoader(
+                self._native_ds,
+                batch_size,
+                drop_last=train,
+                n_threads=n_threads,
+                prefetch_depth=max(2, prefetch + 1),
+                indices=dataset.indices,
+                reuse_buffers=False,  # batches go straight to async device_put
+            )
+        n = len(dataset)
+        self.num_batches = n // batch_size if train else -(-n // batch_size)
         if self.num_batches == 0:
             raise ValueError(
-                f"dataset of {len(dataset)} samples yields no batches at batch_size={batch_size} (drop_last)"
+                f"dataset of {n} samples yields no batches at batch_size={batch_size} (drop_last)"
             )
 
     def __len__(self) -> int:
@@ -239,14 +243,44 @@ class NativeDeviceLoader:
         n = len(self.dataset)
         return self.num_batches * self.batch_size if self.train else n
 
+    def _multiproc_epoch_source(self, epoch: int):
+        """Per-epoch native loader over THIS process's slice of each global
+        batch: every host walks the same shuffled order (shared seed), takes
+        its contiguous window of every batch, and streams those rows.
+        Positions map contiguously, so the final eval batch's zero-pad tail
+        lands on the trailing hosts exactly like DeviceLoader's layout."""
+        from midi_vae_tpu.native.rrd import NativeLoader
+
+        idx = self.dataset.indices
+        order = host_rng(self.seed, epoch).permutation(idx) if self.train else np.asarray(idx)
+        if self.train:
+            order = order[: self.num_batches * self.batch_size]
+        lbs, B, rank = self.local_batch_size, self.batch_size, self._rank
+        windows = [
+            order[min(b * B + rank * lbs, len(order)) : min(b * B + (rank + 1) * lbs, len(order))]
+            for b in range(self.num_batches)
+        ]
+        loader = NativeLoader(
+            self._native_ds,
+            lbs,
+            drop_last=False,
+            n_threads=self._n_threads,
+            prefetch_depth=max(2, self.prefetch + 1),
+            indices=np.concatenate(windows) if windows else np.zeros(0, np.int64),
+            reuse_buffers=False,
+        )
+        valids = [len(w) for w in windows]
+        return loader, valids
+
     def epoch(self, epoch: int = 1) -> Iterator[Batch]:
         # same resume-stable seed derivation as DeviceLoader
         epoch_seed = int(host_rng(self.seed, epoch).integers(0, 2**63 - 1)) if self.train else 0
         ekey = epoch_key(self.seed, epoch) if self.train else None
         spec = self.dataset.transform
+        local_bs = self.local_batch_size
 
         def launch(batch_idx: int, images, labels, valid) -> Batch:
-            mask = np.zeros(self.batch_size, np.float32)
+            mask = np.zeros(local_bs, np.float32)
             mask[:valid] = 1.0
             scalar_sh = self._x_sharding and _scalar_sharding(self._x_sharding)
             x = put_sharded(images, self._x_sharding)
@@ -256,16 +290,46 @@ class NativeDeviceLoader:
             x = apply_transform(spec, x, key) if spec is not None else _scale_only(x)
             return Batch(x=x, y=y, mask=m)
 
-        queue: collections.deque = collections.deque()
-        for i, (images, labels, valid) in enumerate(self._loader.epoch(seed=epoch_seed, shuffle=self.train)):
-            queue.append(launch(i, images, labels, valid))
-            if len(queue) > self.prefetch:
+        if self._n_proc == 1:
+            source = self._loader.epoch(seed=epoch_seed, shuffle=self.train)
+            epoch_loader = None
+        else:
+            epoch_loader, valids = self._multiproc_epoch_source(epoch)
+
+            def _source():
+                # every host must emit exactly num_batches batches (collectives
+                # run per batch) — a host whose slice of the final global batch
+                # is empty emits an all-padding batch instead of stopping early
+                it = epoch_loader.epoch(seed=0, shuffle=False)
+                ds = self._native_ds
+                for i in range(self.num_batches):
+                    if valids[i] == 0:
+                        yield (
+                            np.zeros((local_bs, ds.h, ds.w, ds.c), np.uint8),
+                            np.zeros(local_bs, np.int64),
+                            0,
+                        )
+                    else:
+                        img, lbl, _ = next(it)
+                        yield img, lbl, valids[i]
+
+            source = _source()
+
+        try:
+            queue: collections.deque = collections.deque()
+            for i, (images, labels, valid) in enumerate(source):
+                queue.append(launch(i, images, labels, valid))
+                if len(queue) > self.prefetch:
+                    yield queue.popleft()
+            while queue:
                 yield queue.popleft()
-        while queue:
-            yield queue.popleft()
+        finally:
+            if epoch_loader is not None:
+                epoch_loader.close()
 
     def close(self):
-        self._loader.close()
+        if self._loader is not None:
+            self._loader.close()
         self._native_ds.close()
 
 

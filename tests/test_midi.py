@@ -426,3 +426,32 @@ class TestParserRobustness:
                 assert len(out) >= 0  # parsed: result must be well-formed
             except ValueError:
                 pass
+
+
+class TestSMPTEDivision:
+    """SMPTE time division (negative division word): ticks are wall-clock
+    frames·subframes rather than tempo-scaled beats."""
+
+    def test_smpte_times(self, tmp_path):
+        import struct
+
+        from midi_vae_tpu.midi.smf import _write_varlen
+
+        fps, tpf = 25, 40  # 1000 ticks/second
+        division = ((256 - fps) << 8) | tpf
+        body = bytearray()
+        body += _write_varlen(0) + bytes([0x90, 60, 100])
+        body += _write_varlen(500) + bytes([0x80, 60, 0])  # 500 ticks = 0.5 s
+        body += _write_varlen(0) + bytes([0xFF, 0x2F, 0x00])
+        p = str(tmp_path / "smpte.mid")
+        with open(p, "wb") as f:
+            f.write(b"MThd" + struct.pack(">IHHH", 6, 0, 1, division))
+            f.write(b"MTrk" + struct.pack(">I", len(body)) + bytes(body))
+
+        py = read_smf(p)
+        assert len(py) == 1
+        np.testing.assert_allclose(py.onset, [0.0], atol=1e-12)
+        np.testing.assert_allclose(py.duration, [0.5], atol=1e-12)
+        if native_midiparse_available():
+            nat = parse_midi_native(p)
+            np.testing.assert_allclose(nat.duration, py.duration, atol=1e-12)

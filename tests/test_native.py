@@ -217,3 +217,61 @@ def test_train_on_rrd_stream(tmp_path):
     assert np.isfinite(results["train"]["loss"])
     assert results["final_test"]["count"] == 60  # 20% of 300
     assert results["n_samples_seen"] == results["total_step"] * 16
+
+
+def test_multiproc_slices_cover_global_batches(rrd_file):
+    """Simulated 4-host NativeDeviceLoader: per-host windows reassemble into
+    exactly the global batches a single host would serve (same seed), and
+    every host emits the same number of batches (incl. all-pad tails)."""
+    from midi_vae_tpu.data.pipeline import NativeDeviceLoader
+    from midi_vae_tpu.data.sources import open_rrd_stream
+
+    path, images, labels = rrd_file
+    stream = open_rrd_stream(path)  # 100 rows
+    B, n_proc = 40, 4
+    lbs = B // n_proc
+
+    # single-process reference: eval order is the identity
+    ref = NativeDeviceLoader(stream, B, train=False, seed=0)
+    ref_batches = [(lbls.copy(), v) for _, lbls, v in
+                   ((np.asarray(b.y), b.y, int(np.asarray(b.mask).sum())) for b in ref.epoch(1))]
+    ref.close()
+
+    per_host = []
+    for rank in range(n_proc):
+        loader = NativeDeviceLoader(stream, B, train=False, seed=0)
+        loader._n_proc, loader._rank = n_proc, rank
+        loader.local_batch_size = lbs
+        got = [(np.asarray(b.y), int(np.asarray(b.mask).sum())) for b in loader.epoch(1)]
+        per_host.append(got)
+        loader.close()
+
+    n_batches = len(per_host[0])
+    assert all(len(h) == n_batches == 3 for h in per_host)  # 100/40 → 3 (padded)
+    for b in range(n_batches):
+        rows = np.concatenate([per_host[r][b][0][: per_host[r][b][1]] for r in range(n_proc)])
+        expect = labels[b * B : (b + 1) * B]
+        np.testing.assert_array_equal(np.sort(rows), np.sort(expect))
+    # final global batch: 100-80=20 valid → hosts get 10,10,0,0
+    assert [per_host[r][2][1] for r in range(n_proc)] == [10, 10, 0, 0]
+
+
+def test_multiproc_train_shuffle_consistent(rrd_file):
+    """Simulated 2-host train epochs: both hosts derive the same global
+    order, and their windows partition each global batch."""
+    from midi_vae_tpu.data.pipeline import NativeDeviceLoader
+    from midi_vae_tpu.data.sources import open_rrd_stream
+
+    path, _, labels = rrd_file
+    stream = open_rrd_stream(path)
+    B, n_proc = 32, 2
+    hosts = []
+    for rank in range(n_proc):
+        loader = NativeDeviceLoader(stream, B, train=True, seed=7)
+        loader._n_proc, loader._rank = n_proc, rank
+        loader.local_batch_size = B // n_proc
+        hosts.append([np.asarray(b.y).copy() for b in loader.epoch(3)])
+        loader.close()
+    all_rows = np.concatenate([np.concatenate(h) for h in hosts])
+    assert len(all_rows) == 3 * B  # 100//32 = 3 full global batches
+    assert len(np.unique(all_rows)) == 3 * B  # a permutation slice — no dupes
