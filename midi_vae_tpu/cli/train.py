@@ -118,6 +118,10 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Number of devices in the data mesh. Default: all visible devices.")
     group.add_argument("--bf16", dest="bf16", action="store_true",
                        help="Use bfloat16 compute (float32 params).")
+    group.add_argument("--loss-type", type=str, default="elbo", choices=("elbo", "beta-tc"),
+                       help="Training objective: plain ELBO or beta-TC-VAE (Chen et al. 2018).")
+    group.add_argument("--tc-beta", type=float, default=6.0,
+                       help="Total-correlation penalty for --loss-type beta-tc. Default: %(default)s")
     group.add_argument("--fused", action="store_true",
                        help="Use the Pallas fused reparameterization + ELBO kernels.")
     group.add_argument("--multihost", action="store_true",
@@ -212,6 +216,8 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         num_devices=args.num_devices,
         dtype="bfloat16" if args.bf16 else "float32",
         fused=args.fused,
+        loss_type=args.loss_type,
+        tc_beta=args.tc_beta,
         log_interval=args.log_interval,
         print_interval=args.print_interval,
         log_wandb=args.log_wandb,

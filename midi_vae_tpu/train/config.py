@@ -34,6 +34,8 @@ class TrainConfig:
     kld_weight: float = 1.0
     kl_schedule: str = "constant"  # constant | multiplicative | linear | cyclical
     kl_warmup_steps: int = 1000
+    loss_type: str = "elbo"  # elbo | beta-tc (losses/tcvae.py)
+    tc_beta: float = 6.0  # TC penalty for loss_type=beta-tc
     log_var_clamp: Optional[Tuple[float, float]] = None
     fused: bool = False  # Pallas fused reparam + BCE kernels on the hot path
 

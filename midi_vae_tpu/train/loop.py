@@ -158,7 +158,14 @@ def run(config: TrainConfig) -> dict:
     state = replicate(state, mesh)
 
     train_step = make_train_step(
-        model, bundle.tx, kl_sched, log_var_clamp=config.log_var_clamp, fused_loss=config.fused
+        model,
+        bundle.tx,
+        kl_sched,
+        log_var_clamp=config.log_var_clamp,
+        fused_loss=config.fused,
+        loss_type=config.loss_type,
+        tc_beta=config.tc_beta,
+        dataset_size=len(dataset_train),
     )
     eval_step = make_eval_step(model)
 

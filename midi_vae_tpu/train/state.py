@@ -65,6 +65,9 @@ def make_train_step(
     log_var_clamp: Optional[Tuple[float, float]] = None,
     donate: bool = True,
     fused_loss: bool = False,
+    loss_type: str = "elbo",
+    tc_beta: float = 6.0,
+    dataset_size: int = 1,
 ) -> Callable:
     """Build the fused train step: (state, x, key) → (state, LossOutput, grad_norm).
 
@@ -74,7 +77,14 @@ def make_train_step(
     ``fused_loss=True`` computes the BCE reduction with the Pallas kernel
     (``ops/fused_elbo.py``) instead of the XLA expression — numerically
     identical, elementwise BCE never materialized in HBM.
+    ``loss_type="beta-tc"`` selects the β-TC-VAE objective
+    (``losses/tcvae.py``; needs ``dataset_size`` for the minibatch
+    estimator; incompatible with ``fused_loss``).
     """
+    if loss_type not in ("elbo", "beta-tc"):
+        raise ValueError(f"unknown loss_type: {loss_type}")
+    if loss_type == "beta-tc" and fused_loss:
+        raise ValueError("fused Pallas loss implements the plain ELBO only; drop --fused for beta-tc")
 
     def step_fn(state: TrainState, x: jax.Array, epoch_key: jax.Array):
         key = jax.random.fold_in(epoch_key, state.step)
@@ -91,6 +101,16 @@ def make_train_step(
             return lo.loss, (lo, mutated["batch_stats"])
 
         def _loss(out, w) -> LossOutput:
+            if loss_type == "beta-tc":
+                from midi_vae_tpu.losses.tcvae import beta_tc_elbo_loss
+
+                return beta_tc_elbo_loss(
+                    out,
+                    tc_beta=tc_beta,
+                    dataset_size=dataset_size,
+                    kld_weight=w,
+                    log_var_clamp=log_var_clamp,
+                )
             if not fused_loss:
                 return elbo_loss(out, kld_weight=w, log_var_clamp=log_var_clamp)
             from midi_vae_tpu.ops.fused_elbo import fused_elbo_terms

@@ -198,3 +198,113 @@ class TestTorchReferenceParity:
         np.testing.assert_allclose(float(recon), float(t_bce), rtol=2e-5)
         np.testing.assert_allclose(float(kl), float(t_kld), rtol=2e-5)
         np.testing.assert_allclose(float(loss), float(t_bce + w * t_kld), rtol=2e-5)
+
+
+class TestBetaTCVAE:
+    """β-TC-VAE decomposition (losses/tcvae.py, Chen et al. 2018)."""
+
+    def test_telescoping_identity(self):
+        """MI + TC + DWKL == E[log q(z|x) − log p(z)] exactly (the three
+        estimators telescope algebraically)."""
+        from midi_vae_tpu.losses.tcvae import _gaussian_log_density, tc_decomposition
+
+        rng = np.random.default_rng(0)
+        B, D = 32, 6
+        mu = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        lv = jnp.asarray(rng.normal(size=(B, D)) * 0.3, jnp.float32)
+        z = mu + jnp.exp(0.5 * lv) * jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        mi, tc, dwkl = tc_decomposition(z, mu, lv, dataset_size=1000)
+        direct = jnp.mean(
+            jnp.sum(_gaussian_log_density(z, mu, lv), -1)
+            - jnp.sum(_gaussian_log_density(z, jnp.zeros_like(z), jnp.zeros_like(z)), -1)
+        )
+        np.testing.assert_allclose(float(mi + tc + dwkl), float(direct), rtol=1e-5)
+
+    def test_identical_standard_posteriors_zero_terms(self):
+        """All posteriors == prior and dataset_size=1 → every term is 0."""
+        from midi_vae_tpu.losses.tcvae import tc_decomposition
+
+        rng = np.random.default_rng(1)
+        B, D = 16, 4
+        z = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        zero = jnp.zeros((B, D), jnp.float32)
+        mi, tc, dwkl = tc_decomposition(z, zero, zero, dataset_size=1)
+        for v in (mi, tc, dwkl):
+            np.testing.assert_allclose(float(v), 0.0, atol=1e-5)
+
+    def test_tc_detects_correlated_dimensions(self):
+        """Aggregate posterior with duplicated dims has high TC; an
+        independent one has much less."""
+        from midi_vae_tpu.losses.tcvae import tc_decomposition
+
+        rng = np.random.default_rng(2)
+        B = 256
+        a = rng.normal(size=(B, 1)).astype(np.float32) * 3
+        mu_corr = jnp.asarray(np.concatenate([a, a], axis=1))  # dims identical
+        mu_ind = jnp.asarray(rng.normal(size=(B, 2)).astype(np.float32) * 3)
+        lv = jnp.full((B, 2), -4.0)  # tight posteriors
+        z_corr = mu_corr  # tight → z ≈ mu
+        z_ind = mu_ind
+        _, tc_corr, _ = tc_decomposition(z_corr, mu_corr, lv, dataset_size=B)
+        _, tc_ind, _ = tc_decomposition(z_ind, mu_ind, lv, dataset_size=B)
+        assert float(tc_corr) > float(tc_ind) + 1.0
+
+    def test_loss_output_and_gradients(self):
+        from midi_vae_tpu.losses.tcvae import beta_tc_elbo_loss
+
+        rng = np.random.default_rng(3)
+        B, D = 8, 4
+        logits = jnp.asarray(rng.normal(size=(B, 16, 16, 1)), jnp.float32)
+        targets = jnp.asarray(rng.uniform(size=(B, 16, 16, 1)), jnp.float32)
+        mu = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+        lv = jnp.asarray(rng.normal(size=(B, D)) * 0.2, jnp.float32)
+        z = mu  # deterministic for the test
+
+        def loss_of(mu_):
+            out = make_output(logits, targets, mu_, lv)
+            out = out.replace(latents=mu_)
+            return beta_tc_elbo_loss(out, tc_beta=6.0, dataset_size=100).loss
+
+        g = jax.grad(loss_of)(mu)
+        assert np.isfinite(np.asarray(g)).all()
+        lo = beta_tc_elbo_loss(
+            make_output(logits, targets, mu, lv).replace(latents=z), tc_beta=6.0, dataset_size=100
+        )
+        assert np.isfinite(float(lo.loss))
+        np.testing.assert_allclose(float(lo.kld_loss), -float(lo.kl), rtol=1e-6)
+
+    def test_train_step_integration(self):
+        import optax
+
+        from midi_vae_tpu.losses.schedules import kl_weight_schedule
+        from midi_vae_tpu.models import MLPVAE
+        from midi_vae_tpu.train.state import create_train_state, make_train_step
+
+        model = MLPVAE(in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(32,))
+        x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (16, 16, 16, 1)), jnp.float32)
+        tx = optax.adam(1e-3)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), x[:2])
+        step = make_train_step(
+            model, tx, kl_weight_schedule("constant", 1.0),
+            loss_type="beta-tc", tc_beta=4.0, dataset_size=200, donate=False,
+        )
+        losses = []
+        for _ in range(10):
+            state, lo, gn = step(state, x, jax.random.PRNGKey(1))
+            losses.append(float(lo.loss))
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_fused_and_beta_tc_incompatible(self):
+        import optax
+
+        from midi_vae_tpu.losses.schedules import kl_weight_schedule
+        from midi_vae_tpu.models import MLPVAE
+        from midi_vae_tpu.train.state import make_train_step
+
+        model = MLPVAE(in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(32,))
+        with pytest.raises(ValueError, match="fused"):
+            make_train_step(
+                model, optax.adam(1e-3), kl_weight_schedule("constant", 1.0),
+                loss_type="beta-tc", fused_loss=True,
+            )
