@@ -1,0 +1,47 @@
+"""MetricLogger tests: JSONL fan-out, namespaces, leader gating, wandb fallback."""
+
+import json
+import os
+
+from midi_vae_tpu.io.logging import MetricLogger, generate_id
+
+
+class TestMetricLogger:
+    def test_jsonl_roundtrip(self, tmp_path):
+        logger = MetricLogger(str(tmp_path))
+        logger.log({"training/stepwise/train/loss": 1.5, "training/stepwise/epoch": 1}, step=10)
+        logger.log_namespaced("eval/test", {"mse": 2.0}, step=20)
+        logger.close()
+        lines = [json.loads(ln) for ln in open(tmp_path / "metrics.jsonl")]
+        assert lines[0]["step"] == 10 and lines[0]["training/stepwise/train/loss"] == 1.5
+        assert lines[1]["eval/test/mse"] == 2.0
+
+    def test_non_leader_writes_nothing(self, tmp_path):
+        logger = MetricLogger(str(tmp_path / "sub"), is_leader=False)
+        logger.log({"x": 1}, step=0)
+        logger.close()
+        assert not os.path.exists(tmp_path / "sub" / "metrics.jsonl")
+
+    def test_wandb_missing_degrades(self, tmp_path, capsys):
+        # wandb isn't installed in this environment: requesting it must fall
+        # back to JSONL with a notice, not crash
+        logger = MetricLogger(str(tmp_path), use_wandb=True)
+        assert logger.wandb_run is None
+        logger.log({"y": 2.0}, step=1)
+        logger.close()
+        assert os.path.isfile(tmp_path / "metrics.jsonl")
+
+    def test_numpy_values_serialize(self, tmp_path):
+        import numpy as np
+
+        logger = MetricLogger(str(tmp_path))
+        logger.log({"z": np.float32(3.25), "n": np.int64(7)}, step=0)
+        logger.close()
+        line = json.loads(open(tmp_path / "metrics.jsonl").readline())
+        assert line["z"] == 3.25 and line["n"] == 7
+
+
+def test_generate_id_format():
+    a, b = generate_id(), generate_id()
+    assert a != b
+    assert len(a) == 8 and a.isalnum()
