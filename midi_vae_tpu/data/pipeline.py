@@ -216,18 +216,18 @@ class NativeDeviceLoader:
         self._n_threads = n_threads
         self._x_sharding = sharding
         self._native_ds = NativeDataset(dataset.path)
-        self._loader = None
-        if self._n_proc == 1:
-            # single-process fast path: one persistent loader, C++ shuffles
-            self._loader = NativeLoader(
-                self._native_ds,
-                batch_size,
-                drop_last=train,
-                n_threads=n_threads,
-                prefetch_depth=max(2, prefetch + 1),
-                indices=dataset.indices,
-                reuse_buffers=False,  # batches go straight to async device_put
-            )
+        # one persistent loader either way: single-process serves full global
+        # batches with C++-side shuffling; multi-process serves this host's
+        # local_batch_size windows, re-targeted per epoch via set_indices
+        self._loader = NativeLoader(
+            self._native_ds,
+            batch_size if self._n_proc == 1 else self.local_batch_size,
+            drop_last=train if self._n_proc == 1 else False,
+            n_threads=n_threads,
+            prefetch_depth=max(2, prefetch + 1),
+            indices=dataset.indices if self._n_proc == 1 else None,
+            reuse_buffers=False,  # batches go straight to async device_put
+        )
         n = len(dataset)
         self.num_batches = n // batch_size if train else -(-n // batch_size)
         if self.num_batches == 0:
@@ -243,14 +243,13 @@ class NativeDeviceLoader:
         n = len(self.dataset)
         return self.num_batches * self.batch_size if self.train else n
 
-    def _multiproc_epoch_source(self, epoch: int):
-        """Per-epoch native loader over THIS process's slice of each global
-        batch: every host walks the same shuffled order (shared seed), takes
-        its contiguous window of every batch, and streams those rows.
-        Positions map contiguously, so the final eval batch's zero-pad tail
-        lands on the trailing hosts exactly like DeviceLoader's layout."""
-        from midi_vae_tpu.native.rrd import NativeLoader
-
+    def _multiproc_epoch_indices(self, epoch: int):
+        """Retarget the persistent loader at THIS process's slice of each
+        global batch: every host walks the same shuffled order (shared seed —
+        loop.py broadcasts wall-clock seeds), takes its contiguous window of
+        every batch, and streams those rows. Positions map contiguously, so
+        the final eval batch's zero-pad tail lands on the trailing hosts
+        exactly like DeviceLoader's layout (the C++ loader memsets pad rows)."""
         idx = self.dataset.indices
         order = host_rng(self.seed, epoch).permutation(idx) if self.train else np.asarray(idx)
         if self.train:
@@ -260,21 +259,10 @@ class NativeDeviceLoader:
             order[min(b * B + rank * lbs, len(order)) : min(b * B + (rank + 1) * lbs, len(order))]
             for b in range(self.num_batches)
         ]
-        loader = NativeLoader(
-            self._native_ds,
-            lbs,
-            drop_last=False,
-            n_threads=self._n_threads,
-            prefetch_depth=max(2, self.prefetch + 1),
-            indices=np.concatenate(windows) if windows else np.zeros(0, np.int64),
-            reuse_buffers=False,
-        )
-        valids = [len(w) for w in windows]
-        return loader, valids
+        self._loader.set_indices(np.concatenate(windows) if windows else np.zeros(0, np.int64))
+        return [len(w) for w in windows]
 
     def epoch(self, epoch: int = 1) -> Iterator[Batch]:
-        # same resume-stable seed derivation as DeviceLoader
-        epoch_seed = int(host_rng(self.seed, epoch).integers(0, 2**63 - 1)) if self.train else 0
         ekey = epoch_key(self.seed, epoch) if self.train else None
         spec = self.dataset.transform
         local_bs = self.local_batch_size
@@ -291,16 +279,17 @@ class NativeDeviceLoader:
             return Batch(x=x, y=y, mask=m)
 
         if self._n_proc == 1:
+            # resume-stable seed derivation, as DeviceLoader
+            epoch_seed = int(host_rng(self.seed, epoch).integers(0, 2**63 - 1)) if self.train else 0
             source = self._loader.epoch(seed=epoch_seed, shuffle=self.train)
-            epoch_loader = None
         else:
-            epoch_loader, valids = self._multiproc_epoch_source(epoch)
+            valids = self._multiproc_epoch_indices(epoch)
 
             def _source():
                 # every host must emit exactly num_batches batches (collectives
                 # run per batch) — a host whose slice of the final global batch
                 # is empty emits an all-padding batch instead of stopping early
-                it = epoch_loader.epoch(seed=0, shuffle=False)
+                it = self._loader.epoch(seed=0, shuffle=False)
                 ds = self._native_ds
                 for i in range(self.num_batches):
                     if valids[i] == 0:
@@ -315,17 +304,13 @@ class NativeDeviceLoader:
 
             source = _source()
 
-        try:
-            queue: collections.deque = collections.deque()
-            for i, (images, labels, valid) in enumerate(source):
-                queue.append(launch(i, images, labels, valid))
-                if len(queue) > self.prefetch:
-                    yield queue.popleft()
-            while queue:
+        queue: collections.deque = collections.deque()
+        for i, (images, labels, valid) in enumerate(source):
+            queue.append(launch(i, images, labels, valid))
+            if len(queue) > self.prefetch:
                 yield queue.popleft()
-        finally:
-            if epoch_loader is not None:
-                epoch_loader.close()
+        while queue:
+            yield queue.popleft()
 
     def close(self):
         if self._loader is not None:

@@ -141,14 +141,23 @@ class NativeLoader:
         )
         n = len(dataset)
         if indices is not None:
-            idx = np.ascontiguousarray(indices, dtype=np.uint64)
-            assert idx.size == 0 or int(idx.max()) < n, "split index out of range"
-            self._lib.rrd_loader_set_indices(
-                self._handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(idx)
-            )
-            n = len(idx)
+            self.set_indices(indices)
+            n = len(indices)
         self.num_samples_total = n
         self.num_batches = n // batch_size if drop_last else -(-n // batch_size)
+
+    def set_indices(self, indices: np.ndarray) -> None:
+        """Replace the row subset served by subsequent epochs (the C side
+        copies the array). Updates num_batches/num_samples_total."""
+        idx = np.ascontiguousarray(indices, dtype=np.uint64)
+        assert idx.size == 0 or int(idx.max()) < len(self.dataset), "split index out of range"
+        self._lib.rrd_loader_set_indices(
+            self._handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(idx)
+        )
+        self.num_samples_total = len(idx)
+        self.num_batches = (
+            len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
+        )
 
     def epoch(self, seed: int, shuffle: bool = True) -> Iterator:
         self._lib.rrd_loader_start_epoch(self._handle, seed & 0xFFFF_FFFF_FFFF_FFFF, int(shuffle))

@@ -126,6 +126,13 @@ def run(config: TrainConfig) -> dict:
     eval_set = "Val" if distinct_val_test else "Test"
 
     seed = config.seed if config.seed is not None else int(time.time()) % 100000
+    if config.seed is None and jax.process_count() > 1:
+        # the loaders' shared-order contract requires one seed on every host;
+        # a wall-clock seed drawn per process would silently shuffle each
+        # host differently (duplicated/missing samples in "global" batches)
+        from jax.experimental import multihost_utils
+
+        seed = int(multihost_utils.broadcast_one_to_all(jnp.int32(seed)))
     loader_train = make_loader(dataset_train, global_batch_size, train=True, seed=seed, sharding=x_sharding)
     loader_val = make_loader(dataset_val, global_batch_size, train=False, sharding=x_sharding)
     loader_test = make_loader(dataset_test, global_batch_size, train=False, sharding=x_sharding)

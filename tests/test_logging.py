@@ -22,9 +22,12 @@ class TestMetricLogger:
         logger.close()
         assert not os.path.exists(tmp_path / "sub" / "metrics.jsonl")
 
-    def test_wandb_missing_degrades(self, tmp_path, capsys):
-        # wandb isn't installed in this environment: requesting it must fall
-        # back to JSONL with a notice, not crash
+    def test_wandb_missing_degrades(self, tmp_path, monkeypatch):
+        # simulate wandb being uninstalled (a None sys.modules entry makes
+        # `import wandb` raise ImportError) — must fall back to JSONL
+        import sys
+
+        monkeypatch.setitem(sys.modules, "wandb", None)
         logger = MetricLogger(str(tmp_path), use_wandb=True)
         assert logger.wandb_run is None
         logger.log({"y": 2.0}, step=1)

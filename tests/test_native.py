@@ -219,6 +219,24 @@ def test_train_on_rrd_stream(tmp_path):
     assert results["n_samples_seen"] == results["total_step"] * 16
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _fake_process(n_proc, rank):
+    """Simulate a multi-host rank: patch jax.process_count/index for the
+    loader's construction and iteration (put_sharded stays on the
+    device_put path because no NamedSharding is used here)."""
+    import unittest.mock as mock
+
+    import jax
+
+    with mock.patch.object(jax, "process_count", lambda: n_proc), mock.patch.object(
+        jax, "process_index", lambda: rank
+    ):
+        yield
+
+
 def test_multiproc_slices_cover_global_batches(rrd_file):
     """Simulated 4-host NativeDeviceLoader: per-host windows reassemble into
     exactly the global batches a single host would serve (same seed), and
@@ -231,18 +249,11 @@ def test_multiproc_slices_cover_global_batches(rrd_file):
     B, n_proc = 40, 4
     lbs = B // n_proc
 
-    # single-process reference: eval order is the identity
-    ref = NativeDeviceLoader(stream, B, train=False, seed=0)
-    ref_batches = [(lbls.copy(), v) for _, lbls, v in
-                   ((np.asarray(b.y), b.y, int(np.asarray(b.mask).sum())) for b in ref.epoch(1))]
-    ref.close()
-
     per_host = []
     for rank in range(n_proc):
-        loader = NativeDeviceLoader(stream, B, train=False, seed=0)
-        loader._n_proc, loader._rank = n_proc, rank
-        loader.local_batch_size = lbs
-        got = [(np.asarray(b.y), int(np.asarray(b.mask).sum())) for b in loader.epoch(1)]
+        with _fake_process(n_proc, rank):
+            loader = NativeDeviceLoader(stream, B, train=False, seed=0)
+            got = [(np.asarray(b.y), int(np.asarray(b.mask).sum())) for b in loader.epoch(1)]
         per_host.append(got)
         loader.close()
 
@@ -267,10 +278,9 @@ def test_multiproc_train_shuffle_consistent(rrd_file):
     B, n_proc = 32, 2
     hosts = []
     for rank in range(n_proc):
-        loader = NativeDeviceLoader(stream, B, train=True, seed=7)
-        loader._n_proc, loader._rank = n_proc, rank
-        loader.local_batch_size = B // n_proc
-        hosts.append([np.asarray(b.y).copy() for b in loader.epoch(3)])
+        with _fake_process(n_proc, rank):
+            loader = NativeDeviceLoader(stream, B, train=True, seed=7)
+            hosts.append([np.asarray(b.y).copy() for b in loader.epoch(3)])
         loader.close()
     all_rows = np.concatenate([np.concatenate(h) for h in hosts])
     assert len(all_rows) == 3 * B  # 100//32 = 3 full global batches
