@@ -30,7 +30,7 @@ import numpy as np
 def get_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Sample / reconstruct / interpolate from a trained VAE")
     parser.add_argument("--checkpoint", type=str, required=True, help="Path to a .msgpack checkpoint")
-    parser.add_argument("--mode", choices=("sample", "reconstruct", "interpolate"), default="sample")
+    parser.add_argument("--mode", choices=("sample", "reconstruct", "interpolate", "traverse"), default="sample")
     parser.add_argument("-n", "--num-samples", type=int, default=16)
     parser.add_argument("--steps", type=int, default=8, help="Interpolation steps")
     parser.add_argument("--slerp", action="store_true", help="Spherical instead of linear interpolation")
@@ -144,16 +144,24 @@ def cli(argv=None) -> None:
         spec = TransformSpec(image_size)
         x01 = denormalize(spec, x)
         images = jnp.stack([x01, recon], axis=1).reshape(-1, *recon.shape[1:])
-    else:  # interpolate
+    elif args.mode == "interpolate":
         x = _fetch_eval_batch(dataset, data_dir, image_size, 2, cfg)
         path = interpolate(
             model, params, batch_stats, x[:1], x[1:2],
             steps=args.steps, mode="slerp" if args.slerp else "lerp",
         )
         images = path[:, 0]
+    else:  # traverse: one row per latent dimension, varied across ±2.5σ
+        from midi_vae_tpu.evaluation.inference import traverse
+
+        x = _fetch_eval_batch(dataset, data_dir, image_size, 1, cfg)
+        grid_rows = traverse(model, params, batch_stats, x, steps=args.steps)
+        images = grid_rows.reshape(-1, *grid_rows.shape[2:])
 
     images = np.asarray(jax.device_get(images))
-    _save_png(_to_grid(images), out_path)
+    # traverse: one grid row per latent dimension (steps columns)
+    cols = args.steps if args.mode == "traverse" else 8
+    _save_png(_to_grid(images, cols=cols), out_path)
     if args.export_midi:
         _export_midi(images, args.export_midi)
 

@@ -65,6 +65,27 @@ def interpolate(model, params, batch_stats, x_a, x_b, *, steps: int = 8, mode: s
     return jax.vmap(decode)(zs)
 
 
+@functools.partial(jax.jit, static_argnames=("model", "steps", "span"))
+def traverse(model, params, batch_stats, x, *, steps: int = 8, span: float = 2.5) -> jax.Array:
+    """Latent traversal: encode one input, then vary each latent dimension
+    across ``±span`` (posterior-σ units) while holding the others at the
+    posterior mean. Returns [latent_dim, steps, H, W, C] — the standard
+    disentanglement visualization (pairs with the β-TC-VAE objective;
+    no reference equivalent).
+    """
+    variables = {"params": params, "batch_stats": batch_stats}
+    enc = model.apply(variables, x[:1], train=False, method=type(model).encode)
+    mu = enc.mu[0]  # [D]
+    sigma = jnp.exp(0.5 * enc.log_var[0])
+    D = mu.shape[0]
+    offsets = jnp.linspace(-span, span, steps)  # [S]
+    # [D, S, D]: dim d varied by offsets·σ_d, others fixed at mu
+    deltas = jnp.eye(D)[:, None, :] * (offsets[None, :, None] * sigma[None, None, :])
+    zs = mu[None, None, :] + deltas
+    decode = lambda z: model.apply(variables, z, train=False, method=type(model).decode)  # noqa: E731
+    return jax.vmap(decode)(zs)  # [D, steps, H, W, C]
+
+
 def reconstruction_grid(stimuli: jax.Array, reconstructions: jax.Array, pairs: int = 8) -> jax.Array:
     """Side-by-side input|reconstruction image grid for logging — the
     wandb grid at train.py:687-701, as a pure array op. Returns [H', W', C]."""

@@ -465,8 +465,9 @@ def train_one_epoch(
                     log_dict[f"training/stepwise/lr-{name}"] = v
                 logger.log(log_dict, step=step_now)
 
-        # Reconstruction image grids for the first batches (train.py:687-701)
-        if config.log_images and logger.wandb_run is not None and batch_idx <= 1:
+        # Reconstruction image grids for the first batches (train.py:687-701);
+        # without wandb the grid lands as a PNG next to the checkpoint
+        if config.log_images and batch_idx <= 1 and (logger.wandb_run is not None or logger.output_dir):
             _log_reconstruction_grid(logger, model, state, batch.x, int(state.step))
 
     total_step = int(state.step)
@@ -476,12 +477,19 @@ def train_one_epoch(
 
 
 def _log_reconstruction_grid(logger, model, state, x, step):
-    import wandb
-
     from midi_vae_tpu.evaluation.inference import reconstruct, reconstruction_grid
 
     recon = reconstruct(model, state.params, state.batch_stats, x[:8], jax.random.PRNGKey(0))
-    grid = reconstruction_grid(x[:8], recon, pairs=8)
-    logger.wandb_run.log(
-        {"training/stepwise/train/reconstruction": wandb.Image(np.asarray(grid))}, step=step
-    )
+    grid = np.asarray(reconstruction_grid(x[:8], recon, pairs=8))
+    if logger.wandb_run is not None:
+        import wandb
+
+        logger.wandb_run.log({"training/stepwise/train/reconstruction": wandb.Image(grid)}, step=step)
+    elif logger.output_dir:
+        from PIL import Image
+
+        arr = np.clip(grid, 0.0, 1.0)
+        arr = (arr[..., 0] if arr.shape[-1] == 1 else arr) * 255
+        Image.fromarray(arr.astype(np.uint8)).save(
+            os.path.join(logger.output_dir, f"reconstruction_step{step:06d}.png")
+        )

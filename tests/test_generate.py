@@ -103,3 +103,54 @@ class TestGenerateCLI:
         files = sorted(os.listdir(mid_dir))
         assert len(files) == 2
         parse_midi(os.path.join(mid_dir, files[0]))  # parses back cleanly
+
+
+class TestTraversal:
+    def test_traverse_shapes(self, trained_checkpoint):
+        import jax
+
+        from midi_vae_tpu.cli.generate import _load_model_and_state
+        from midi_vae_tpu.evaluation.inference import traverse
+
+        model, params, batch_stats, cfg, img, ch, _ = _load_model_and_state(trained_checkpoint)
+        x = jax.numpy.zeros((1, img, img, ch))
+        out = traverse(model, params, batch_stats, x, steps=5)
+        assert out.shape == (model.latent_dim, 5, img, img, ch)
+        # varying a dim must actually change the decode (non-degenerate span)
+        import numpy as np
+
+        assert not np.allclose(np.asarray(out[0, 0]), np.asarray(out[0, -1]))
+
+    def test_traverse_cli(self, trained_checkpoint, tmp_path):
+        from midi_vae_tpu.cli.generate import cli
+
+        out = str(tmp_path / "trav.png")
+        cli(["--checkpoint", trained_checkpoint, "--mode", "traverse", "--steps", "5", "--out", out])
+        assert os.path.isfile(out)
+
+
+def test_local_reconstruction_grid_without_wandb(tmp_path):
+    """log_images without wandb writes PNG grids next to the checkpoint."""
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        arch="MLPVAE",
+        n_features=8,
+        hidden_dims=(64,),
+        epochs=1,
+        batch_size_per_device=16,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "m"),
+        log_images=True,
+        run_name="grid",
+        run_id="grid1",
+    )
+    run(config)
+    out_dir = os.path.dirname(config.checkpoint_path)
+    grids = [f for f in os.listdir(out_dir) if f.startswith("reconstruction_step")]
+    assert len(grids) == 2  # first two batches of epoch 1
