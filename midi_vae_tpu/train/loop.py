@@ -182,8 +182,10 @@ def run(config: TrainConfig) -> dict:
     if config.run_id is None:
         config.run_id = generate_id()
     if not config.checkpoint_path and config.models_dir:
+        # rrd:/abs/path dataset names would otherwise nest directories
+        dataset_component = config.dataset_name.replace("/", "_").replace(":", "_")
         config.model_output_dir = os.path.join(
-            config.models_dir, config.dataset_name, f"{config.run_name}__{config.run_id}"
+            config.models_dir, dataset_component, f"{config.run_name}__{config.run_id}"
         )
         config.checkpoint_path = os.path.join(config.model_output_dir, CHECKPOINT_LATEST)
     print(
