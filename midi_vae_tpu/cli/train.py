@@ -124,6 +124,9 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Total-correlation penalty for --loss-type beta-tc. Default: %(default)s")
     group.add_argument("--fused", action="store_true",
                        help="Use the Pallas fused reparameterization + ELBO kernels.")
+    group.add_argument("--prefetch", type=int, default=2,
+                       help="Batches kept in flight host→device. Raise (e.g. 8-16) on "
+                            "high-latency links to hide transfer time. Default: %(default)s")
     group.add_argument("--multihost", action="store_true",
                        help="Initialize jax.distributed for multi-host (TPU pod) training: one "
                             "process per host, coordinator discovered from the standard JAX env "
@@ -214,6 +217,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         profile_epochs=args.profile_epochs,
         batch_size_per_device=args.batch_size_per_device,
         num_devices=args.num_devices,
+        prefetch=args.prefetch,
         dtype="bfloat16" if args.bf16 else "float32",
         fused=args.fused,
         loss_type=args.loss_type,

@@ -66,6 +66,7 @@ class TrainConfig:
 
     # Hardware (train.py:971-1007)
     batch_size_per_device: int = 128
+    prefetch: int = 2  # batches kept in flight host→device (raise on high-latency links)
     num_devices: Optional[int] = None  # None → all visible devices
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
 

@@ -133,9 +133,11 @@ def run(config: TrainConfig) -> dict:
         from jax.experimental import multihost_utils
 
         seed = int(multihost_utils.broadcast_one_to_all(jnp.int32(seed)))
-    loader_train = make_loader(dataset_train, global_batch_size, train=True, seed=seed, sharding=x_sharding)
-    loader_val = make_loader(dataset_val, global_batch_size, train=False, sharding=x_sharding)
-    loader_test = make_loader(dataset_test, global_batch_size, train=False, sharding=x_sharding)
+    loader_train = make_loader(
+        dataset_train, global_batch_size, train=True, seed=seed, sharding=x_sharding, prefetch=config.prefetch
+    )
+    loader_val = make_loader(dataset_val, global_batch_size, train=False, sharding=x_sharding, prefetch=config.prefetch)
+    loader_test = make_loader(dataset_test, global_batch_size, train=False, sharding=x_sharding, prefetch=config.prefetch)
 
     # OPTIMIZATION (train.py:193-244) =========================================
     lr = scale_lr(config.lr_relative, global_batch_size)
@@ -366,7 +368,9 @@ def run(config: TrainConfig) -> dict:
     dataset_train_eval = fetch_dataset(
         **dataset_args, transform_train=transform_eval, transform_eval=transform_eval
     )[0]
-    loader_train_eval = make_loader(dataset_train_eval, global_batch_size, train=False, sharding=x_sharding)
+    loader_train_eval = make_loader(
+        dataset_train_eval, global_batch_size, train=False, sharding=x_sharding, prefetch=config.prefetch
+    )
     train_eval_stats = evaluate(
         loader_train_eval, model, state, partition_name="Train", seed=seed, eval_step=eval_step
     )
