@@ -23,18 +23,17 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 IMAGE_SIZE = 128
-# batch sweep on TPU v5 lite (f32, sustained 1500-step window): 256→195k,
-# 512→410k, 1024→572k, 2048→1.27M samples/sec/chip; 3072+ exceeds the 16G
-# HBM. 2048 is the knee.
+# throughput is flat in batch size (compute-bound chip; see RESULTS.md);
+# 2048 is the largest batch fitting the 16G HBM at f32 (3072+ OOMs)
 BATCH = int(os.environ.get("MIDI_VAE_BENCH_BATCH", "2048"))
 WARMUP_STEPS = 20
-# at ~1.5M samples/sec a 2048-batch step is ~1.3 ms — 1500 steps ≈ 2 s of
-# steady state, enough to average out tunnel/dispatch jitter
-MEASURE_STEPS = int(os.environ.get("MIDI_VAE_BENCH_STEPS", "1500"))
+# ~24k samples/sec verified ⇒ a 2048 batch step ≈ 85 ms; 300 steps ≈ 26 s
+# of steady state — long enough to average jitter, short enough for the driver
+MEASURE_STEPS = int(os.environ.get("MIDI_VAE_BENCH_STEPS", "300"))
 FUSED = os.environ.get("MIDI_VAE_BENCH_FUSED", "0") == "1"  # Pallas fused ELBO path
-# bf16 toggle (measured SLOWER here: 136k vs 195k samples/sec — the first
-# conv has 1 input channel, so MXU gains nothing and the casts cost VPU)
-BF16 = os.environ.get("MIDI_VAE_BENCH_BF16", "0") == "1"
+# bf16 compute measures 1.45x faster than f32 (24.5k vs 16.9k samples/sec,
+# value-materialization timing) — the MXU-preferred precision is the default
+BF16 = os.environ.get("MIDI_VAE_BENCH_BF16", "1") == "1"
 
 
 def main():
@@ -74,28 +73,52 @@ def main():
     train_step = make_train_step(model, bundle.tx, kl_weight_schedule("constant", 2.5e-4), fused_loss=FUSED)
     x_sharding = batch_sharding(mesh)
 
-    @jax.jit
-    def data_step(key):
-        x, _ = make_pianoroll_batch(key, total_batch, pitches=IMAGE_SIZE, steps=IMAGE_SIZE)
-        return jax.lax.with_sharding_constraint(x, x_sharding)
-
     base_key = jax.random.PRNGKey(1)
 
-    def one_step(state, i):
-        x = data_step(jax.random.fold_in(base_key, i))
-        return train_step(state, x, base_key)
+    # The measurement window runs as lax.scan chunks of SCAN_CHUNK steps:
+    # data generation + train step per iteration with no host involvement
+    # inside a chunk, so the measured time is almost pure device time
+    # (immune to host CPU contention). Chunked rather than one 1500-step
+    # program because the remote TPU executor rejects very long single
+    # executions.
+    def scan_body(state, i):
+        key = jax.random.fold_in(base_key, i)
+        x, _ = make_pianoroll_batch(key, total_batch, pitches=IMAGE_SIZE, steps=IMAGE_SIZE)
+        x = jax.lax.with_sharding_constraint(x, x_sharding)
+        state, lo, _ = train_step(state, x, base_key)
+        return state, lo.loss
 
-    for i in range(WARMUP_STEPS):
-        state, lo, _ = one_step(state, i)
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_steps(state, start, n_steps):
+        return jax.lax.scan(scan_body, state, start + jnp.arange(n_steps))
+
+    SCAN_CHUNK = min(100, MEASURE_STEPS)
+    n_chunks = -(-MEASURE_STEPS // SCAN_CHUNK)
+
+    state, _ = run_steps(state, jnp.int32(0), WARMUP_STEPS)
+    state, _ = run_steps(state, jnp.int32(WARMUP_STEPS), SCAN_CHUNK)  # compile the chunk size
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
-    for i in range(WARMUP_STEPS, WARMUP_STEPS + MEASURE_STEPS):
-        state, lo, _ = one_step(state, i)
-    jax.block_until_ready(state.params)
+    start = WARMUP_STEPS + SCAN_CHUNK
+    losses = None
+    for c in range(n_chunks):
+        state, losses = run_steps(state, jnp.int32(start + c * SCAN_CHUNK), SCAN_CHUNK)
+    # materialize an actual VALUE inside the timed window: on this platform
+    # block_until_ready alone can return before execution finishes for some
+    # dispatch patterns, silently inflating throughput; a host float cannot lie
+    final_loss = float(losses[-1])
     dt = time.perf_counter() - t0
+    MEASURED = n_chunks * SCAN_CHUNK
 
-    samples_per_sec = total_batch * MEASURE_STEPS / dt
+    class _LO:  # final-loss accessor for the report below
+        loss = final_loss
+
+    lo = _LO()
+
+    samples_per_sec = total_batch * MEASURED / dt
     per_chip = samples_per_sec / n_chips
 
     # Inference path: decode-only prior sampling, batch sharded over the data
@@ -118,7 +141,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(50):
         out = sample_step(jax.random.fold_in(base_key, i))
-    jax.block_until_ready(out)
+    float(jnp.sum(out[0]))  # value materialization — see the note above
     gen_per_sec = sample_batch * 50 / (time.perf_counter() - t0) / n_chips
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
@@ -140,7 +163,7 @@ def main():
                 "extra": {
                     "n_chips": n_chips,
                     "batch_per_chip": BATCH,
-                    "steps": MEASURE_STEPS,
+                    "steps": MEASURED,
                     "final_loss": round(float(lo.loss), 5),
                     "backend": devices[0].platform,
                     "fused": FUSED,
