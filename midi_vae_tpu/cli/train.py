@@ -91,6 +91,10 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Output directory for all models. Ignored if --checkpoint is set.")
     group.add_argument("--checkpoint", dest="checkpoint_path", default="", type=str, metavar="PATH",
                        help="Save and resume partially trained model state from this checkpoint.")
+    group.add_argument("--checkpoint-backend", type=str, default="msgpack",
+                       choices=("msgpack", "orbax"),
+                       help="Checkpoint format: one atomic msgpack file (default) or a sharded "
+                            "Orbax directory (multi-host array storage).")
     group.add_argument("--async-checkpoint", action="store_true",
                        help="Write checkpoints on a background thread (the step loop never "
                             "stalls on serialization; at most one write in flight).")
@@ -210,6 +214,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         checkpoint_path=args.checkpoint_path,
         save_best_model=args.save_best_model,
         async_checkpoint=args.async_checkpoint,
+        checkpoint_backend=args.checkpoint_backend,
         seed=args.seed,
         deterministic=args.deterministic,
         debug_nans=args.debug_nans,

@@ -52,14 +52,33 @@ def save_checkpoint(
     encoder_config: Optional[Dict[str, Any]] = None,
     transform_args: Optional[Dict[str, Any]] = None,
     best_epoch: int = 0,
+    backend: str = "msgpack",
     **extra,
 ) -> None:
     """Serialize a checkpoint atomically (utils.py:311-351 semantics).
 
     ``state`` is any pytree (normally a ``TrainState``); it is stored as
     a flax state-dict so it restores into a freshly-built state of the
-    same structure.
+    same structure. ``backend="orbax"`` writes a sharded Orbax directory
+    instead of one msgpack file (``io/orbax_io.py``) — same logical
+    payload either way.
     """
+    if backend == "orbax":
+        from midi_vae_tpu.io.orbax_io import save_checkpoint_orbax
+
+        save_checkpoint_orbax(
+            checkpoint_path,
+            state,
+            config=config or {},
+            epoch=epoch,
+            total_step=total_step,
+            n_samples_seen=n_samples_seen,
+            encoder_config=encoder_config or {},
+            transform_args=transform_args or {},
+            best_epoch=best_epoch,
+            **extra,
+        )
+        return
     os.makedirs(os.path.dirname(os.path.abspath(checkpoint_path)), exist_ok=True)
     payload = {
         "state": _to_numpy(serialization.to_state_dict(state)),
@@ -83,7 +102,12 @@ def save_checkpoint(
 def load_checkpoint(checkpoint_path: str, state_template=None) -> Dict[str, Any]:
     """Load a checkpoint; if ``state_template`` is given, ``"state"`` is
     restored into that pytree structure (device placement deferred to
-    first use)."""
+    first use). Orbax directories (``io/orbax_io.py``) are detected and
+    routed automatically, so resume works across both backends."""
+    from midi_vae_tpu.io.orbax_io import is_orbax_checkpoint, load_checkpoint_orbax
+
+    if is_orbax_checkpoint(checkpoint_path):
+        return load_checkpoint_orbax(checkpoint_path, state_template)
     with open(checkpoint_path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     if state_template is not None:
@@ -136,9 +160,17 @@ class AsyncCheckpointWriter:
 
 
 def copy_best(checkpoint_path: str, best_path: Optional[str] = None) -> str:
-    """Copy the latest checkpoint to the best-model file (train.py:461-464)."""
+    """Copy the latest checkpoint to the best-model file (train.py:461-464).
+    Handles both backends: msgpack files and Orbax directories."""
     import shutil
 
+    if os.path.isdir(checkpoint_path):
+        if best_path is None:
+            best_path = os.path.join(os.path.dirname(checkpoint_path), "best_model.orbax")
+        if os.path.isdir(best_path):
+            shutil.rmtree(best_path)
+        shutil.copytree(checkpoint_path, best_path)
+        return best_path
     if best_path is None:
         best_path = os.path.join(os.path.dirname(checkpoint_path), BEST_MODEL)
     shutil.copyfile(checkpoint_path, best_path)
@@ -157,6 +189,7 @@ NON_RESTORED_KEYS = frozenset(
         "cpu_workers",
         "checkpoint_path",
         "async_checkpoint",
+        "checkpoint_backend",  # resume auto-detects the on-disk format
         "profile_dir",
         "profile_epochs",
     }

@@ -52,6 +52,7 @@ class TrainConfig:
     # Checkpointing (train.py:934-957)
     models_dir: Optional[str] = "models"
     async_checkpoint: bool = False  # background-thread saves (io/checkpoint.py)
+    checkpoint_backend: str = "msgpack"  # msgpack | orbax (io/orbax_io.py)
     checkpoint_path: str = ""
     save_best_model: bool = False
 

@@ -64,10 +64,13 @@ def run(config: TrainConfig) -> dict:
     print(f"\nFound {len(devices)} device(s): {[str(d) for d in devices]}")
 
     # RESTORE OMITTED CONFIG FROM RESUMPTION CHECKPOINT (train.py:59-99) ======
+    from midi_vae_tpu.io.orbax_io import is_orbax_checkpoint
+
     checkpoint_payload = None
     if config.checkpoint_path:
         config.model_output_dir = os.path.dirname(config.checkpoint_path)
-        if not os.path.isfile(config.checkpoint_path):
+        # a checkpoint "exists" as a msgpack file OR a completed Orbax dir
+        if not (os.path.isfile(config.checkpoint_path) or is_orbax_checkpoint(config.checkpoint_path)):
             print(
                 "Skipping premature resumption from preemption: no checkpoint file"
                 f" found at '{config.checkpoint_path}'"
@@ -77,6 +80,8 @@ def run(config: TrainConfig) -> dict:
             checkpoint_payload = load_checkpoint(config.checkpoint_path)
             merged = restore_config(config.to_dict(), checkpoint_payload.get("config", {}))
             config = TrainConfig.from_dict(merged)
+            if is_orbax_checkpoint(config.checkpoint_path):
+                config.checkpoint_backend = "orbax"  # keep writing the format we resumed from
 
     start_epoch = 1 if checkpoint_payload is None else int(checkpoint_payload["epoch"]) + 1
 
@@ -189,7 +194,8 @@ def run(config: TrainConfig) -> dict:
         config.model_output_dir = os.path.join(
             config.models_dir, dataset_component, f"{config.run_name}__{config.run_id}"
         )
-        config.checkpoint_path = os.path.join(config.model_output_dir, CHECKPOINT_LATEST)
+        latest = CHECKPOINT_LATEST if config.checkpoint_backend == "msgpack" else "checkpoint_latest.orbax"
+        config.checkpoint_path = os.path.join(config.model_output_dir, latest)
     print(
         "Model will not be saved."
         if not config.checkpoint_path
@@ -307,6 +313,7 @@ def run(config: TrainConfig) -> dict:
                 transform_args=transform_args,
                 best_epoch=best_stats["best_epoch"],
                 best_metric=best_stats["best_metric"],
+                backend=config.checkpoint_backend,
             )
             host_state = jax.device_get(state)
             if async_writer is not None:

@@ -164,3 +164,40 @@ class TestAsyncWriter:
         payload = load_checkpoint(config.checkpoint_path)
         assert payload["epoch"] == 2
         assert payload["total_step"] == results["total_step"]
+
+
+class TestOrbaxBackend:
+    def _state(self):
+        return {"w": np.arange(12, dtype=np.float32).reshape(3, 4), "step": np.int32(7)}
+
+    def test_roundtrip(self, tmp_path):
+        from midi_vae_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+        from midi_vae_tpu.io.orbax_io import is_orbax_checkpoint
+
+        pytest.importorskip("orbax.checkpoint")
+        path = str(tmp_path / "ckpt_orbax")
+        save_checkpoint(path, self._state(), backend="orbax",
+                        config={"epochs": 5, "hidden_dims": (8, 16)}, epoch=2, total_step=99)
+        assert is_orbax_checkpoint(path)
+        payload = load_checkpoint(path)  # auto-detected backend
+        np.testing.assert_array_equal(payload["state"]["w"], self._state()["w"])
+        assert payload["epoch"] == 2 and payload["total_step"] == 99
+        assert payload["config"]["epochs"] == 5
+
+    def test_template_restore(self, tmp_path):
+        from midi_vae_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+        pytest.importorskip("orbax.checkpoint")
+        path = str(tmp_path / "ckpt_orbax")
+        save_checkpoint(path, self._state(), backend="orbax", epoch=1)
+        template = {"w": np.zeros((3, 4), np.float32), "step": np.int32(0)}
+        payload = load_checkpoint(path, state_template=template)
+        np.testing.assert_array_equal(payload["state"]["w"], self._state()["w"])
+
+    def test_msgpack_still_default(self, tmp_path):
+        from midi_vae_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+        path = str(tmp_path / "ck.msgpack")
+        save_checkpoint(path, self._state(), epoch=3)
+        assert os.path.isfile(path)  # single file, not a directory
+        assert load_checkpoint(path)["epoch"] == 3
