@@ -29,7 +29,7 @@ import numpy as np
 
 def get_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Sample / reconstruct / interpolate from a trained VAE")
-    parser.add_argument("--checkpoint", type=str, required=True, help="Path to a .msgpack checkpoint")
+    parser.add_argument("--checkpoint", type=str, required=True, help="Checkpoint to load: a .msgpack file or an Orbax directory (auto-detected)")
     parser.add_argument("--mode", choices=("sample", "reconstruct", "interpolate", "traverse"), default="sample")
     parser.add_argument("-n", "--num-samples", type=int, default=16)
     parser.add_argument("--steps", type=int, default=8, help="Interpolation steps")

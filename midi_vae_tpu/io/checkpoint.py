@@ -35,6 +35,8 @@ from flax import serialization
 
 CHECKPOINT_LATEST = "checkpoint_latest.msgpack"
 BEST_MODEL = "best_model.msgpack"
+ORBAX_CHECKPOINT_LATEST = "checkpoint_latest.orbax"
+ORBAX_BEST_MODEL = "best_model.orbax"
 
 
 def _to_numpy(tree):
@@ -166,7 +168,7 @@ def copy_best(checkpoint_path: str, best_path: Optional[str] = None) -> str:
 
     if os.path.isdir(checkpoint_path):
         if best_path is None:
-            best_path = os.path.join(os.path.dirname(checkpoint_path), "best_model.orbax")
+            best_path = os.path.join(os.path.dirname(checkpoint_path), ORBAX_BEST_MODEL)
         if os.path.isdir(best_path):
             shutil.rmtree(best_path)
         shutil.copytree(checkpoint_path, best_path)

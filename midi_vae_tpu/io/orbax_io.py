@@ -2,11 +2,13 @@
 
 The default format (``io/checkpoint.py``) is a single msgpack file —
 simple, atomic, dependency-free, right for models that fit one host.
-This module offers Orbax as an alternative for scale: sharded
-multi-host array storage (each process writes its shards) and
-checkpoint-manager retention, while keeping the SAME logical payload
-contract (state + config + counters) so ``restore_config`` and the
-resume path work unchanged.
+This module offers Orbax as an alternative, keeping the SAME logical
+payload contract (state + config + counters) so ``restore_config`` and
+the resume path work unchanged. The save is an all-hosts collective
+(Orbax synchronizes processes internally), so under multi-host training
+every process must call it — the train loop does. State arrays are
+currently gathered to host before writing (fully-addressable arrays);
+per-shard distributed writes are future work.
 
 Select with ``save_checkpoint_orbax`` / ``load_checkpoint_orbax``; a
 checkpoint path is recognized as Orbax when it is a directory created
@@ -17,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any, Dict
 
 import jax
@@ -28,17 +31,36 @@ _META_NAME = "midi_vae_meta.json"
 
 def save_checkpoint_orbax(checkpoint_path: str, state, **meta) -> None:
     """Save ``state`` (a pytree) via Orbax's StandardCheckpointer plus a JSON
-    sidecar for the config/counters (utils.py:344-347 payload parity)."""
+    sidecar for the config/counters (utils.py:344-347 payload parity).
+
+    Crash-safe overwrite: the new checkpoint builds in a staging dir and
+    swaps in via renames, so a preemption mid-save leaves either the old
+    complete checkpoint or (in the brief swap window) no checkpoint at
+    all — never a directory that looks valid but is broken.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(checkpoint_path)
+    staging = path + ".staging"
+    old = path + ".old"
+    is_leader = jax.process_index() == 0
+    if is_leader and os.path.isdir(staging):
+        shutil.rmtree(staging)
     state_dict = serialization.to_state_dict(jax.device_get(state))
+    # collective: every process must reach this call (Orbax barriers inside)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "state"), state_dict, force=True)
-    # sidecar written after the array payload; its presence marks completion
-    with open(os.path.join(path, _META_NAME + ".tmp"), "w") as f:
+        ckptr.save(os.path.join(staging, "state"), state_dict, force=True)
+    if not is_leader:
+        return
+    with open(os.path.join(staging, _META_NAME), "w") as f:
         json.dump(_jsonable(meta), f)
-    os.replace(os.path.join(path, _META_NAME + ".tmp"), os.path.join(path, _META_NAME))
+    # swap: current → .old, staging → current, drop .old
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def load_checkpoint_orbax(checkpoint_path: str, state_template=None) -> Dict[str, Any]:

@@ -35,6 +35,7 @@ from midi_vae_tpu.data.transforms import VALID_TRANSFORMS, get_transform
 from midi_vae_tpu.evaluation.evaluate import evaluate, make_eval_step
 from midi_vae_tpu.io.checkpoint import (
     CHECKPOINT_LATEST,
+    ORBAX_CHECKPOINT_LATEST,
     AsyncCheckpointWriter,
     copy_best,
     load_checkpoint,
@@ -80,8 +81,13 @@ def run(config: TrainConfig) -> dict:
             checkpoint_payload = load_checkpoint(config.checkpoint_path)
             merged = restore_config(config.to_dict(), checkpoint_payload.get("config", {}))
             config = TrainConfig.from_dict(merged)
-            if is_orbax_checkpoint(config.checkpoint_path):
-                config.checkpoint_backend = "orbax"  # keep writing the format we resumed from
+            # keep writing the format we resumed from, in BOTH directions:
+            # saving msgpack onto an orbax dir (or orbax into a .msgpack
+            # file) would crash at the first end-of-epoch save
+            resumed_backend = "orbax" if is_orbax_checkpoint(config.checkpoint_path) else "msgpack"
+            if config.checkpoint_backend != resumed_backend:
+                print(f"Note: resumed a {resumed_backend} checkpoint; saves stay {resumed_backend}.")
+                config.checkpoint_backend = resumed_backend
 
     start_epoch = 1 if checkpoint_payload is None else int(checkpoint_payload["epoch"]) + 1
 
@@ -194,7 +200,7 @@ def run(config: TrainConfig) -> dict:
         config.model_output_dir = os.path.join(
             config.models_dir, dataset_component, f"{config.run_name}__{config.run_id}"
         )
-        latest = CHECKPOINT_LATEST if config.checkpoint_backend == "msgpack" else "checkpoint_latest.orbax"
+        latest = CHECKPOINT_LATEST if config.checkpoint_backend == "msgpack" else ORBAX_CHECKPOINT_LATEST
         config.checkpoint_path = os.path.join(config.model_output_dir, latest)
     print(
         "Model will not be saved."
@@ -239,6 +245,10 @@ def run(config: TrainConfig) -> dict:
     # epoch loop, interpreter shutdown still joins the in-flight write, so
     # every handed-off checkpoint lands on disk (tmp+rename keeps the
     # latest file atomic even under SIGTERM mid-write).
+    if config.async_checkpoint and config.checkpoint_backend == "orbax":
+        # the orbax save is an all-hosts collective; driving it from
+        # background threads risks cross-host barrier deadlocks
+        raise ValueError("--async-checkpoint is not supported with --checkpoint-backend orbax")
     async_writer = AsyncCheckpointWriter() if config.async_checkpoint else None
     profiling = False
     for epoch in range(start_epoch, last_epoch + 1):
@@ -301,9 +311,12 @@ def run(config: TrainConfig) -> dict:
             best_stats["best_metric"] = eval_stats["cross-entropy"]
             best_stats["best_epoch"] = epoch
 
-        # Save (train.py:442-464) — on the leader process
+        # Save (train.py:442-464). msgpack writes on the leader only; the
+        # orbax save is an ALL-hosts collective (it barriers internally), so
+        # every process must enter it — the leader-only parts (meta sidecar,
+        # swap, best copy) are gated inside orbax_io / below.
         t_start_save = time.time()
-        if config.checkpoint_path and is_leader:
+        if config.checkpoint_path and (is_leader or config.checkpoint_backend == "orbax"):
             save_kwargs = dict(
                 config=config.to_dict(),
                 epoch=epoch,
@@ -320,7 +333,7 @@ def run(config: TrainConfig) -> dict:
                 async_writer.save(config.checkpoint_path, host_state, **save_kwargs)
             else:
                 save_checkpoint(config.checkpoint_path, host_state, **save_kwargs)
-            if config.save_best_model and best_stats["best_epoch"] == epoch:
+            if config.save_best_model and best_stats["best_epoch"] == epoch and is_leader:
                 if async_writer is not None:
                     async_writer.wait()  # best copies the completed latest file
                 best_path = copy_best(config.checkpoint_path)
