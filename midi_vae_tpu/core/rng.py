@@ -4,9 +4,18 @@ The reference seeds three RNG libraries and walks a ``random.randint``
 chain to derive per-epoch seeds so preempted jobs resume reproducibly
 (``midi_autoencoder/utils.py:83-160``, ``train.py:345-369``). JAX's
 splittable threefry PRNG makes the same guarantees structurally: we
-*fold* the epoch number and process rank into a root key. Resume at
-epoch N reconstructs exactly the key stream of an uninterrupted run,
-with no RNG state to checkpoint.
+*fold* the epoch number into a root key. Resume at epoch N
+reconstructs exactly the key stream of an uninterrupted run, with no
+RNG state to checkpoint.
+
+Multi-host note: device-side keys are NEVER folded with the process
+rank (the reference offsets its epoch seed by GPU rank,
+train.py:359-369). Under multi-controller SPMD an unsharded jit
+argument must be identical on every process; per-sample decorrelation
+comes from drawing noise over the *global* batch shape from one key
+(models/vae.py reparameterize). Host-side numpy seeds
+(:func:`host_epoch_seed`) may take a process_index where host streams
+legitimately differ.
 """
 
 from __future__ import annotations
@@ -35,16 +44,6 @@ def epoch_key(seed: int, epoch: int) -> jax.Array:
     if epoch == 0:
         raise ValueError("Epoch must be indexed from 1, not 0.")
     return jax.random.fold_in(root_key(seed), epoch)
-
-
-def process_key(key: jax.Array, process_index: int) -> jax.Array:
-    """De-correlate randomness across processes (reference: train.py:359-369).
-
-    The reference offsets the epoch seed by the GPU rank; we fold the
-    process index into the key, which gives independent streams without
-    arithmetic collisions between (seed, rank) pairs.
-    """
-    return jax.random.fold_in(key, process_index)
 
 
 def step_key(key: jax.Array, step: int | jax.Array) -> jax.Array:

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from midi_vae_tpu.core.rng import epoch_key as derive_epoch_key
-from midi_vae_tpu.core.rng import process_key, root_key
+from midi_vae_tpu.core.rng import root_key
 from midi_vae_tpu.data.fetch import fetch_dataset
 from midi_vae_tpu.data.pipeline import DeviceLoader, make_loader
 from midi_vae_tpu.data.registry import image_dataset_sizes
@@ -58,6 +58,10 @@ def run(config: TrainConfig) -> dict:
 
     if config.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    # Batch-sharded reparam noise is drawn from ONE replicated key over the
+    # global batch shape; partitionable threefry lets each shard generate
+    # its rows locally instead of gathering the full noise tensor.
+    jax.config.update("jax_threefry_partitionable", True)
 
     print("\nConfiguration:\n")
     print(config)
@@ -263,8 +267,15 @@ def run(config: TrainConfig) -> dict:
             jax.profiler.stop_trace()
             profiling = False
             print(f"Wrote profiler trace to {config.profile_dir}")
-        # Resume-stable per-epoch randomness (train.py:345-369 semantics)
-        ekey = process_key(derive_epoch_key(seed, epoch), jax.process_index())
+        # Resume-stable per-epoch randomness (train.py:345-369 semantics).
+        # ONE global key on every process: the jitted step treats this
+        # unsharded argument as replicated, so it must be identical across
+        # hosts (multi-controller SPMD contract). Per-sample decorrelation
+        # needs no per-process fold — the reparam noise is drawn over the
+        # GLOBAL batch shape from this single key (models/vae.py:276), so
+        # every sample already gets an independent stream regardless of
+        # which host fed it.
+        ekey = derive_epoch_key(seed, epoch)
 
         n_before = n_samples_seen
         train_stats, state, total_step, n_samples_seen = train_one_epoch(
