@@ -48,6 +48,9 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Name of transform stack (noaug|midi|digits|pianoroll). Default: %(default)s")
     group.add_argument("--image-size", type=int,
                        help="Size of images to use as model input. Default: 32.")
+    group.add_argument("--protoval-split-rate", type=str, default=None,
+                       help="Fraction of the train partition carved into the prototyping val fold,"
+                            " or 'auto' to size it like the test set. Default: 0.1")
 
     # Architecture args (train.py:854-879) ------------------------------------
     group = parser.add_argument_group("Architecture")
@@ -66,11 +69,17 @@ def get_parser() -> argparse.ArgumentParser:
     group.add_argument("--kl-schedule", type=str, default="constant",
                        help="KL weight schedule: constant|multiplicative|linear|cyclical")
     group.add_argument("--kl-warmup-steps", type=int, default=1000)
+    group.add_argument("--log-var-clamp", type=float, nargs=2, default=None, metavar=("MIN", "MAX"),
+                       help="Clamp encoder log-variance to [MIN, MAX] in the loss (the option the"
+                            " reference left commented out, models.py:210-212).")
 
     # Optimization args (train.py:881-932) ------------------------------------
     group = parser.add_argument_group("Optimization routine")
     group.add_argument("--epochs", type=int, default=5,
                        help="Number of epochs to train for. Default: %(default)s")
+    group.add_argument("--stop-after-epochs", type=int, default=None,
+                       help="Train at most N epochs this invocation, then save and exit (preemption"
+                            " simulation / time-budgeted jobs); resume continues toward --epochs.")
     group.add_argument("--lr", dest="lr_relative", type=float, default=0.01,
                        help="Maximum learning rate, set per 128 batch size; scaled linearly by the"
                             " global batch size. Default: %(default)s")
@@ -128,6 +137,10 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Total-correlation penalty for --loss-type beta-tc. Default: %(default)s")
     group.add_argument("--fused", action="store_true",
                        help="Use the Pallas fused reparameterization + ELBO kernels.")
+    group.add_argument("--step-impl", type=str, default="auto", choices=("auto", "shard_map"),
+                       help="Train-step partitioning: jit auto-partitioning (default; global-batch"
+                            " BatchNorm) or the explicit shard_map SPMD step (per-shard BatchNorm,"
+                            " hand-written psum schedule).")
     group.add_argument("--prefetch", type=int, default=2,
                        help="Batches kept in flight host→device. Raise (e.g. 8-16) on "
                             "high-latency links to hide transfer time. Default: %(default)s")
@@ -164,6 +177,13 @@ def get_parser() -> argparse.ArgumentParser:
                        help="YAML config file; CLI flags explicitly set override its values.")
 
     return parser
+
+
+def _parse_split_rate(value):
+    """'auto' stays a string; anything else must parse as a fraction."""
+    if value is None or value == "auto":
+        return value
+    return float(value)
 
 
 def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
@@ -203,7 +223,10 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         kld_weight=args.kld_weight,
         kl_schedule=args.kl_schedule,
         kl_warmup_steps=args.kl_warmup_steps,
+        log_var_clamp=tuple(args.log_var_clamp) if args.log_var_clamp else None,
+        protoval_split_rate=_parse_split_rate(args.protoval_split_rate),
         epochs=args.epochs,
+        stop_after_epochs=args.stop_after_epochs,
         lr_relative=args.lr_relative,
         lr_encoder_mult=args.lr_encoder_mult,
         lr_decoder_mult=args.lr_decoder_mult,
@@ -225,6 +248,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         prefetch=args.prefetch,
         dtype="bfloat16" if args.bf16 else "float32",
         fused=args.fused,
+        step_impl=args.step_impl,
         loss_type=args.loss_type,
         tc_beta=args.tc_beta,
         log_interval=args.log_interval,

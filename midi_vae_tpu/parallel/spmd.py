@@ -1,0 +1,117 @@
+"""Explicit shard_map train step — the hand-written SPMD data-parallel path.
+
+The default trainer path (``train/state.py:make_train_step``) relies on
+jit auto-partitioning: the batch is sharded, XLA infers the gradient
+``psum``. This module is the explicit alternative the reference's
+vestigial DDP intended (SURVEY C12, ``utils.py:209-299``): each shard
+runs the local forward/backward on its slice of the batch, then the
+collectives in :mod:`midi_vae_tpu.parallel.collectives` combine
+gradients and metrics over the ``data`` axis by hand. Use it when you
+want the communication schedule pinned rather than inferred (e.g. to
+overlap or re-order collectives), or as an executable spec of what the
+auto path must compute.
+
+Semantic differences from the auto path, both deliberate:
+
+- **BatchNorm is per-shard** (statistics over the local batch, like
+  per-GPU BN under torch DDP — the reference's single-device BN maps to
+  this under data parallelism; SURVEY §7 asks for the choice to be
+  documented). The auto path computes global-batch BN. Returned running
+  ``batch_stats`` are psum-averaged so the replicated state stays
+  consistent. Models without BN (e.g. ``MLPVAE``) produce bitwise-equal
+  gradients on both paths — proven in ``tests/test_spmd.py``.
+- **Reparameterization noise is decorrelated per shard** by folding
+  ``lax.axis_index("data")`` into the step key *inside* the program —
+  the SPMD-safe home for per-shard randomness that round 1's host-side
+  ``process_key`` fold got wrong (every process passes the identical
+  replicated key; divergence happens on-device, where it is sharded
+  state, not a replicated argument).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from midi_vae_tpu.core.types import LossOutput
+from midi_vae_tpu.losses.elbo import elbo_loss
+from midi_vae_tpu.parallel.collectives import psum_mean
+from midi_vae_tpu.parallel.mesh import DATA_AXIS
+from midi_vae_tpu.train.state import TrainState
+
+
+def make_spmd_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    kl_schedule: Callable,
+    mesh: Mesh,
+    *,
+    log_var_clamp: Optional[Tuple[float, float]] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the explicit-SPMD train step: (state, x, key) → (state, LossOutput, grad_norm).
+
+    ``mesh`` must be 1-D over the ``data`` axis (this is the data-parallel
+    step; tensor parallelism composes through the auto path's sharding
+    rules instead, ``parallel/sharding_rules.py``).
+    """
+    if mesh.axis_names != (DATA_AXIS,):
+        raise ValueError(
+            f"explicit SPMD step needs a 1-D ('{DATA_AXIS}',) mesh, got axes {mesh.axis_names}"
+        )
+
+    def local_step(state: TrainState, x: jax.Array, epoch_key: jax.Array):
+        key = jax.random.fold_in(epoch_key, state.step)
+        # Per-shard decorrelation INSIDE the program (see module docstring).
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                rngs={"reparam": key},
+                mutable=["batch_stats"],
+            )
+            lo = elbo_loss(out, kld_weight=kl_schedule(state.step), log_var_clamp=log_var_clamp)
+            return lo.loss, (lo, mutated["batch_stats"])
+
+        (_, (lo, batch_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        # The hand-written collectives: gradient all-reduce (the reference's
+        # missing DDP sync) and metric reduction. Equal shard sizes make the
+        # mean-of-means the global mean.
+        grads = psum_mean(grads, DATA_AXIS)
+        lo = LossOutput(
+            loss=psum_mean(lo.loss, DATA_AXIS),
+            reconstruction_loss=psum_mean(lo.reconstruction_loss, DATA_AXIS),
+            kld_loss=psum_mean(lo.kld_loss, DATA_AXIS),
+            kl=psum_mean(lo.kl, DATA_AXIS),
+            kld_weight=lo.kld_weight,  # schedule of a replicated step — already equal
+        )
+        batch_stats = psum_mean(batch_stats, DATA_AXIS)  # average per-shard BN running stats
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        grad_norm = optax.global_norm(grads)
+        new_state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        return new_state, lo, grad_norm
+
+    state_spec = P()  # replicated pytree (applied leaf-wise by shard_map)
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_spec, P(DATA_AXIS), P()),
+        out_specs=(state_spec, P(), P()),
+        check_vma=False,  # axis_index-derived keys are intentionally unreplicated
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

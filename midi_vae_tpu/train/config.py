@@ -23,6 +23,9 @@ class TrainConfig:
     allow_download_dataset: bool = False
     transform_type: str = "digits"
     image_size: Optional[int] = None  # None → 32, matching the reference hardcode (train.py:105)
+    # Fraction of train carved into the prototyping val fold, or "auto" to
+    # size it like the test set (reference datasets.py:256-264).
+    protoval_split_rate: Any = 0.1
 
     # Architecture (train.py:854-879)
     arch: str = "VanillaVAE"
@@ -70,6 +73,10 @@ class TrainConfig:
     prefetch: int = 2  # batches kept in flight host→device (raise on high-latency links)
     num_devices: Optional[int] = None  # None → all visible devices
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    # Train-step partitioning: "auto" = jit auto-partitioning (global-batch
+    # BN), "shard_map" = explicit SPMD collectives (per-shard BN, pinned
+    # communication schedule — parallel/spmd.py).
+    step_impl: str = "auto"
 
     # Logging (train.py:1009-1061)
     log_interval: int = 10

@@ -132,6 +132,7 @@ def run(config: TrainConfig) -> dict:
         root=config.data_dir,
         prototyping=config.prototyping,
         download=config.allow_download_dataset,
+        protoval_split_rate=config.protoval_split_rate,
     )
     if config.protoval_split_id is not None:
         dataset_args["protoval_split_id"] = config.protoval_split_id
@@ -181,16 +182,25 @@ def run(config: TrainConfig) -> dict:
     print(f"Model has {n_params:,} parameters")
     state = replicate(state, mesh)
 
-    train_step = make_train_step(
-        model,
-        bundle.tx,
-        kl_sched,
-        log_var_clamp=config.log_var_clamp,
-        fused_loss=config.fused,
-        loss_type=config.loss_type,
-        tc_beta=config.tc_beta,
-        dataset_size=len(dataset_train),
-    )
+    if config.step_impl == "shard_map":
+        if config.fused or config.loss_type != "elbo":
+            raise ValueError("--step-impl shard_map supports the plain ELBO path only")
+        from midi_vae_tpu.parallel.spmd import make_spmd_train_step
+
+        train_step = make_spmd_train_step(
+            model, bundle.tx, kl_sched, mesh, log_var_clamp=config.log_var_clamp
+        )
+    else:
+        train_step = make_train_step(
+            model,
+            bundle.tx,
+            kl_sched,
+            log_var_clamp=config.log_var_clamp,
+            fused_loss=config.fused,
+            loss_type=config.loss_type,
+            tc_beta=config.tc_beta,
+            dataset_size=len(dataset_train),
+        )
     eval_step = make_eval_step(model)
 
     # LOGGING (train.py:246-307) ==============================================

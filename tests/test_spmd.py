@@ -1,0 +1,127 @@
+"""Explicit shard_map train step (parallel/spmd.py) vs the jit-auto path.
+
+The equivalence test uses the MLP VAE (no BatchNorm — the conv model's
+per-shard BN is a documented semantic difference) and neutralizes the
+reparam noise, the ONE part that is decorrelated between the paths by
+design: the fc_var head is pinned to output log_var = -60 (kernel 0,
+bias -60) so z == mu at float32 resolution (std = e^-30), and
+``log_var_clamp=(-60, -60)`` zeroes the KL gradient through log_var.
+SGD (not Adam) keeps the residual ~1e-13 noise-path gradients from
+being preconditioner-amplified. Both paths then compute the exact same
+math, differing only in who wrote the psum.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from midi_vae_tpu.losses.schedules import kl_weight_schedule
+from midi_vae_tpu.models.mlp import MLPVAE
+from midi_vae_tpu.models.registry import build_model
+from midi_vae_tpu.models.vae import param_group_label
+from midi_vae_tpu.parallel.mesh import batch_sharding, make_mesh, make_mesh_2d, replicate
+from midi_vae_tpu.parallel.spmd import make_spmd_train_step
+from midi_vae_tpu.train.optim import build_optimizer
+from midi_vae_tpu.train.state import create_train_state, make_train_step
+
+KL = kl_weight_schedule("constant", 2.5e-4)
+CLAMP = (-60.0, -60.0)  # z == mu at float32 resolution
+
+
+def _setup(model, mesh, n_steps=4, optimizer="AdamW"):
+    bundle = build_optimizer(
+        None, param_group_label, optimizer=optimizer, lr=1e-3, scheduler="OneCycle", total_steps=n_steps
+    )
+    state = create_train_state(model, bundle.tx, jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 1)))
+    state = replicate(state, mesh)
+    x = jax.device_put(
+        np.random.default_rng(1).uniform(0, 1, (16, 16, 16, 1)).astype(np.float32),
+        batch_sharding(mesh),
+    )
+    return bundle, state, x
+
+
+def test_spmd_step_matches_auto_path(eight_devices):
+    mesh = make_mesh(8)
+    model = MLPVAE(in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(32,))
+    bundle, state0, x = _setup(model, mesh, optimizer="SGD")
+    # pin log_var = -60: z == mu at float32 resolution (see module docstring)
+    params = jax.tree_util.tree_map(lambda p: p, state0.params)
+    params["fc_var"]["kernel"] = jnp.zeros_like(params["fc_var"]["kernel"])
+    params["fc_var"]["bias"] = jnp.full_like(params["fc_var"]["bias"], -60.0)
+    state0 = state0.replace(params=params)
+
+    auto_step = make_train_step(model, bundle.tx, KL, log_var_clamp=CLAMP, donate=False)
+    spmd_step = make_spmd_train_step(model, bundle.tx, KL, mesh, log_var_clamp=CLAMP, donate=False)
+
+    sa, sm = state0, state0
+    for _ in range(4):
+        sa, lo_a, gn_a = auto_step(sa, x, jax.random.PRNGKey(7))
+        sm, lo_m, gn_m = spmd_step(sm, x, jax.random.PRNGKey(7))
+        np.testing.assert_allclose(float(lo_a.loss), float(lo_m.loss), rtol=1e-6)
+        np.testing.assert_allclose(float(gn_a), float(gn_m), rtol=1e-5)
+    for pa, pm in zip(jax.tree_util.tree_leaves(sa.params), jax.tree_util.tree_leaves(sm.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pm), rtol=1e-5, atol=1e-7)
+    assert int(sm.step) == 4
+
+
+def test_spmd_step_conv_vae_runs(eight_devices):
+    """Conv VAE (BatchNorm): per-shard BN is the documented semantics —
+    assert the step executes, stays finite, and returns replicated state."""
+    mesh = make_mesh(8)
+    model = build_model("VanillaVAE", in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(8, 16))
+    bundle, state, x = _setup(model, mesh)
+    step = make_spmd_train_step(model, bundle.tx, KL, mesh, donate=False)
+    state, lo, gn = step(state, x, jax.random.PRNGKey(3))
+    assert np.isfinite(float(lo.loss)) and np.isfinite(float(gn))
+    assert int(state.step) == 1
+    # batch_stats were psum-averaged: one consistent replicated value
+    for leaf in jax.tree_util.tree_leaves(state.batch_stats):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_spmd_rejects_non_data_mesh(eight_devices):
+    model = MLPVAE(in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(32,))
+    bundle = build_optimizer(
+        None, param_group_label, optimizer="AdamW", lr=1e-3, scheduler="OneCycle", total_steps=4
+    )
+    mesh2 = make_mesh_2d(4, 2)
+    try:
+        make_spmd_train_step(model, bundle.tx, KL, mesh2)
+    except ValueError as e:
+        assert "1-D" in str(e)
+    else:
+        raise AssertionError("expected ValueError for 2-D mesh")
+
+
+def test_spmd_per_shard_noise_decorrelated(eight_devices):
+    """Without the clamp, shards draw independent reparam noise: the same
+    per-shard slice of a duplicated batch yields different latents across
+    shards (fold of lax.axis_index), while the replicated loss is finite."""
+    mesh = make_mesh(8)
+    model = MLPVAE(in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(32,))
+    bundle, state, _ = _setup(model, mesh)
+    # identical rows on every shard -> any latent difference is noise-driven
+    row = np.random.default_rng(2).uniform(0, 1, (1, 16, 16, 1)).astype(np.float32)
+    x = jax.device_put(np.repeat(row, 16, axis=0).astype(np.float32), batch_sharding(mesh))
+
+    from jax.sharding import PartitionSpec as P
+
+    def local_latents(params, xs, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        out = model.apply({"params": params}, xs, train=True, rngs={"reparam": key})
+        return out.latents
+
+    latents = jax.jit(
+        jax.shard_map(
+            local_latents,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P()),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+    )(state.params, x, jax.random.PRNGKey(0))
+    z = np.asarray(latents)  # [16, 4]; rows 0,2,4,... live on different shards
+    per_shard = z.reshape(8, 2, 4)
+    # identical inputs, per-shard keys: shard means must differ
+    assert np.unique(per_shard.mean(axis=(1, 2))).size == 8

@@ -160,6 +160,42 @@ class TestCLI:
         config = args_to_config(get_parser().parse_args([]), [])
         assert not config.prototyping
 
+    def test_round2_flags_map_to_config(self):
+        """--log-var-clamp / --stop-after-epochs / --protoval-split-rate /
+        --step-impl (VERDICT r1 item 8 + spmd wiring)."""
+        argv = [
+            "--log-var-clamp", "-10", "10",
+            "--stop-after-epochs", "2",
+            "--protoval-split-rate", "auto",
+            "--step-impl", "shard_map",
+        ]
+        config = args_to_config(get_parser().parse_args(argv), argv)
+        assert config.log_var_clamp == (-10.0, 10.0)
+        assert config.stop_after_epochs == 2
+        assert config.protoval_split_rate == "auto"
+        assert config.step_impl == "shard_map"
+        argv = ["--protoval-split-rate", "0.25"]
+        config = args_to_config(get_parser().parse_args(argv), argv)
+        assert config.protoval_split_rate == 0.25
+        assert config.log_var_clamp is None and config.step_impl == "auto"
+
+    def test_shard_map_step_trains_end_to_end(self, tmp_path):
+        """The explicit SPMD step drives a full run() on the virtual mesh."""
+        from midi_vae_tpu.train.loop import run
+
+        c = TrainConfig(
+            dataset_name="vae-lines-synthetic",
+            epochs=1,
+            batch_size_per_device=8,
+            models_dir=str(tmp_path),
+            seed=0,
+            step_impl="shard_map",
+            log_images=False,
+        )
+        r = run(c)
+        assert np.isfinite(r["train"]["loss"])
+        assert r["total_step"] > 0
+
     def test_disable_wandb_overrides(self):
         argv = ["--log-wandb", "--disable-wandb"]
         config = args_to_config(get_parser().parse_args(argv), argv)
