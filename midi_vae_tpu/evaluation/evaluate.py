@@ -30,8 +30,14 @@ import numpy as np
 from midi_vae_tpu.losses.elbo import bce_from_logits
 
 
-def make_eval_step(model) -> Callable:
-    """Build the jitted per-batch metric reducer."""
+def make_eval_step(model, collect_latents: bool = False) -> Callable:
+    """Build the jitted per-batch metric reducer.
+
+    ``collect_latents=True`` builds the diagnostic variant that also
+    returns the per-batch latents (an O(batch x latent) output alive per
+    step); the default variant omits it so the routine per-epoch
+    validation keeps nothing but the reduction scalars on device.
+    """
 
     @jax.jit
     def eval_step(params, batch_stats, x, mask, key):
@@ -62,7 +68,7 @@ def make_eval_step(model) -> Callable:
         mv = mask.reshape(-1, 1)
         kl_dim = -0.5 * (1.0 + lv - jnp.square(mu) - jnp.exp(lv)) * mv
 
-        return {
+        res = {
             "bce_sum": jnp.sum(bce),
             "mse_sum": jnp.sum(sq),
             "mae_sum": jnp.sum(ab),
@@ -75,8 +81,10 @@ def make_eval_step(model) -> Callable:
             "kl_dim_sum": jnp.sum(kl_dim, axis=0),
             "mu_sum": jnp.sum(mu * mv, axis=0),
             "mu_sq_sum": jnp.sum(jnp.square(mu) * mv, axis=0),
-            "latents": out.latents,
         }
+        if collect_latents:
+            res["latents"] = out.latents
+        return res
 
     return eval_step
 
@@ -96,45 +104,65 @@ def evaluate(
 
     Returns ``{count, cross-entropy, mse, mae}`` (+ value ranges), the
     metric names/scalings of evaluation.py:95-101.
+
+    Partials are accumulated as device arrays across the whole stream —
+    the eval pipeline stays fully async (prefetch overlapped with
+    compute) and the host syncs ONCE, at the end, materializing ~15
+    values. (The reference syncs every batch, evaluation.py:73-76; so
+    did round 1 via per-batch ``float()``.) ``collect_latents=True``
+    switches to the diagnostic step variant and copies latents per batch
+    by necessity; the passed ``eval_step`` is ignored in that mode
+    unless it was built with ``collect_latents=True``.
     """
-    step_fn = eval_step if eval_step is not None else make_eval_step(model)
+    if collect_latents:
+        step_fn = make_eval_step(model, collect_latents=True)
+    else:
+        step_fn = eval_step if eval_step is not None else make_eval_step(model)
     base_key = jax.random.PRNGKey(seed)
 
-    totals = {"bce_sum": 0.0, "mse_sum": 0.0, "mae_sum": 0.0, "n_elem": 0.0, "n_samples": 0.0}
-    vec_totals = {"kl_dim_sum": 0.0, "mu_sum": 0.0, "mu_sq_sum": 0.0}
-    stim_min, stim_max = np.inf, -np.inf
-    recon_min, recon_max = np.inf, -np.inf
-    latents = []
+    _SUM = ("bce_sum", "mse_sum", "mae_sum", "n_elem", "n_samples", "kl_dim_sum", "mu_sum", "mu_sq_sum")
+    _MIN = ("stim_min", "recon_min")
+    _MAX = ("stim_max", "recon_max")
 
+    acc = None
+    latents = []
     for i, batch in enumerate(loader.epoch(1)):
         res = step_fn(state.params, state.batch_stats, batch.x, batch.mask, jax.random.fold_in(base_key, i))
-        for k in totals:
-            totals[k] += float(res[k])
-        for k in vec_totals:
-            vec_totals[k] = vec_totals[k] + np.asarray(res[k], np.float64)
-        stim_min = min(stim_min, float(res["stim_min"]))
-        stim_max = max(stim_max, float(res["stim_max"]))
-        recon_min = min(recon_min, float(res["recon_min"]))
-        recon_max = max(recon_max, float(res["recon_max"]))
         if collect_latents:
             valid = np.asarray(batch.mask) > 0
-            latents.append(np.asarray(res["latents"])[valid])
+            latents.append(np.asarray(res.pop("latents"))[valid])
+        if acc is None:
+            acc = dict(res)
+        else:
+            # device-side merge: dispatched async, nothing crosses to host
+            for k in _SUM:
+                acc[k] = acc[k] + res[k]
+            for k in _MIN:
+                acc[k] = jnp.minimum(acc[k], res[k])
+            for k in _MAX:
+                acc[k] = jnp.maximum(acc[k], res[k])
+    if acc is None:
+        raise ValueError("empty evaluation stream")
+
+    totals = jax.device_get(acc)  # the single host sync of the sweep
 
     if verbosity >= 1:
-        print(f"input has range  [{stim_min:.03f}, {stim_max:.03f}]")
-        print(f"output has range [{recon_min:.03f}, {recon_max:.03f}]")
+        print(f"input has range  [{totals['stim_min']:.03f}, {totals['stim_max']:.03f}]")
+        print(f"output has range [{totals['recon_min']:.03f}, {totals['recon_max']:.03f}]")
 
-    n_elem = max(totals["n_elem"], 1.0)
-    n = max(totals["n_samples"], 1.0)
+    n_elem = max(float(totals["n_elem"]), 1.0)
+    n = max(float(totals["n_samples"]), 1.0)
     # active units: dims whose posterior mean varies across the dataset
     # (Var_x(E[z|x]) > 0.01, Burda et al. 2016) — collapsed dims don't count
-    mu_var = vec_totals["mu_sq_sum"] / n - np.square(vec_totals["mu_sum"] / n)
+    mu_var = np.asarray(totals["mu_sq_sum"], np.float64) / n - np.square(
+        np.asarray(totals["mu_sum"], np.float64) / n
+    )
     results: Dict[str, float] = {
         "count": int(totals["n_samples"]),
-        "cross-entropy": totals["bce_sum"] / n_elem,
-        "mse": 100.0 * totals["mse_sum"] / n_elem,  # percentages, evaluation.py:98-100
-        "mae": 100.0 * totals["mae_sum"] / n_elem,
-        "kl": float(np.sum(vec_totals["kl_dim_sum"]) / n),
+        "cross-entropy": float(totals["bce_sum"]) / n_elem,
+        "mse": 100.0 * float(totals["mse_sum"]) / n_elem,  # percentages, evaluation.py:98-100
+        "mae": 100.0 * float(totals["mae_sum"]) / n_elem,
+        "kl": float(np.sum(totals["kl_dim_sum"]) / n),
         "active-units": int(np.sum(mu_var > 0.01)),
     }
     if collect_latents:

@@ -6,13 +6,20 @@ This module offers Orbax as an alternative, keeping the SAME logical
 payload contract (state + config + counters) so ``restore_config`` and
 the resume path work unchanged. The save is an all-hosts collective
 (Orbax synchronizes processes internally), so under multi-host training
-every process must call it — the train loop does. State arrays are
-currently gathered to host before writing (fully-addressable arrays);
-per-shard distributed writes are future work.
+every process must call it — the train loop does. Sharded ``jax.Array``
+leaves are handed to Orbax directly (it writes each process's shards;
+nothing is gathered to one host), so tensor-parallel state whose arrays
+are not fully addressable on any single process still saves.
+
+Crash model of the overwrite swap: the new checkpoint builds in
+``<path>.staging``; the previous one is parked at ``<path>.old`` only
+while a complete replacement exists, and loads fall back to ``.old``
+when ``<path>` is missing — so a preemption at ANY instruction leaves a
+loadable checkpoint behind.
 
 Select with ``save_checkpoint_orbax`` / ``load_checkpoint_orbax``; a
-checkpoint path is recognized as Orbax when it is a directory created
-here (``is_orbax_checkpoint``).
+checkpoint path is recognized as Orbax when it (or its ``.old``
+fallback) is a directory created here (``is_orbax_checkpoint``).
 """
 
 from __future__ import annotations
@@ -20,7 +27,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
@@ -33,10 +40,14 @@ def save_checkpoint_orbax(checkpoint_path: str, state, **meta) -> None:
     """Save ``state`` (a pytree) via Orbax's StandardCheckpointer plus a JSON
     sidecar for the config/counters (utils.py:344-347 payload parity).
 
-    Crash-safe overwrite: the new checkpoint builds in a staging dir and
-    swaps in via renames, so a preemption mid-save leaves either the old
-    complete checkpoint or (in the brief swap window) no checkpoint at
-    all — never a directory that looks valid but is broken.
+    Crash-safe overwrite, in order: (1) build the full checkpoint in a
+    staging dir — the current checkpoint (at ``path`` or ``path.old``)
+    is untouched; (2) park ``path`` at ``path.old`` — deleting a stale
+    ``.old`` only when ``path`` itself is complete; (3) rename staging →
+    ``path``; (4) drop ``.old``. A crash between (2) and (3) leaves no
+    ``path`` but a complete ``path.old``, which load/is_orbax_checkpoint
+    recover (the hole ADVICE r1 flagged: the old code could also delete
+    ``.old`` while it was the only complete checkpoint).
     """
     import orbax.checkpoint as ocp
 
@@ -46,7 +57,9 @@ def save_checkpoint_orbax(checkpoint_path: str, state, **meta) -> None:
     is_leader = jax.process_index() == 0
     if is_leader and os.path.isdir(staging):
         shutil.rmtree(staging)
-    state_dict = serialization.to_state_dict(jax.device_get(state))
+    # Keep jax.Array leaves: Orbax writes each process's addressable shards
+    # (TP/multi-host state is never gathered to one host — ADVICE r1 item 3).
+    state_dict = serialization.to_state_dict(state)
     # collective: every process must reach this call (Orbax barriers inside)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(staging, "state"), state_dict, force=True)
@@ -54,24 +67,44 @@ def save_checkpoint_orbax(checkpoint_path: str, state, **meta) -> None:
         return
     with open(os.path.join(staging, _META_NAME), "w") as f:
         json.dump(_jsonable(meta), f)
-    # swap: current → .old, staging → current, drop .old
-    if os.path.isdir(old):
-        shutil.rmtree(old)
+    # swap: current → .old (only displacing .old when current is complete),
+    # staging → current, then drop .old
     if os.path.exists(path):
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)
 
 
+def _resolve(checkpoint_path: str) -> Optional[str]:
+    """The directory to load: ``path`` if complete, else the ``.old`` parked
+    copy a swap-window crash left behind, else None."""
+    path = os.path.abspath(checkpoint_path)
+    for candidate in (path, path + ".old"):
+        if os.path.isdir(candidate) and os.path.isfile(os.path.join(candidate, _META_NAME)):
+            return candidate
+    return None
+
+
 def load_checkpoint_orbax(checkpoint_path: str, state_template=None) -> Dict[str, Any]:
-    """Load an Orbax checkpoint into the msgpack backend's payload shape."""
+    """Load an Orbax checkpoint into the msgpack backend's payload shape.
+
+    Falls back to ``<path>.old`` when the primary directory is missing
+    (crash between the two swap renames) — resume never silently
+    restarts from epoch 1 while a complete checkpoint exists on disk.
+    """
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(checkpoint_path)
-    with open(os.path.join(path, _META_NAME)) as f:
+    resolved = _resolve(checkpoint_path)
+    if resolved is None:
+        raise FileNotFoundError(f"no Orbax checkpoint at '{checkpoint_path}' (or its .old fallback)")
+    if resolved != os.path.abspath(checkpoint_path):
+        print(f"Recovering checkpoint from swap-window fallback '{resolved}'")
+    with open(os.path.join(resolved, _META_NAME)) as f:
         payload: Dict[str, Any] = json.load(f)
     with ocp.StandardCheckpointer() as ckptr:
-        state_dict = ckptr.restore(os.path.join(path, "state"))
+        state_dict = ckptr.restore(os.path.join(resolved, "state"))
     if state_template is not None:
         state_dict = serialization.from_state_dict(state_template, state_dict)
     payload["state"] = state_dict
@@ -79,7 +112,7 @@ def load_checkpoint_orbax(checkpoint_path: str, state_template=None) -> Dict[str
 
 
 def is_orbax_checkpoint(checkpoint_path: str) -> bool:
-    return os.path.isdir(checkpoint_path) and os.path.isfile(os.path.join(checkpoint_path, _META_NAME))
+    return _resolve(checkpoint_path) is not None
 
 
 def _jsonable(tree):

@@ -42,7 +42,7 @@ from midi_vae_tpu.io.checkpoint import (
     restore_config,
     save_checkpoint,
 )
-from midi_vae_tpu.io.logging import MetricLogger, generate_id, print_epoch_summary
+from midi_vae_tpu.io.logging import MetricLogger, PhaseTimer, generate_id, print_epoch_summary
 from midi_vae_tpu.losses.schedules import kl_weight_schedule
 from midi_vae_tpu.models.registry import build_model
 from midi_vae_tpu.models.vae import param_group_label
@@ -349,7 +349,9 @@ def run(config: TrainConfig) -> dict:
                 best_metric=best_stats["best_metric"],
                 backend=config.checkpoint_backend,
             )
-            host_state = jax.device_get(state)
+            # orbax consumes the live (possibly sharded) arrays — each process
+            # writes only its own shards; msgpack serializes host copies
+            host_state = state if config.checkpoint_backend == "orbax" else jax.device_get(state)
             if async_writer is not None:
                 async_writer.save(config.checkpoint_path, host_state, **save_kwargs)
             else:
@@ -458,7 +460,21 @@ def train_one_epoch(
     t_last_log = t_epoch_start
     steps_since_log = 0
 
-    for batch_idx, batch in enumerate(loader.epoch(epoch)):
+    # Stepwise phase split (reference: train.py:749-756). One XLA program
+    # fuses forward/backward/optimizer, so the *measurable* host phases are:
+    # dataloader = blocked on host batch assembly / the prefetch queue,
+    # device_step = blocked on device-dependent work (dispatch + the metric
+    # sync at log points), logging = metric formatting/emission.
+    timer = PhaseTimer()
+    batches = iter(loader.epoch(epoch))
+    batch_idx = -1
+    while True:
+        timer.mark("dataloader")
+        batch = next(batches, None)
+        if batch is None:
+            break
+        batch_idx += 1
+        timer.mark("device_step")
         with jax.profiler.StepTraceAnnotation("train_step", step_num=batch_idx):
             state, lo, grad_norm = train_step(state, batch.x, epoch_key)
         loss_sum = loss_sum + lo.loss
@@ -484,6 +500,7 @@ def train_one_epoch(
             lr_now = {
                 name: float(s(jnp.int32(step_now - 1))) for name, s in lr_schedules.items()
             }
+            timer.mark("logging")  # device wait above counts as device_step
             if is_print:
                 lr_print = next(iter(lr_now.values())) if lr_now else 0.0
                 print(
@@ -510,12 +527,18 @@ def train_one_epoch(
                 }
                 for name, v in lr_now.items():
                     log_dict[f"training/stepwise/lr-{name}"] = v
+                for phase, secs in timer.durations().items():
+                    log_dict[f"training/stepwise/duration/{phase}"] = secs
+                timer.reset()
                 logger.log(log_dict, step=step_now)
+            timer.mark("device_step")  # tail of the log block until the next fetch
 
         # Reconstruction image grids for the first batches (train.py:687-701);
         # without wandb the grid lands as a PNG next to the checkpoint
         if config.log_images and batch_idx <= 1 and (logger.wandb_run is not None or logger.output_dir):
-            _log_reconstruction_grid(logger, model, state, batch.x, int(state.step))
+            _log_reconstruction_grid(
+                logger, model, state, batch.x, int(state.step), spec=getattr(loader.dataset, "transform", None)
+            )
 
     total_step = int(state.step)
     del last_lo
@@ -523,11 +546,17 @@ def train_one_epoch(
     return stats, state, total_step, n_samples_seen
 
 
-def _log_reconstruction_grid(logger, model, state, x, step):
+def _log_reconstruction_grid(logger, model, state, x, step, spec=None):
+    from midi_vae_tpu.data.transforms import denormalize
     from midi_vae_tpu.evaluation.inference import reconstruct, reconstruction_grid
 
     recon = reconstruct(model, state.params, state.batch_stats, x[:8], jax.random.PRNGKey(0))
-    grid = np.asarray(reconstruction_grid(x[:8], recon, pairs=8))
+    # inputs are normalized (e.g. -0.5..0.5 under the default table) while
+    # reconstructions are sigmoid outputs in 0..1 — denormalize the inputs
+    # so both halves of the grid share the display range (the generate CLI
+    # already does this, cli/generate.py:142-146)
+    inputs = denormalize(spec, x[:8]) if spec is not None else x[:8]
+    grid = np.asarray(reconstruction_grid(inputs, recon, pairs=8))
     if logger.wandb_run is not None:
         import wandb
 

@@ -194,6 +194,42 @@ class TestOrbaxBackend:
         payload = load_checkpoint(path, state_template=template)
         np.testing.assert_array_equal(payload["state"]["w"], self._state()["w"])
 
+    def test_swap_window_crash_recovers_from_old(self, tmp_path):
+        """A preemption between the two swap renames leaves <path>.old as
+        the only complete checkpoint; detection/load must recover it and
+        the next save must re-establish <path> (ADVICE r1, medium)."""
+        from midi_vae_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+        from midi_vae_tpu.io.orbax_io import is_orbax_checkpoint
+
+        pytest.importorskip("orbax.checkpoint")
+        path = str(tmp_path / "ckpt_orbax")
+        save_checkpoint(path, self._state(), backend="orbax", epoch=2, total_step=10)
+        os.rename(path, path + ".old")  # the exact mid-swap crash state
+        assert is_orbax_checkpoint(path)  # resume must NOT restart from scratch
+        payload = load_checkpoint(path)
+        assert payload["epoch"] == 2 and payload["total_step"] == 10
+        # the next save swaps a complete new checkpoint in and clears .old
+        save_checkpoint(path, self._state(), backend="orbax", epoch=3, total_step=15)
+        assert os.path.isdir(path) and not os.path.exists(path + ".old")
+        assert load_checkpoint(path)["epoch"] == 3
+
+    def test_sharded_arrays_roundtrip(self, tmp_path, eight_devices):
+        """Sharded jax.Array leaves are written by Orbax directly (no host
+        gather) and restore to equal values."""
+        import jax
+        import jax.numpy as jnp
+
+        from midi_vae_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+        from midi_vae_tpu.parallel.mesh import batch_sharding, make_mesh
+
+        pytest.importorskip("orbax.checkpoint")
+        mesh = make_mesh(8)
+        w = jax.device_put(jnp.arange(64, dtype=jnp.float32).reshape(16, 4), batch_sharding(mesh))
+        path = str(tmp_path / "ckpt_sharded")
+        save_checkpoint(path, {"w": w, "step": jnp.int32(1)}, backend="orbax", epoch=1)
+        payload = load_checkpoint(path)
+        np.testing.assert_array_equal(np.asarray(payload["state"]["w"]), np.asarray(w))
+
     def test_msgpack_still_default(self, tmp_path):
         from midi_vae_tpu.io.checkpoint import load_checkpoint, save_checkpoint
 

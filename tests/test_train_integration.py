@@ -81,6 +81,10 @@ class TestTrainRun:
         assert any(k.startswith("training/epochwise/") for k in keys)
         assert any(k.startswith("eval/test/") for k in keys)
         assert any(k.startswith("training/stepwise/lr-") for k in keys)
+        # stepwise phase split (reference train.py:749-756; fwd/bwd/opt are
+        # one XLA program, so the measurable phases are these three)
+        for phase in ("dataloader", "device_step", "logging"):
+            assert f"training/stepwise/duration/{phase}" in keys, f"missing duration/{phase}"
 
 
 class TestResume:
