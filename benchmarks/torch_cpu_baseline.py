@@ -34,12 +34,19 @@ from torch import nn
 
 
 class TorchRefVAE(nn.Module):
+    """Reference architecture, with the reference's exact module nesting
+    (models.py:40-83: per-stage nn.Sequential blocks inside encoder/
+    decoder Sequentials) so ``state_dict()`` keys match the reference
+    checkpoints — the layout ``interop/torch_import.py`` consumes."""
+
     def __init__(self, in_ch=1, latent=10, input_dim=128, hidden=(32, 64, 128, 256)):
         super().__init__()
         enc = []
         c = in_ch
         for h in hidden:
-            enc += [nn.Conv2d(c, h, 3, stride=2, padding=1), nn.BatchNorm2d(h), nn.LeakyReLU()]
+            enc.append(
+                nn.Sequential(nn.Conv2d(c, h, 3, stride=2, padding=1), nn.BatchNorm2d(h), nn.LeakyReLU())
+            )
             c = h
         self.encoder = nn.Sequential(*enc)
         s = input_dim
@@ -53,13 +60,15 @@ class TorchRefVAE(nn.Module):
         rev = list(reversed(hidden))
         dec = []
         for i in range(len(rev) - 1):
-            dec += [
-                nn.ConvTranspose2d(rev[i], rev[i + 1], 3, stride=2, padding=1, output_padding=1),
-                nn.BatchNorm2d(rev[i + 1]),
-                nn.LeakyReLU(),
-            ]
+            dec.append(
+                nn.Sequential(
+                    nn.ConvTranspose2d(rev[i], rev[i + 1], 3, stride=2, padding=1, output_padding=1),
+                    nn.BatchNorm2d(rev[i + 1]),
+                    nn.LeakyReLU(),
+                )
+            )
         self.decoder = nn.Sequential(*dec)
-        self.final = nn.Sequential(
+        self.final_layer = nn.Sequential(
             nn.ConvTranspose2d(rev[-1], rev[-1], 3, stride=2, padding=1, output_padding=1),
             nn.BatchNorm2d(rev[-1]),
             nn.LeakyReLU(),
@@ -68,12 +77,20 @@ class TorchRefVAE(nn.Module):
         )
         self.hidden_last = hidden[-1]
 
-    def forward(self, x):
+    def encode(self, x):
         h = self.encoder(x).flatten(1)
-        mu, log_var = self.fc_mu(h), self.fc_var(h)
-        z = mu + torch.randn_like(mu) * torch.exp(0.5 * log_var)
+        return self.fc_mu(h), self.fc_var(h)
+
+    def decode(self, z):
         d = self.decoder_input(z).view(-1, self.hidden_last, self.s, self.s)
-        return self.final(self.decoder(d)), mu, log_var
+        return self.final_layer(self.decoder(d))
+
+    def forward(self, x, eps=None):
+        mu, log_var = self.encode(x)
+        if eps is None:
+            eps = torch.randn_like(mu)
+        z = mu + eps * torch.exp(0.5 * log_var)
+        return self.decode(z), mu, log_var
 
 
 def main():

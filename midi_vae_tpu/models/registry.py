@@ -32,6 +32,7 @@ def build_model(
     dtype=None,
     bn_axis_name=None,
     fused_reparam: bool = False,
+    torch_compat: bool = False,
 ):
     """Construct a model by architecture name (case-insensitive).
 
@@ -52,4 +53,6 @@ def build_model(
         kwargs["bn_axis_name"] = bn_axis_name
     if fused_reparam:
         kwargs["fused_reparam"] = True
+    if torch_compat:
+        kwargs["torch_compat"] = True
     return ctor(**kwargs)

@@ -61,12 +61,48 @@ def conv_output_size(dim: int, num_layers: int, stride: int = 2) -> int:
 _xavier = nn.initializers.xavier_uniform()
 
 
+class TorchConvTranspose(nn.Module):
+    """Bit-exact torch ``ConvTranspose2d(k3, s2, p1, output_padding=1)``.
+
+    Expressed as the dilated convolution it mathematically is: insert
+    s-1 zeros between input rows/cols, pad ``(k-1-p, k-1-p+op)`` =
+    ``(1, 2)`` per spatial dim, and convolve with the spatially-flipped
+    kernel. Kernel is stored HWIO *unflipped* (same shape/layout as
+    ``nn.ConvTranspose``) and flipped at apply time, so a torch weight
+    imports as a plain ``W.transpose(2, 3, 0, 1)``.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.param("kernel", _xavier, (3, 3, x.shape[-1], self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            jnp.flip(k, (0, 1)).astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((1, 2), (1, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b.astype(self.dtype)
+
+
 class ConvBlock(nn.Module):
-    """Conv(k3, s2, SAME) + BatchNorm + LeakyReLU (reference: models.py:43-49)."""
+    """Conv(k3, s2, SAME) + BatchNorm + LeakyReLU (reference: models.py:43-49).
+
+    ``torch_compat=True`` uses the reference's exact padding arithmetic
+    (symmetric (1,1), which for even sizes aligns windows one pixel
+    earlier than XLA SAME) so torch-trained reference weights reproduce
+    bit-level activations — the migration/parity mode.
+    """
 
     features: int
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    torch_compat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -74,7 +110,7 @@ class ConvBlock(nn.Module):
             self.features,
             kernel_size=(3, 3),
             strides=(2, 2),
-            padding="SAME",
+            padding=((1, 1), (1, 1)) if self.torch_compat else "SAME",
             kernel_init=_xavier,
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
@@ -101,18 +137,23 @@ class DeconvBlock(nn.Module):
     features: int
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    torch_compat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = nn.ConvTranspose(
-            self.features,
-            kernel_size=(3, 3),
-            strides=(2, 2),
-            padding="SAME",
-            kernel_init=_xavier,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-        )(x)
+        if self.torch_compat:
+            # same param tree name/shape as the SAME-padded path
+            x = TorchConvTranspose(self.features, dtype=self.dtype, name="ConvTranspose_0")(x)
+        else:
+            x = nn.ConvTranspose(
+                self.features,
+                kernel_size=(3, 3),
+                strides=(2, 2),
+                padding="SAME",
+                kernel_init=_xavier,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -129,11 +170,14 @@ class Encoder(nn.Module):
     hidden_dims: Sequence[int]
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    torch_compat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         for h in self.hidden_dims:
-            x = ConvBlock(h, dtype=self.dtype, bn_axis_name=self.bn_axis_name)(x, train)
+            x = ConvBlock(
+                h, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
+            )(x, train)
         return x
 
 
@@ -143,11 +187,14 @@ class Decoder(nn.Module):
     hidden_dims: Sequence[int]  # reversed order, e.g. (256, 128, 64, 32)
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    torch_compat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         for h in self.hidden_dims[1:]:
-            x = DeconvBlock(h, dtype=self.dtype, bn_axis_name=self.bn_axis_name)(x, train)
+            x = DeconvBlock(
+                h, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
+            )(x, train)
         return x
 
 
@@ -162,10 +209,13 @@ class FinalLayer(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    torch_compat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = DeconvBlock(self.features, dtype=self.dtype, bn_axis_name=self.bn_axis_name)(x, train)
+        x = DeconvBlock(
+            self.features, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
+        )(x, train)
         return nn.Conv(
             self.out_channels,
             kernel_size=(3, 3),
@@ -193,6 +243,11 @@ class VanillaVAE(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     fused_reparam: bool = False  # use the Pallas on-core-PRNG reparam kernel
+    # Reference-exact padding arithmetic (bit-level activation parity with
+    # torch-trained weights — see interop/torch_import.py). The TPU-native
+    # SAME padding is the default; param trees are structurally identical
+    # across the two modes but NOT numerically interchangeable.
+    torch_compat: bool = False
 
     name_tag = "VanillaVAE"
 
@@ -211,18 +266,23 @@ class VanillaVAE(nn.Module):
 
     def setup(self):
         rev = tuple(reversed(self.hidden_dims))
-        self.encoder = Encoder(self.hidden_dims, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        self.encoder = Encoder(
+            self.hidden_dims, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
+        )
         self.fc_mu = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
         self.fc_var = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
         self.decoder_input = nn.Dense(
             self.flattened_size, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype
         )
-        self.decoder = Decoder(rev, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        self.decoder = Decoder(
+            rev, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
+        )
         self.final_layer = FinalLayer(
             rev[-1],
             self.out_channels or self.in_channels,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            torch_compat=self.torch_compat,
         )
 
     def encode(self, x: jax.Array, train: bool = False) -> EncoderOutput:
