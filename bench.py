@@ -10,8 +10,14 @@ real TPU chip under the driver). Prints ONE JSON line.
 recorded in BASELINE_MEASURED.json (measured by
 benchmarks/torch_cpu_baseline.py: same architecture, same image size,
 in-memory data, CPU).
+
+The measurement core is importable (``setup``/``measure_train``/
+``measure_sampling``) so ``benchmarks/measure.py`` can sweep the full
+config matrix in one process and regenerate RESULTS.md from the same
+code path — published and driver-captured numbers cannot drift.
 """
 
+import functools
 import json
 import os
 import sys
@@ -34,10 +40,12 @@ FUSED = os.environ.get("MIDI_VAE_BENCH_FUSED", "0") == "1"  # Pallas fused ELBO 
 # bf16 compute measures 1.45x faster than f32 (24.5k vs 16.9k samples/sec,
 # value-materialization timing) — the MXU-preferred precision is the default
 BF16 = os.environ.get("MIDI_VAE_BENCH_BF16", "1") == "1"
+# encoder stem: "conv" (reference parity) | "s2d" (space-to-depth MXU stem)
+STEM = os.environ.get("MIDI_VAE_BENCH_STEM", "conv")
 
 
-def main():
-    from midi_vae_tpu.data.synthetic import make_pianoroll_batch
+def setup(batch=BATCH, bf16=True, fused=False, stem="conv"):
+    """Build (model, state, train_step, mesh, shardings) for one config."""
     from midi_vae_tpu.losses.schedules import kl_weight_schedule
     from midi_vae_tpu.models import VanillaVAE
     from midi_vae_tpu.models.vae import param_group_label
@@ -48,39 +56,52 @@ def main():
     devices = jax.devices()
     n_chips = len(devices)
     mesh = make_mesh(n_chips)
-
     model = VanillaVAE(
         in_channels=1,
         latent_dim=10,
         input_dim=IMAGE_SIZE,
         hidden_dims=(32, 64, 128, 256),
-        fused_reparam=FUSED,
-        dtype=jnp.bfloat16 if BF16 else jnp.float32,
+        fused_reparam=fused,
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        stem=stem,
     )
-    total_batch = BATCH * n_chips
     bundle = build_optimizer(
-        None,
-        param_group_label,
-        optimizer="AdamW",
-        lr=1e-3,
-        scheduler="OneCycle",
-        total_steps=10000,
+        None, param_group_label, optimizer="AdamW", lr=1e-3, scheduler="OneCycle", total_steps=10000
     )
     state = create_train_state(
         model, bundle.tx, jax.random.PRNGKey(0), jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 1), jnp.float32)
     )
     state = replicate(state, mesh)
-    train_step = make_train_step(model, bundle.tx, kl_weight_schedule("constant", 2.5e-4), fused_loss=FUSED)
-    x_sharding = batch_sharding(mesh)
+    train_step = make_train_step(model, bundle.tx, kl_weight_schedule("constant", 2.5e-4), fused_loss=fused)
+    return {
+        "model": model,
+        "state": state,
+        "train_step": train_step,
+        "mesh": mesh,
+        "n_chips": n_chips,
+        "total_batch": batch * n_chips,
+        "x_sharding": batch_sharding(mesh),
+        "backend": devices[0].platform,
+    }
 
+
+def measure_train(ctx, steps=MEASURE_STEPS, warmup=WARMUP_STEPS):
+    """Timed training window. Returns (samples/sec/chip, final_loss, steps).
+
+    Runs as ``lax.scan`` chunks (no host involvement inside a chunk; the
+    remote executor rejects very long single programs) and materializes a
+    host VALUE inside the timed window — on this platform
+    ``block_until_ready`` alone can return before execution finishes for
+    some dispatch patterns, silently inflating throughput.
+    """
+    from midi_vae_tpu.data.synthetic import make_pianoroll_batch
+
+    state = ctx["state"]
+    train_step = ctx["train_step"]
+    total_batch = ctx["total_batch"]
+    x_sharding = ctx["x_sharding"]
     base_key = jax.random.PRNGKey(1)
 
-    # The measurement window runs as lax.scan chunks of SCAN_CHUNK steps:
-    # data generation + train step per iteration with no host involvement
-    # inside a chunk, so the measured time is almost pure device time
-    # (immune to host CPU contention). Chunked rather than one 1500-step
-    # program because the remote TPU executor rejects very long single
-    # executions.
     def scan_body(state, i):
         key = jax.random.fold_in(base_key, i)
         x, _ = make_pianoroll_batch(key, total_batch, pitches=IMAGE_SIZE, steps=IMAGE_SIZE)
@@ -88,45 +109,42 @@ def main():
         state, lo, _ = train_step(state, x, base_key)
         return state, lo.loss
 
-    import functools
-
     @functools.partial(jax.jit, static_argnums=(2,))
     def run_steps(state, start, n_steps):
         return jax.lax.scan(scan_body, state, start + jnp.arange(n_steps))
 
-    SCAN_CHUNK = min(100, MEASURE_STEPS)
-    n_chunks = -(-MEASURE_STEPS // SCAN_CHUNK)
+    scan_chunk = min(100, steps)
+    n_chunks = -(-steps // scan_chunk)
 
-    state, _ = run_steps(state, jnp.int32(0), WARMUP_STEPS)
-    state, _ = run_steps(state, jnp.int32(WARMUP_STEPS), SCAN_CHUNK)  # compile the chunk size
+    state, _ = run_steps(state, jnp.int32(0), warmup)
+    state, _ = run_steps(state, jnp.int32(warmup), scan_chunk)  # compile the chunk size
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
-    start = WARMUP_STEPS + SCAN_CHUNK
+    start = warmup + scan_chunk
     losses = None
     for c in range(n_chunks):
-        state, losses = run_steps(state, jnp.int32(start + c * SCAN_CHUNK), SCAN_CHUNK)
-    # materialize an actual VALUE inside the timed window: on this platform
-    # block_until_ready alone can return before execution finishes for some
-    # dispatch patterns, silently inflating throughput; a host float cannot lie
-    final_loss = float(losses[-1])
+        state, losses = run_steps(state, jnp.int32(start + c * scan_chunk), scan_chunk)
+    final_loss = float(losses[-1])  # value materialization closes the window
     dt = time.perf_counter() - t0
-    MEASURED = n_chunks * SCAN_CHUNK
+    measured = n_chunks * scan_chunk
 
-    class _LO:  # final-loss accessor for the report below
-        loss = final_loss
+    ctx["state"] = state
+    per_chip = total_batch * measured / dt / ctx["n_chips"]
+    return per_chip, final_loss, measured
 
-    lo = _LO()
 
-    samples_per_sec = total_batch * MEASURED / dt
-    per_chip = samples_per_sec / n_chips
-
-    # Inference path: decode-only prior sampling, batch sharded over the data
-    # mesh (replicated decode would make the per-chip division wrong).
+def measure_sampling(ctx, iters=50, repeats=1):
+    """Decode-only prior sampling (serving path), batch sharded over the
+    data mesh. Returns a list of per-repeat samples/sec/chip rates —
+    repeat to quantify run-to-run variance (RESULTS.md reports it)."""
     from jax.sharding import NamedSharding, PartitionSpec
 
-    sample_batch = total_batch
-    z_sharding = NamedSharding(mesh, PartitionSpec("data", None))
+    model = ctx["model"]
+    state = ctx["state"]
+    sample_batch = ctx["total_batch"]
+    z_sharding = NamedSharding(ctx["mesh"], PartitionSpec("data", None))
+    base_key = jax.random.PRNGKey(2)
 
     @jax.jit
     def sample_step(key):
@@ -138,36 +156,46 @@ def main():
         )
 
     jax.block_until_ready(sample_step(base_key))
-    t0 = time.perf_counter()
-    for i in range(50):
-        out = sample_step(jax.random.fold_in(base_key, i))
-    float(jnp.sum(out[0]))  # value materialization — see the note above
-    gen_per_sec = sample_batch * 50 / (time.perf_counter() - t0) / n_chips
+    rates = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = sample_step(jax.random.fold_in(base_key, r * iters + i))
+        float(jnp.sum(out[0]))  # value materialization — see measure_train
+        rates.append(sample_batch * iters / (time.perf_counter() - t0) / ctx["n_chips"])
+    return rates
 
+
+def read_baseline():
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
-    vs_baseline = None
     if os.path.isfile(baseline_path):
         with open(baseline_path) as f:
-            baseline = json.load(f)
-        ref = baseline.get("torch_cpu_samples_per_sec")
-        if ref:
-            vs_baseline = per_chip / ref
+            return json.load(f).get("torch_cpu_samples_per_sec")
+    return None
 
+
+def main():
+    ctx = setup(batch=BATCH, bf16=BF16, fused=FUSED, stem=STEM)
+    per_chip, final_loss, measured = measure_train(ctx)
+    gen_per_sec = measure_sampling(ctx)[0]
+    ref = read_baseline()
     print(
         json.dumps(
             {
                 "metric": "train_throughput_pianoroll_128px",
                 "value": round(per_chip, 2),
                 "unit": "samples/sec/chip",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline is not None else None,
+                "vs_baseline": round(per_chip / ref, 2) if ref else None,
                 "extra": {
-                    "n_chips": n_chips,
+                    "n_chips": ctx["n_chips"],
                     "batch_per_chip": BATCH,
-                    "steps": MEASURED,
-                    "final_loss": round(float(lo.loss), 5),
-                    "backend": devices[0].platform,
+                    "steps": measured,
+                    "final_loss": round(final_loss, 5),
+                    "backend": ctx["backend"],
                     "fused": FUSED,
                     "dtype": "bfloat16" if BF16 else "float32",
+                    "stem": STEM,
                     "sample_throughput_per_chip": round(gen_per_sec, 2),
                 },
             }

@@ -56,6 +56,9 @@ def get_parser() -> argparse.ArgumentParser:
     group = parser.add_argument_group("Architecture")
     group.add_argument("--model", "--encoder", "--arch", "--architecture", dest="arch", type=str,
                        default="VanillaVAE", help="Model architecture name. Default: %(default)s")
+    group.add_argument("--stem", type=str, default="conv", choices=("conv", "s2d"),
+                       help="Encoder stem: reference stride-2 conv, or space-to-depth fold + "
+                            "stride-1 conv (better MXU fill on 1-channel inputs).")
     group.add_argument("--freeze-encoder", action="store_true")
     group.add_argument("--n_features", "--latent-dim", dest="n_features", type=int, default=10,
                        help="Latent dimensionality. Default: %(default)s")
@@ -117,6 +120,9 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Fully deterministic execution (fixed PRNG keys; XLA is deterministic).")
     group.add_argument("--debug-nans", action="store_true",
                        help="Enable jax_debug_nans NaN checking.")
+    group.add_argument("--verbose", action="store_true",
+                       help="Trace tensor shapes/ranges at each model forward stage "
+                            "(jax.debug.print; the reference's models.py verbose mode).")
     group.add_argument("--profile-dir", type=str, default=None,
                        help="Write a jax.profiler trace (TensorBoard/xprof format) for the "
                             "first --profile-epochs epochs to this directory.")
@@ -217,6 +223,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         transform_type=args.transform_type,
         image_size=args.image_size,
         arch=args.arch,
+        stem=args.stem,
         freeze_encoder=args.freeze_encoder,
         n_features=args.n_features,
         hidden_dims=tuple(args.hidden_dims) if args.hidden_dims else None,
@@ -241,6 +248,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         seed=args.seed,
         deterministic=args.deterministic,
         debug_nans=args.debug_nans,
+        verbose=args.verbose,
         profile_dir=args.profile_dir,
         profile_epochs=args.profile_epochs,
         batch_size_per_device=args.batch_size_per_device,

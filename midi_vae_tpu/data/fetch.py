@@ -144,8 +144,18 @@ def fetch_image_dataset(
         dataset_test = load_mnist(root, train=False).with_transform(transform_eval)
         dataset_val = None
     elif dataset == "svhn":
-        dataset_train = load_svhn(os.path.join(root, dataset), "train").with_transform(transform_train)
-        dataset_test = load_svhn(os.path.join(root, dataset), "test").with_transform(transform_eval)
+        svhn_root = os.path.join(root, dataset)
+        try:
+            dataset_train = load_svhn(svhn_root, "train")
+        except FileNotFoundError:
+            if not download:
+                raise
+            from midi_vae_tpu.data.sources import download_svhn
+
+            download_svhn(svhn_root)
+            dataset_train = load_svhn(svhn_root, "train")
+        dataset_train = dataset_train.with_transform(transform_train)
+        dataset_test = load_svhn(svhn_root, "test").with_transform(transform_eval)
         dataset_val = None
     else:
         raise ValueError("Unrecognised dataset: {}".format(dataset))

@@ -317,6 +317,30 @@ _MNIST_FILES = [
 ]
 
 
+_SVHN_URL = "http://ufldl.stanford.edu/housenumbers/"
+_SVHN_FILES = ["train_32x32.mat", "test_32x32.mat"]
+
+
+def download_svhn(root: str) -> None:
+    """Fetch the SVHN cropped-digit .mat files — capability parity with
+    ``torchvision.datasets.SVHN(download=True)`` (reference
+    datasets.py:147-159; same upstream URLs torchvision uses).
+    Requires network egress."""
+    import urllib.request
+
+    os.makedirs(root, exist_ok=True)
+    for fname in _SVHN_FILES:
+        dest = os.path.join(root, fname)
+        if os.path.isfile(dest):
+            continue
+        tmp = dest + ".tmp"
+        try:
+            urllib.request.urlretrieve(_SVHN_URL + fname, tmp)
+        except OSError as e:  # pragma: no cover - network-dependent
+            raise RuntimeError(f"Could not download {fname} from {_SVHN_URL}: {e}")
+        os.rename(tmp, dest)
+
+
 def download_mnist(root: str) -> None:
     """Fetch the MNIST IDX files (capability parity with torchvision's
     ``download=True``, datasets.py:129; requires network egress)."""

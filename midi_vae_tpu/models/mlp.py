@@ -32,6 +32,7 @@ class MLPVAE(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None  # unused; kept for constructor parity
     fused_reparam: bool = False
+    verbose: bool = False  # forward range tracing (see vae.trace_range)
 
     name_tag = "MLPVAE"
 
@@ -59,9 +60,13 @@ class MLPVAE(nn.Module):
         )
 
     def encode(self, x: jax.Array, train: bool = False) -> EncoderOutput:
+        from midi_vae_tpu.models.vae import trace_range
+
+        trace_range(self.verbose, "encode/input", x)
         h = x.reshape(x.shape[0], -1)
         for layer in self.encoder:
             h = nn.leaky_relu(layer(h), negative_slope=0.01)
+        trace_range(self.verbose, "encode/hidden", h)
         return EncoderOutput(mu=self.fc_mu(h), log_var=self.fc_var(h), pre_latents=h)
 
     def decode_logits(self, z: jax.Array, train: bool = False) -> jax.Array:

@@ -33,6 +33,8 @@ def build_model(
     bn_axis_name=None,
     fused_reparam: bool = False,
     torch_compat: bool = False,
+    stem: str = "conv",
+    verbose: bool = False,
 ):
     """Construct a model by architecture name (case-insensitive).
 
@@ -55,4 +57,8 @@ def build_model(
         kwargs["fused_reparam"] = True
     if torch_compat:
         kwargs["torch_compat"] = True
+    if stem != "conv":
+        kwargs["stem"] = stem
+    if verbose:
+        kwargs["verbose"] = True
     return ctor(**kwargs)

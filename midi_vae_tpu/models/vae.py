@@ -45,6 +45,25 @@ import jax.numpy as jnp
 from midi_vae_tpu.core.types import EncoderOutput, ModelOutput
 
 
+def trace_range(verbose: bool, name: str, x: jax.Array) -> None:
+    """Verbose forward tracing (reference: ``models.py:126-173``).
+
+    The reference prints shape/min/max at each forward stage under its
+    ``verbose`` flag — host-side prints that force device syncs every
+    call. The jit-safe equivalent: shapes are static (formatted at trace
+    time), value ranges stream through ``jax.debug.print`` without
+    breaking the compiled program. Zero ops inserted when ``verbose`` is
+    falsy.
+    """
+    if not verbose:
+        return
+    jax.debug.print(
+        name + " shape=" + str(tuple(x.shape)) + " min={mn} max={mx}",
+        mn=jnp.min(x).astype(jnp.float32),
+        mx=jnp.max(x).astype(jnp.float32),
+    )
+
+
 def conv_output_size(dim: int, num_layers: int, stride: int = 2) -> int:
     """Spatial size after ``num_layers`` stride-2 SAME convolutions.
 
@@ -164,6 +183,49 @@ class DeconvBlock(nn.Module):
         return nn.leaky_relu(x, negative_slope=0.01)
 
 
+class S2DStem(nn.Module):
+    """Space-to-depth stem: fold 2×2 spatial blocks into channels, then a
+    stride-1 conv — same [B, H/2, W/2, features] output as the stride-2
+    ConvBlock it replaces.
+
+    MXU rationale (docs/DESIGN.md "known headroom"): the reference stem
+    convolves a 1-channel input, so the systolic array contracts over
+    k·k·C_in = 9 values — a sliver of its 128-wide dimension. Folding
+    2×2 blocks quadruples C_in (contracting dim 36) at identical output
+    shape. Opt-in (``stem="s2d"``); the reference-parity architecture
+    stays the default.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        b, h, w, c = x.shape
+        if h % 2 or w % 2:
+            raise ValueError(f"s2d stem needs even spatial dims, got {h}x{w}")
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        x = nn.Conv(
+            self.features,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding="SAME",
+            kernel_init=_xavier,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.bn_axis_name if train else None,
+            dtype=self.dtype,
+        )(x)
+        return nn.leaky_relu(x, negative_slope=0.01)
+
+
 class Encoder(nn.Module):
     """Stride-2 conv stack (reference: models.py:40-51)."""
 
@@ -171,13 +233,17 @@ class Encoder(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     torch_compat: bool = False
+    stem: str = "conv"  # "conv" (reference parity) | "s2d" (space-to-depth)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        for h in self.hidden_dims:
-            x = ConvBlock(
-                h, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
-            )(x, train)
+        for i, h in enumerate(self.hidden_dims):
+            if i == 0 and self.stem == "s2d":
+                x = S2DStem(h, dtype=self.dtype, bn_axis_name=self.bn_axis_name)(x, train)
+            else:
+                x = ConvBlock(
+                    h, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
+                )(x, train)
         return x
 
 
@@ -248,6 +314,12 @@ class VanillaVAE(nn.Module):
     # SAME padding is the default; param trees are structurally identical
     # across the two modes but NOT numerically interchangeable.
     torch_compat: bool = False
+    # Encoder stem: "conv" (reference parity) or "s2d" (space-to-depth fold
+    # before the first conv — fills the MXU contracting dim, see S2DStem).
+    stem: str = "conv"
+    # Verbose forward range tracing (reference models.py:126-173) via
+    # jax.debug.print — jit-safe, zero cost when off.
+    verbose: bool = False
 
     name_tag = "VanillaVAE"
 
@@ -266,8 +338,14 @@ class VanillaVAE(nn.Module):
 
     def setup(self):
         rev = tuple(reversed(self.hidden_dims))
+        if self.torch_compat and self.stem != "conv":
+            raise ValueError("torch_compat requires the reference stem (stem='conv')")
         self.encoder = Encoder(
-            self.hidden_dims, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
+            self.hidden_dims,
+            dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name,
+            torch_compat=self.torch_compat,
+            stem=self.stem,
         )
         self.fc_mu = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
         self.fc_var = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
@@ -287,10 +365,14 @@ class VanillaVAE(nn.Module):
 
     def encode(self, x: jax.Array, train: bool = False) -> EncoderOutput:
         """Conv stack → flatten → (mu, log_var) (reference: models.py:107-145)."""
+        trace_range(self.verbose, "encode/input", x)
         h = self.encoder(x, train)
+        trace_range(self.verbose, "encode/conv_out", h)
         h = h.reshape(h.shape[0], -1)
         mu = self.fc_mu(h)
         log_var = self.fc_var(h)
+        trace_range(self.verbose, "encode/mu", mu)
+        trace_range(self.verbose, "encode/log_var", log_var)
         return EncoderOutput(mu=mu, log_var=log_var, pre_latents=h)
 
     def decode_logits(self, z: jax.Array, train: bool = False) -> jax.Array:
@@ -302,10 +384,14 @@ class VanillaVAE(nn.Module):
         because of its 32 px hardcode (train.py:105).
         """
         s = self.last_conv_size
+        trace_range(self.verbose, "decode/latents", z)
         h = self.decoder_input(z)
         h = h.reshape(-1, s, s, self.hidden_dims[-1])
+        trace_range(self.verbose, "decode/decoder_input", h)
         h = self.decoder(h, train)
+        trace_range(self.verbose, "decode/deconv_out", h)
         logits = self.final_layer(h, train)
+        trace_range(self.verbose, "decode/logits", logits)
         d = self.decoded_size
         if d != self.input_dim:
             off = (d - self.input_dim) // 2

@@ -29,6 +29,7 @@ class TrainConfig:
 
     # Architecture (train.py:854-879)
     arch: str = "VanillaVAE"
+    stem: str = "conv"  # conv (reference parity) | s2d (space-to-depth MXU stem)
     freeze_encoder: bool = False
     n_features: int = 10  # latent dim
     hidden_dims: Tuple[int, ...] = (32, 64, 128, 256)
@@ -63,6 +64,7 @@ class TrainConfig:
     seed: Optional[int] = None
     deterministic: bool = False
     debug_nans: bool = False
+    verbose: bool = False  # model-internal forward range tracing (models.py:126-173)
     # Profiling (SURVEY §5: jax.profiler.trace + StepTraceAnnotation replace
     # the reference's manual torch.cuda.Event timing, train.py:632-655)
     profile_dir: Optional[str] = None

@@ -111,6 +111,8 @@ def run(config: TrainConfig) -> dict:
         hidden_dims=config.hidden_dims,
         dtype=dtype,
         fused_reparam=config.fused,
+        stem=config.stem,
+        verbose=config.verbose,
     )
     encoder_config = {"input_size": config.image_size, "n_feature": config.n_features}
 

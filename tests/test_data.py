@@ -255,3 +255,42 @@ class TestDeviceLoader:
         loader = DeviceLoader(self._dataset(64), 32, train=True, seed=0, sharding=sharding)
         batch = next(iter(loader.epoch(1)))
         assert batch.x.sharding.is_equivalent_to(NamedSharding(mesh, P("data")), batch.x.ndim)
+
+
+class TestSVHNDownload:
+    """SVHN download parity (reference datasets.py:147-159 via torchvision
+    download=True). Network egress is unavailable in CI, so the download
+    transport is mocked; the wiring (miss -> fetch -> load) is real."""
+
+    def _fake_mat(self, path, n=12):
+        import scipy.io
+
+        rng = np.random.default_rng(0)
+        scipy.io.savemat(
+            path,
+            {
+                "X": rng.integers(0, 256, (32, 32, 3, n), dtype=np.uint8),
+                "y": rng.integers(1, 11, (n, 1)).astype(np.uint8),
+            },
+        )
+
+    def test_missing_without_download_raises(self, tmp_path):
+        from midi_vae_tpu.data.fetch import fetch_image_dataset
+
+        with pytest.raises(FileNotFoundError):
+            fetch_image_dataset("svhn", root=str(tmp_path), download=False)
+
+    def test_download_flag_fetches_and_loads(self, tmp_path, monkeypatch):
+        import urllib.request
+
+        from midi_vae_tpu.data.fetch import fetch_image_dataset
+
+        def fake_retrieve(url, dest):
+            assert url.startswith("http://ufldl.stanford.edu/housenumbers/")
+            self._fake_mat(dest)
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+        train, val, test = fetch_image_dataset("svhn", root=str(tmp_path), download=True)
+        assert len(train) == 12 and len(test) == 12
+        assert train.images.shape == (12, 32, 32, 3)  # HWCN -> NHWC
+        assert set(np.unique(train.labels)) <= set(range(10))  # "10" remapped to 0

@@ -52,6 +52,68 @@ def test_forward_shapes(input_dim):
     assert float(out.output.max()) <= 1.0
 
 
+@pytest.mark.parametrize("input_dim", [32, 128])
+def test_s2d_stem_shapes_and_training(input_dim):
+    """Space-to-depth stem: same interface/shape contract as the reference
+    stem; a gradient step moves its parameters (it trains)."""
+    from midi_vae_tpu.models.vae import VanillaVAE
+
+    model = VanillaVAE(in_channels=1, latent_dim=10, input_dim=input_dim, hidden_dims=(32, 64), stem="s2d")
+    x = jnp.ones((4, input_dim, input_dim, 1), jnp.float32) * 0.5
+    variables = model.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, x, train=True)
+    out, _ = model.apply(
+        variables, x, train=True, rngs={"reparam": jax.random.PRNGKey(2)}, mutable=["batch_stats"]
+    )
+    assert out.output.shape == (4, input_dim, input_dim, 1)
+    assert "S2DStem_0" in variables["params"]["encoder"]
+    # stem conv contracts over 3*3*4 inputs (vs 9 for the 1-channel reference stem)
+    assert variables["params"]["encoder"]["S2DStem_0"]["Conv_0"]["kernel"].shape == (3, 3, 4, 32)
+
+    def loss(params):
+        o, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, rngs={"reparam": jax.random.PRNGKey(2)}, mutable=["batch_stats"],
+        )
+        return jnp.mean((o.output - x) ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    g = grads["encoder"]["S2DStem_0"]["Conv_0"]["kernel"]
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_verbose_range_tracing(capfd):
+    """Verbose mode streams shape/range lines from inside jit via
+    jax.debug.print (reference models.py:126-173 equivalent)."""
+    from midi_vae_tpu.models.vae import VanillaVAE
+
+    model = VanillaVAE(in_channels=1, latent_dim=4, input_dim=32, hidden_dims=(8, 16), verbose=True)
+    x = jnp.ones((2, 32, 32, 1), jnp.float32) * 0.5
+    variables = model.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, x, train=True)
+
+    @jax.jit
+    def fwd(v, x):
+        return model.apply(v, x, train=False, rngs={"reparam": jax.random.PRNGKey(2)}).output
+
+    jax.block_until_ready(fwd(variables, x))
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    for stage in ("encode/input", "encode/mu", "decode/latents", "decode/logits"):
+        assert stage in out, f"missing trace for {stage}: {out[:400]}"
+    assert "shape=(2, 32, 32, 1)" in out
+
+
+def test_s2d_rejects_torch_compat():
+    from midi_vae_tpu.models.vae import VanillaVAE
+
+    model = VanillaVAE(in_channels=1, latent_dim=4, input_dim=32, hidden_dims=(8, 16), stem="s2d", torch_compat=True)
+    with pytest.raises(ValueError, match="reference stem"):
+        model.init(
+            {"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 32, 32, 1)),
+            train=True,
+        )
+
+
 def test_eval_mode_uses_running_stats():
     model, variables = make_model()
     x = jnp.ones((4, 32, 32, 1), jnp.float32)
