@@ -42,9 +42,13 @@ FUSED = os.environ.get("MIDI_VAE_BENCH_FUSED", "0") == "1"  # Pallas fused ELBO 
 BF16 = os.environ.get("MIDI_VAE_BENCH_BF16", "1") == "1"
 # encoder stem: "conv" (reference parity) | "s2d" (space-to-depth MXU stem)
 STEM = os.environ.get("MIDI_VAE_BENCH_STEM", "conv")
+# decoder head: "d2s" (depth-to-space, the flagship perf config: +70% over
+# the reference head by keeping all head compute at half resolution —
+# RESULTS.md "architecture experiments") | "deconv" (reference parity)
+HEAD = os.environ.get("MIDI_VAE_BENCH_HEAD", "d2s")
 
 
-def setup(batch=BATCH, bf16=True, fused=False, stem="conv"):
+def setup(batch=BATCH, bf16=True, fused=False, stem="conv", head="deconv"):
     """Build (model, state, train_step, mesh, shardings) for one config."""
     from midi_vae_tpu.losses.schedules import kl_weight_schedule
     from midi_vae_tpu.models import VanillaVAE
@@ -64,6 +68,7 @@ def setup(batch=BATCH, bf16=True, fused=False, stem="conv"):
         fused_reparam=fused,
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
         stem=stem,
+        head=head,
     )
     bundle = build_optimizer(
         None, param_group_label, optimizer="AdamW", lr=1e-3, scheduler="OneCycle", total_steps=10000
@@ -176,7 +181,7 @@ def read_baseline():
 
 
 def main():
-    ctx = setup(batch=BATCH, bf16=BF16, fused=FUSED, stem=STEM)
+    ctx = setup(batch=BATCH, bf16=BF16, fused=FUSED, stem=STEM, head=HEAD)
     per_chip, final_loss, measured = measure_train(ctx)
     gen_per_sec = measure_sampling(ctx)[0]
     ref = read_baseline()
@@ -196,6 +201,7 @@ def main():
                     "fused": FUSED,
                     "dtype": "bfloat16" if BF16 else "float32",
                     "stem": STEM,
+                    "head": HEAD,
                     "sample_throughput_per_chip": round(gen_per_sec, 2),
                 },
             }

@@ -25,9 +25,11 @@ RESULTS = os.path.join(HERE, "RESULTS.md")
 
 TRAIN_CONFIGS = [
     # (label, kwargs for bench.setup)
-    ("bf16, conv stem (default)", dict(bf16=True, fused=False, stem="conv")),
+    ("bf16, reference arch (default)", dict(bf16=True, fused=False, stem="conv")),
     ("bf16, s2d stem", dict(bf16=True, fused=False, stem="s2d")),
-    ("f32, conv stem", dict(bf16=False, fused=False, stem="conv")),
+    ("bf16, d2s head", dict(bf16=True, fused=False, stem="conv", head="d2s")),
+    ("bf16, s2d stem + d2s head", dict(bf16=True, fused=False, stem="s2d", head="d2s")),
+    ("f32, reference arch", dict(bf16=False, fused=False, stem="conv")),
     ("f32 + Pallas fused loss", dict(bf16=False, fused=True, stem="conv")),
 ]
 

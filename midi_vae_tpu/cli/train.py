@@ -59,6 +59,10 @@ def get_parser() -> argparse.ArgumentParser:
     group.add_argument("--stem", type=str, default="conv", choices=("conv", "s2d"),
                        help="Encoder stem: reference stride-2 conv, or space-to-depth fold + "
                             "stride-1 conv (better MXU fill on 1-channel inputs).")
+    group.add_argument("--head", type=str, default="deconv", choices=("deconv", "d2s"),
+                       help="Decoder head: reference ConvTranspose head, or depth-to-space "
+                            "(all head compute at half resolution — avoids the full-resolution "
+                            "activation tensors that dominate step time; see RESULTS.md).")
     group.add_argument("--freeze-encoder", action="store_true")
     group.add_argument("--n_features", "--latent-dim", dest="n_features", type=int, default=10,
                        help="Latent dimensionality. Default: %(default)s")
@@ -224,6 +228,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         image_size=args.image_size,
         arch=args.arch,
         stem=args.stem,
+        head=args.head,
         freeze_encoder=args.freeze_encoder,
         n_features=args.n_features,
         hidden_dims=tuple(args.hidden_dims) if args.hidden_dims else None,

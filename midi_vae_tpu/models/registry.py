@@ -34,6 +34,7 @@ def build_model(
     fused_reparam: bool = False,
     torch_compat: bool = False,
     stem: str = "conv",
+    head: str = "deconv",
     verbose: bool = False,
 ):
     """Construct a model by architecture name (case-insensitive).
@@ -59,6 +60,8 @@ def build_model(
         kwargs["torch_compat"] = True
     if stem != "conv":
         kwargs["stem"] = stem
+    if head != "deconv":
+        kwargs["head"] = head
     if verbose:
         kwargs["verbose"] = True
     return ctor(**kwargs)

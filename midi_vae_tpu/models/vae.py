@@ -293,6 +293,60 @@ class FinalLayer(nn.Module):
         )(x)
 
 
+class D2SHead(nn.Module):
+    """Depth-to-space decoder head: all compute at HALF the output
+    resolution, then a free pixel-shuffle to full size.
+
+    Motivation (benchmarks/layer_profile.py, round 2): the reference
+    head — ConvTranspose to 128², BN+LeakyReLU at 128², Conv at 128² —
+    accounts for ≈45% of forward time, with each piece running 3-6×
+    above its HBM roofline; the full-resolution 128²×32 activations are
+    the step's real bottleneck. This head computes the same
+    conv→BN→LeakyReLU→conv shape family at 64² and rearranges 2×2×C
+    channel blocks into pixels (depth-to-space), so no 128²×32 tensor
+    ever exists. Opt-in (``head="d2s"``); the reference-parity head
+    stays the default.
+    """
+
+    features: int
+    out_channels: int
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = nn.Conv(
+            self.features,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding="SAME",
+            kernel_init=_xavier,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.bn_axis_name if train else None,
+            dtype=self.dtype,
+        )(x)
+        x = nn.leaky_relu(x, negative_slope=0.01)
+        x = nn.Conv(
+            4 * self.out_channels,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding="SAME",
+            kernel_init=_xavier,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )(x)
+        b, h, w, _ = x.shape
+        x = x.reshape(b, h, w, 2, 2, self.out_channels)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, self.out_channels)
+        return x  # logits
+
+
 class VanillaVAE(nn.Module):
     """Convolutional VAE over NHWC piano-roll images.
 
@@ -317,6 +371,9 @@ class VanillaVAE(nn.Module):
     # Encoder stem: "conv" (reference parity) or "s2d" (space-to-depth fold
     # before the first conv — fills the MXU contracting dim, see S2DStem).
     stem: str = "conv"
+    # Decoder head: "deconv" (reference parity) or "d2s" (depth-to-space —
+    # kills the full-resolution activation tensors, see D2SHead).
+    head: str = "deconv"
     # Verbose forward range tracing (reference models.py:126-173) via
     # jax.debug.print — jit-safe, zero cost when off.
     verbose: bool = False
@@ -338,8 +395,8 @@ class VanillaVAE(nn.Module):
 
     def setup(self):
         rev = tuple(reversed(self.hidden_dims))
-        if self.torch_compat and self.stem != "conv":
-            raise ValueError("torch_compat requires the reference stem (stem='conv')")
+        if self.torch_compat and (self.stem != "conv" or self.head != "deconv"):
+            raise ValueError("torch_compat requires the reference stem and head")
         self.encoder = Encoder(
             self.hidden_dims,
             dtype=self.dtype,
@@ -355,13 +412,21 @@ class VanillaVAE(nn.Module):
         self.decoder = Decoder(
             rev, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
         )
-        self.final_layer = FinalLayer(
-            rev[-1],
-            self.out_channels or self.in_channels,
-            dtype=self.dtype,
-            bn_axis_name=self.bn_axis_name,
-            torch_compat=self.torch_compat,
-        )
+        if self.head == "d2s":
+            self.final_layer = D2SHead(
+                rev[-1],
+                self.out_channels or self.in_channels,
+                dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name,
+            )
+        else:
+            self.final_layer = FinalLayer(
+                rev[-1],
+                self.out_channels or self.in_channels,
+                dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name,
+                torch_compat=self.torch_compat,
+            )
 
     def encode(self, x: jax.Array, train: bool = False) -> EncoderOutput:
         """Conv stack → flatten → (mu, log_var) (reference: models.py:107-145)."""

@@ -30,6 +30,7 @@ class TrainConfig:
     # Architecture (train.py:854-879)
     arch: str = "VanillaVAE"
     stem: str = "conv"  # conv (reference parity) | s2d (space-to-depth MXU stem)
+    head: str = "deconv"  # deconv (reference parity) | d2s (depth-to-space head)
     freeze_encoder: bool = False
     n_features: int = 10  # latent dim
     hidden_dims: Tuple[int, ...] = (32, 64, 128, 256)

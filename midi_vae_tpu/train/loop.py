@@ -112,6 +112,7 @@ def run(config: TrainConfig) -> dict:
         dtype=dtype,
         fused_reparam=config.fused,
         stem=config.stem,
+        head=config.head,
         verbose=config.verbose,
     )
     encoder_config = {"input_size": config.image_size, "n_feature": config.n_features}
