@@ -179,31 +179,106 @@ def read_smf(path: str) -> NoteArrays:
     )
 
 
-def write_smf(notes: NoteArrays, path: str, *, tempo_us: int = DEFAULT_TEMPO_US, ppq: int = 480) -> None:
-    """Write note arrays as a single-track SMF format-0 file.
+def _sec_to_tick_fn(tempo_map: List[Tuple[float, int]], ppq: int):
+    """Piecewise tick quantizer for a ``[(onset_sec, tempo_us), ...]`` map.
 
-    The dataset factory and the parser tests use this; onsets/durations
-    are quantized to ``ppq`` ticks under a constant tempo.
+    Tempo-change ticks are laid on the same piecewise grid, so a file
+    written with this quantizer parses back (via :func:`read_smf`'s
+    tick→second conversion) to the original seconds up to ±½ tick.
     """
-    events: List[Tuple[int, int, int, int]] = []  # (tick, order, status, [pitch, vel])
-    sec_per_tick = tempo_us / (ppq * 1e6)
-    for onset, dur, pitch, vel in zip(notes.onset, notes.duration, notes.pitch, notes.velocity):
-        start = round(float(onset) / sec_per_tick)
-        end = round(float(onset + dur) / sec_per_tick)
-        end = max(end, start + 1)  # at least one tick long
-        events.append((start, 1, int(pitch), int(vel)))
-        events.append((end, 0, int(pitch), 0))
-    events.sort(key=lambda e: (e[0], e[1]))
+    anchors_s = [0.0]
+    anchors_t = [0]
+    tempos = [tempo_map[0][1]]
+    for s, us in tempo_map[1:]:
+        dt = round((s - anchors_s[-1]) * ppq * 1e6 / tempos[-1])
+        anchors_t.append(anchors_t[-1] + dt)
+        anchors_s.append(s)
+        tempos.append(us)
 
+    def sec_to_tick(sec: float) -> int:
+        i = int(np.searchsorted(anchors_s, sec, side="right")) - 1
+        return anchors_t[i] + round((sec - anchors_s[i]) * ppq * 1e6 / tempos[i])
+
+    return sec_to_tick, list(zip(anchors_t, tempos))
+
+
+def _note_events(notes: NoteArrays, index, sec_to_tick) -> List[Tuple[int, int, int, int]]:
+    events: List[Tuple[int, int, int, int]] = []  # (tick, on, pitch, vel)
+    for j in index:
+        start = sec_to_tick(float(notes.onset[j]))
+        end = sec_to_tick(float(notes.onset[j] + notes.duration[j]))
+        end = max(end, start + 1)  # at least one tick long
+        events.append((start, 1, int(notes.pitch[j]), int(notes.velocity[j])))
+        events.append((end, 0, int(notes.pitch[j]), 0))
+    events.sort(key=lambda e: (e[0], e[1]))  # offs before ons at the same tick
+    return events
+
+
+def _track_chunk(items: List[Tuple[int, bytes]]) -> bytes:
+    """Serialize (tick, event-bytes) items (pre-sorted) as one MTrk chunk."""
     body = bytearray()
-    body += _write_varlen(0) + bytes([0xFF, 0x51, 0x03]) + int(tempo_us).to_bytes(3, "big")
     last_tick = 0
-    for tick, on, pitch, vel in events:
-        body += _write_varlen(tick - last_tick)
+    for tick, payload in items:
+        body += _write_varlen(tick - last_tick) + payload
         last_tick = tick
-        body += bytes([0x90 if on else 0x80, pitch & 0x7F, vel & 0x7F])
     body += _write_varlen(0) + bytes([0xFF, 0x2F, 0x00])  # end of track
+    return b"MTrk" + struct.pack(">I", len(body)) + bytes(body)
+
+
+def write_smf(
+    notes: NoteArrays,
+    path: str,
+    *,
+    tempo_us: int = DEFAULT_TEMPO_US,
+    ppq: int = 480,
+    tempo_map: List[Tuple[float, int]] = None,
+    tracks=None,
+) -> None:
+    """Write note arrays as an SMF file.
+
+    Default: single-track format 0 at a constant tempo (the dataset
+    factory / parser-test path). Extensions:
+
+    tempo_map : ``[(onset_sec, tempo_us), ...]``
+        Tempo changes; note ticks are quantized piecewise so the file
+        parses back to the same seconds (±½ tick). An entry at 0.0 s
+        overrides ``tempo_us``.
+    tracks : int array [N], optional
+        Per-note track assignment → a format-1 file with a conductor
+        track (track 0: all tempo events) and one note track per
+        distinct value, in ascending order.
+    """
+    if tempo_map is None:
+        tempo_map = [(0.0, tempo_us)]
+    tempo_map = sorted(tempo_map)
+    if tempo_map[0][0] > 0.0:
+        tempo_map.insert(0, (0.0, tempo_us))
+    sec_to_tick, tempo_ticks = _sec_to_tick_fn(tempo_map, ppq)
+    tempo_items = [
+        (tick, bytes([0xFF, 0x51, 0x03]) + int(us).to_bytes(3, "big")) for tick, us in tempo_ticks
+    ]
+
+    def note_items(index):
+        return [
+            (tick, bytes([0x90 if on else 0x80, pitch & 0x7F, vel & 0x7F]))
+            for tick, on, pitch, vel in _note_events(notes, index, sec_to_tick)
+        ]
+
+    if tracks is None:
+        # format 0: one track, tempo events merged in (stable: tempo first)
+        items = sorted(tempo_items + note_items(range(len(notes))), key=lambda it: (it[0], it[1][0] != 0xFF))
+        chunks = [_track_chunk(items)]
+        fmt = 0
+    else:
+        tracks = np.asarray(tracks)
+        if len(tracks) != len(notes):
+            raise ValueError(f"tracks has {len(tracks)} entries for {len(notes)} notes")
+        chunks = [_track_chunk(tempo_items)]  # conductor track
+        for t in np.unique(tracks):
+            chunks.append(_track_chunk(note_items(np.nonzero(tracks == t)[0])))
+        fmt = 1
 
     with open(path, "wb") as f:
-        f.write(b"MThd" + struct.pack(">IHHH", 6, 0, 1, ppq))
-        f.write(b"MTrk" + struct.pack(">I", len(body)) + bytes(body))
+        f.write(b"MThd" + struct.pack(">IHHH", 6, fmt, len(chunks), ppq))
+        for chunk in chunks:
+            f.write(chunk)

@@ -59,6 +59,44 @@ class TestSMF:
         # files store the notes at their true wall-clock positions
         assert np.abs(a.onset - b.onset).max() < 4e-3
 
+    def test_tempo_map_roundtrip(self, tmp_path):
+        """A file written with tempo changes parses back to the same
+        seconds (the writer quantizes ticks piecewise on the same grid
+        the reader integrates over)."""
+        notes = _random_notes(n=48)  # onsets spread over ~ tens of seconds
+        p = str(tmp_path / "tempo_map.mid")
+        write_smf(notes, p, tempo_map=[(0.0, 500000), (2.0, 250000), (5.0, 1000000)])
+        back = read_smf(p)
+        assert len(back) == len(notes)
+        np.testing.assert_allclose(np.sort(back.onset), np.sort(notes.onset), atol=3e-3)
+        ends_src = np.sort(notes.onset + notes.duration)
+        ends_back = np.sort(back.onset + back.duration)
+        np.testing.assert_allclose(ends_back, ends_src, atol=3e-3)
+
+    def test_multitrack_format1_roundtrip(self, tmp_path):
+        """Format-1 output: conductor track + one track per assignment;
+        readers (python oracle AND native parser) merge them back."""
+        notes = _random_notes(n=32)
+        tracks = np.arange(32) % 3
+        p = str(tmp_path / "multi.mid")
+        write_smf(notes, p, tracks=tracks, tempo_map=[(0.0, 500000), (1.5, 300000)])
+        with open(p, "rb") as f:
+            header = f.read(14)
+        assert header[8:10] == b"\x00\x01"  # format 1
+        assert header[10:12] == b"\x00\x04"  # conductor + 3 note tracks
+        back = read_smf(p)
+        assert len(back) == len(notes)
+        np.testing.assert_allclose(np.sort(back.onset), np.sort(notes.onset), atol=3e-3)
+        np.testing.assert_array_equal(np.sort(back.pitch), np.sort(notes.pitch))
+        if native_midiparse_available():
+            native = parse_midi_native(p)
+            np.testing.assert_allclose(np.sort(native.onset), np.sort(back.onset), atol=1e-9)
+
+    def test_tracks_length_mismatch_raises(self, tmp_path):
+        notes = _random_notes(n=8)
+        with pytest.raises(ValueError, match="tracks has"):
+            write_smf(notes, str(tmp_path / "x.mid"), tracks=np.zeros(5, np.int32))
+
     def test_overlapping_same_pitch_fifo(self, tmp_path):
         # two overlapping notes on one pitch: offs pair with the earlier on
         notes = NoteArrays(
