@@ -85,11 +85,15 @@ def render_sampling(results) -> str:
     s = results["sampling_default_config"]
     if not s:
         return "(not measured)"
+    rates = sorted(s["rates"])
+    median = rates[len(rates) // 2]
     return (
         f"Decode-only prior sampling (serving path), batch {results['batch_per_chip']}, z sharded over "
-        f"the data mesh: **{s['mean']:,.0f} samples/sec/chip** "
-        f"(mean of {len(s['rates'])} repeats; min {s['min']:,.0f}, max {s['max']:,.0f}, "
-        f"spread {s['spread_pct']}% — quote this number only with its variance)."
+        f"the data mesh: **{median:,.0f} samples/sec/chip steady-state** "
+        f"(median of {len(s['rates'])} back-to-back windows: {', '.join(f'{r:,.0f}' for r in s['rates'])}). "
+        f"The FIRST window after compile is routinely much slower (cold caches/power state) — "
+        f"single-window measurements of this short path are unreliable; quote the median with the "
+        f"window list."
     )
 
 

@@ -64,6 +64,9 @@ def _load_model_and_state(checkpoint_path: str):
         latent_dim=int(cfg.get("n_features", 10)),
         input_dim=image_size,
         hidden_dims=tuple(cfg.get("hidden_dims") or (32, 64, 128, 256)),
+        # architecture variants must match the trained param tree
+        stem=cfg.get("stem", "conv"),
+        head=cfg.get("head", "deconv"),
     )
     sample = jnp.zeros((2, image_size, image_size, channels), jnp.float32)
     variables = model.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, sample)

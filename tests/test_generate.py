@@ -68,6 +68,39 @@ def trained_checkpoint(tmp_path_factory):
     return config.checkpoint_path
 
 
+def test_generate_restores_arch_variants(tmp_path):
+    """A checkpoint trained with --stem s2d / --head d2s must rebuild the
+    SAME param tree at generation time (config carries the variant)."""
+    from midi_vae_tpu.cli.generate import _load_model_and_state, cli
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        n_features=8,
+        hidden_dims=(8, 16),
+        stem="s2d",
+        head="d2s",
+        epochs=1,
+        batch_size_per_device=16,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "models"),
+        log_images=False,
+        run_name="vartest",
+        run_id="var123",
+    )
+    run(config)
+    model, params, _, cfg, _, _, _ = _load_model_and_state(config.checkpoint_path)
+    assert model.stem == "s2d" and model.head == "d2s"
+    assert "S2DStem_0" in params["encoder"]
+    out = str(tmp_path / "s.png")
+    cli(["--checkpoint", config.checkpoint_path, "--mode", "sample", "-n", "2", "--out", out])
+    assert os.path.isfile(out)
+
+
 class TestGenerateCLI:
     def test_sample_mode(self, trained_checkpoint, tmp_path):
         from midi_vae_tpu.cli.generate import cli
