@@ -66,10 +66,10 @@ def timed_scanned(op, x, k, iters: int) -> float:
     return sorted(samples)[1]
 
 
-def conv_case(name, b, hw, cin, cout, stride, iters, transpose=False, dtype=jnp.bfloat16):
+def conv_case(name, b, hw, cin, cout, stride, iters, transpose=False, ksize=3, dtype=jnp.bfloat16):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (b, hw, hw, cin), dtype)
-    k = jax.random.normal(key, (3, 3, cin, cout), dtype)
+    k = jax.random.normal(key, (ksize, ksize, cin, cout), dtype)
 
     if transpose:
         def op(x, k):
@@ -77,14 +77,14 @@ def conv_case(name, b, hw, cin, cout, stride, iters, transpose=False, dtype=jnp.
                 x, k, (1, 1), ((1, 2), (1, 2)), lhs_dilation=(stride, stride),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         out_hw = hw * stride
-        macs = b * hw * hw * 9 * cin * cout
+        macs = b * hw * hw * ksize * ksize * cin * cout
     else:
         def op(x, k):
             return jax.lax.conv_general_dilated(
                 x, k, (stride, stride), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         out_hw = -(-hw // stride)
-        macs = b * out_hw * out_hw * 9 * cin * cout
+        macs = b * out_hw * out_hw * ksize * ksize * cin * cout
 
     def fwd_bwd(x, k):
         def loss(x, k):
@@ -147,6 +147,14 @@ def main():
         ("dec3_T", (b, 32, 64, 32, 2), {"transpose": True}),
         ("final_T", (b, 64, 32, 32, 2), {"transpose": True}),
         ("final_conv", (b, 128, 32, 1, 1), {}),
+        # s2d-equivalents of the stride-2 encoder convs: conv(k3,s2) on
+        # [2h, 2h, c] == conv(k2,s1) on the s2d-folded [h, h, 4c] (a
+        # superset function family) — is the folded layout faster?
+        ("enc2_s2d_equiv", (b, 32, 128, 64, 1), {"ksize": 2}),
+        ("enc3_s2d_equiv", (b, 16, 256, 128, 1), {"ksize": 2}),
+        # head convs of the d2s head (the new flagship), for the record
+        ("d2s_head_conv1", (b, 64, 32, 32, 1), {}),
+        ("d2s_head_conv2", (b, 64, 32, 4, 1), {}),
     ]
     cases = []
     for name, a, kw in specs:
