@@ -46,12 +46,16 @@ STEM = os.environ.get("MIDI_VAE_BENCH_STEM", "conv")
 # the reference head by keeping all head compute at half resolution —
 # RESULTS.md "architecture experiments") | "deconv" (reference parity)
 HEAD = os.environ.get("MIDI_VAE_BENCH_HEAD", "d2s")
+# model family: "FoldedVAE" (fully folded TPU-native layout — the flagship
+# perf config: 5x the reference arch, models/folded.py) | "VanillaVAE"
+# (reference capability parity; combine with STEM/HEAD above)
+ARCH = os.environ.get("MIDI_VAE_BENCH_ARCH", "FoldedVAE")
 
 
-def setup(batch=BATCH, bf16=True, fused=False, stem="conv", head="deconv"):
+def setup(batch=BATCH, bf16=True, fused=False, stem="conv", head="deconv", arch="VanillaVAE"):
     """Build (model, state, train_step, mesh, shardings) for one config."""
     from midi_vae_tpu.losses.schedules import kl_weight_schedule
-    from midi_vae_tpu.models import VanillaVAE
+    from midi_vae_tpu.models.registry import build_model
     from midi_vae_tpu.models.vae import param_group_label
     from midi_vae_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
     from midi_vae_tpu.train.optim import build_optimizer
@@ -60,7 +64,8 @@ def setup(batch=BATCH, bf16=True, fused=False, stem="conv", head="deconv"):
     devices = jax.devices()
     n_chips = len(devices)
     mesh = make_mesh(n_chips)
-    model = VanillaVAE(
+    model = build_model(
+        arch,
         in_channels=1,
         latent_dim=10,
         input_dim=IMAGE_SIZE,
@@ -181,7 +186,9 @@ def read_baseline():
 
 
 def main():
-    ctx = setup(batch=BATCH, bf16=BF16, fused=FUSED, stem=STEM, head=HEAD)
+    # FoldedVAE has its own layout — stem/head knobs only apply to VanillaVAE
+    stem, head = (STEM, HEAD) if ARCH.lower() == "vanillavae" else ("conv", "deconv")
+    ctx = setup(batch=BATCH, bf16=BF16, fused=FUSED, stem=stem, head=head, arch=ARCH)
     per_chip, final_loss, measured = measure_train(ctx)
     # median of 3 windows: the first window after compile is routinely much
     # slower on this path (cold caches/power state) — see RESULTS.md
@@ -202,8 +209,9 @@ def main():
                     "backend": ctx["backend"],
                     "fused": FUSED,
                     "dtype": "bfloat16" if BF16 else "float32",
-                    "stem": STEM,
-                    "head": HEAD,
+                    "arch": ARCH,
+                    "stem": stem,
+                    "head": head,
                     "sample_throughput_per_chip": round(gen_per_sec, 2),
                 },
             }

@@ -26,9 +26,10 @@ RESULTS = os.path.join(HERE, "RESULTS.md")
 TRAIN_CONFIGS = [
     # (label, kwargs for bench.setup); "(bench default)" marks the flagship
     # config bench.py runs — sampling is measured on that one
+    ("bf16, FoldedVAE (bench default)", dict(bf16=True, fused=False, arch="FoldedVAE")),
     ("bf16, reference arch", dict(bf16=True, fused=False, stem="conv")),
     ("bf16, s2d stem", dict(bf16=True, fused=False, stem="s2d")),
-    ("bf16, d2s head (bench default)", dict(bf16=True, fused=False, stem="conv", head="d2s")),
+    ("bf16, d2s head", dict(bf16=True, fused=False, stem="conv", head="d2s")),
     ("bf16, s2d stem + d2s head", dict(bf16=True, fused=False, stem="s2d", head="d2s")),
     ("f32, reference arch", dict(bf16=False, fused=False, stem="conv")),
     ("f32 + Pallas fused loss", dict(bf16=False, fused=True, stem="conv")),

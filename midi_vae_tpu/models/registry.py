@@ -9,12 +9,14 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict
 
+from midi_vae_tpu.models.folded import FoldedVAE
 from midi_vae_tpu.models.mlp import MLPVAE
 from midi_vae_tpu.models.vae import VanillaVAE
 
 MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     "vanillavae": VanillaVAE,
     "mlpvae": MLPVAE,
+    "foldedvae": FoldedVAE,
 }
 
 

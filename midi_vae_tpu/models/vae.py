@@ -122,13 +122,14 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     torch_compat: bool = False
+    stride: int = 2
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         x = nn.Conv(
             self.features,
             kernel_size=(3, 3),
-            strides=(2, 2),
+            strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)) if self.torch_compat else "SAME",
             kernel_init=_xavier,
             bias_init=nn.initializers.zeros,
