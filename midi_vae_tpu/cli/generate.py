@@ -67,6 +67,7 @@ def _load_model_and_state(checkpoint_path: str):
         # architecture variants must match the trained param tree
         stem=cfg.get("stem", "conv"),
         head=cfg.get("head", "deconv"),
+        fold=int(cfg.get("fold", 4)),
     )
     sample = jnp.zeros((2, image_size, image_size, channels), jnp.float32)
     variables = model.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, sample)

@@ -63,6 +63,8 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Decoder head: reference ConvTranspose head, or depth-to-space "
                             "(all head compute at half resolution — avoids the full-resolution "
                             "activation tensors that dominate step time; see RESULTS.md).")
+    group.add_argument("--fold", type=int, default=4,
+                       help="FoldedVAE input fold factor (power of two). Default: %(default)s")
     group.add_argument("--freeze-encoder", action="store_true")
     group.add_argument("--n_features", "--latent-dim", dest="n_features", type=int, default=10,
                        help="Latent dimensionality. Default: %(default)s")
@@ -229,6 +231,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         arch=args.arch,
         stem=args.stem,
         head=args.head,
+        fold=args.fold,
         freeze_encoder=args.freeze_encoder,
         n_features=args.n_features,
         hidden_dims=tuple(args.hidden_dims) if args.hidden_dims else None,

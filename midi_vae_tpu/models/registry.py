@@ -37,6 +37,7 @@ def build_model(
     torch_compat: bool = False,
     stem: str = "conv",
     head: str = "deconv",
+    fold: int = 4,
     verbose: bool = False,
 ):
     """Construct a model by architecture name (case-insensitive).
@@ -64,6 +65,8 @@ def build_model(
         kwargs["stem"] = stem
     if head != "deconv":
         kwargs["head"] = head
+    if key == "foldedvae" and fold != 4:
+        kwargs["fold"] = fold
     if verbose:
         kwargs["verbose"] = True
     return ctor(**kwargs)

@@ -31,6 +31,7 @@ class TrainConfig:
     arch: str = "VanillaVAE"
     stem: str = "conv"  # conv (reference parity) | s2d (space-to-depth MXU stem)
     head: str = "deconv"  # deconv (reference parity) | d2s (depth-to-space head)
+    fold: int = 4  # FoldedVAE input fold factor (power of two)
     freeze_encoder: bool = False
     n_features: int = 10  # latent dim
     hidden_dims: Tuple[int, ...] = (32, 64, 128, 256)

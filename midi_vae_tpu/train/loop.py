@@ -113,6 +113,7 @@ def run(config: TrainConfig) -> dict:
         fused_reparam=config.fused,
         stem=config.stem,
         head=config.head,
+        fold=config.fold,
         verbose=config.verbose,
     )
     encoder_config = {"input_size": config.image_size, "n_feature": config.n_features}
