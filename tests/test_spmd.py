@@ -80,6 +80,19 @@ def test_spmd_step_conv_vae_runs(eight_devices):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def test_spmd_step_folded_vae_runs(eight_devices):
+    """The flagship FoldedVAE composes with the explicit SPMD step."""
+    from midi_vae_tpu.models.folded import FoldedVAE
+
+    mesh = make_mesh(8)
+    model = FoldedVAE(in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(8, 16), fold=2)
+    bundle, state, x = _setup(model, mesh)
+    step = make_spmd_train_step(model, bundle.tx, KL, mesh, donate=False)
+    state, lo, gn = step(state, x, jax.random.PRNGKey(3))
+    assert np.isfinite(float(lo.loss)) and np.isfinite(float(gn))
+    assert int(state.step) == 1
+
+
 def test_spmd_rejects_non_data_mesh(eight_devices):
     model = MLPVAE(in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(32,))
     bundle = build_optimizer(
