@@ -65,6 +65,10 @@ def get_parser() -> argparse.ArgumentParser:
                             "activation tensors that dominate step time; see RESULTS.md).")
     group.add_argument("--fold", type=int, default=4,
                        help="FoldedVAE input fold factor (power of two). Default: %(default)s")
+    group.add_argument("--remat", action="store_true",
+                       help="Rematerialize conv-stack activations in the backward pass "
+                            "(jax.checkpoint) — ~N× lower peak activation memory for ~1 extra "
+                            "forward of FLOPs; enables much larger per-chip batches.")
     group.add_argument("--freeze-encoder", action="store_true")
     group.add_argument("--n_features", "--latent-dim", dest="n_features", type=int, default=10,
                        help="Latent dimensionality. Default: %(default)s")
@@ -102,6 +106,15 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Name of optimizer (AdamW|Adam|SGD|RMSprop|Adagrad|LAMB|Lion).")
     group.add_argument("--scheduler", type=str, default="OneCycle",
                        help="LR scheduler (OneCycle|constant|cosine|step). Default: %(default)s")
+    group.add_argument("--grad-accum", type=int, default=1, metavar="N",
+                       help="Split each batch into N sequential microbatches inside the compiled "
+                            "step (gradients averaged, ONE optimizer update per batch) — cuts peak "
+                            "activation memory ~N×. Batch size must be divisible by N. Default: "
+                            "%(default)s")
+    group.add_argument("--ema-decay", type=float, default=None, metavar="D",
+                       help="Track an exponential moving average of the parameters with decay D "
+                            "(e.g. 0.999); evaluation and best-model selection then use the "
+                            "averaged weights. Default: off")
 
     # Output checkpoint args (train.py:934-957) --------------------------------
     group = parser.add_argument_group("Output checkpoint")
@@ -232,6 +245,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         stem=args.stem,
         head=args.head,
         fold=args.fold,
+        remat=args.remat,
         freeze_encoder=args.freeze_encoder,
         n_features=args.n_features,
         hidden_dims=tuple(args.hidden_dims) if args.hidden_dims else None,
@@ -248,6 +262,8 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         weight_decay=args.weight_decay,
         optimizer=args.optimizer,
         scheduler=args.scheduler,
+        grad_accum=args.grad_accum,
+        ema_decay=args.ema_decay,
         models_dir=args.models_dir,
         checkpoint_path=args.checkpoint_path,
         save_best_model=args.save_best_model,

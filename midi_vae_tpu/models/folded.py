@@ -155,7 +155,11 @@ class FoldedVAE(VanillaVAE):
         if self.input_dim % self.fold:
             raise ValueError(f"input_dim={self.input_dim} not divisible by fold={self.fold}")
         rev = tuple(reversed(self.hidden_dims))
-        self.encoder = FoldedEncoder(
+        # see VanillaVAE.setup: train bool is static argnum 2 under nn.remat
+        enc_cls = nn.remat(FoldedEncoder, static_argnums=(2,)) if self.remat else FoldedEncoder
+        dec_cls = nn.remat(FoldedDecoder, static_argnums=(2,)) if self.remat else FoldedDecoder
+        head_cls = nn.remat(FoldedHead, static_argnums=(2,)) if self.remat else FoldedHead
+        self.encoder = enc_cls(
             self.hidden_dims, fold=self.fold, dtype=self.dtype, bn_axis_name=self.bn_axis_name
         )
         self.fc_mu = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
@@ -163,10 +167,10 @@ class FoldedVAE(VanillaVAE):
         self.decoder_input = nn.Dense(
             self.flattened_size, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype
         )
-        self.decoder = FoldedDecoder(
+        self.decoder = dec_cls(
             rev, fold=self.fold, dtype=self.dtype, bn_axis_name=self.bn_axis_name
         )
-        self.final_layer = FoldedHead(
+        self.final_layer = head_cls(
             rev[-1],
             self.out_channels or self.in_channels,
             fold=self.fold,

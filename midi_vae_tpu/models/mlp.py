@@ -33,6 +33,7 @@ class MLPVAE(nn.Module):
     bn_axis_name: Optional[str] = None  # unused; kept for constructor parity
     fused_reparam: bool = False
     verbose: bool = False  # forward range tracing (see vae.trace_range)
+    remat: bool = False  # inert (dense stack is activation-light); kept for constructor parity
 
     name_tag = "MLPVAE"
 

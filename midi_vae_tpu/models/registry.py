@@ -39,6 +39,7 @@ def build_model(
     head: str = "deconv",
     fold: int = 4,
     verbose: bool = False,
+    remat: bool = False,
 ):
     """Construct a model by architecture name (case-insensitive).
 
@@ -69,4 +70,6 @@ def build_model(
         kwargs["fold"] = fold
     if verbose:
         kwargs["verbose"] = True
+    if remat:
+        kwargs["remat"] = True
     return ctor(**kwargs)

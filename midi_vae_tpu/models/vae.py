@@ -378,6 +378,13 @@ class VanillaVAE(nn.Module):
     # Verbose forward range tracing (reference models.py:126-173) via
     # jax.debug.print — jit-safe, zero cost when off.
     verbose: bool = False
+    # Rematerialization: recompute the conv stacks' activations during the
+    # backward pass instead of storing them (jax.checkpoint via nn.remat) —
+    # trades ~1 extra forward of FLOPs for an ~N× drop in peak activation
+    # memory. Enables much larger per-chip batches (--remat; pairs with
+    # --grad-accum). No reference equivalent (torch would use
+    # torch.utils.checkpoint).
+    remat: bool = False
 
     name_tag = "VanillaVAE"
 
@@ -398,7 +405,13 @@ class VanillaVAE(nn.Module):
         rev = tuple(reversed(self.hidden_dims))
         if self.torch_compat and (self.stem != "conv" or self.head != "deconv"):
             raise ValueError("torch_compat requires the reference stem and head")
-        self.encoder = Encoder(
+        # nn.remat argnums count the module instance as 0, so the `train`
+        # bool of __call__(self, x, train) is static argnum 2.
+        enc_cls = nn.remat(Encoder, static_argnums=(2,)) if self.remat else Encoder
+        dec_cls = nn.remat(Decoder, static_argnums=(2,)) if self.remat else Decoder
+        fin_cls = nn.remat(FinalLayer, static_argnums=(2,)) if self.remat else FinalLayer
+        d2s_cls = nn.remat(D2SHead, static_argnums=(2,)) if self.remat else D2SHead
+        self.encoder = enc_cls(
             self.hidden_dims,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
@@ -410,18 +423,18 @@ class VanillaVAE(nn.Module):
         self.decoder_input = nn.Dense(
             self.flattened_size, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype
         )
-        self.decoder = Decoder(
+        self.decoder = dec_cls(
             rev, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
         )
         if self.head == "d2s":
-            self.final_layer = D2SHead(
+            self.final_layer = d2s_cls(
                 rev[-1],
                 self.out_channels or self.in_channels,
                 dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name,
             )
         else:
-            self.final_layer = FinalLayer(
+            self.final_layer = fin_cls(
                 rev[-1],
                 self.out_channels or self.in_channels,
                 dtype=self.dtype,

@@ -52,6 +52,7 @@ def make_spmd_train_step(
     *,
     log_var_clamp: Optional[Tuple[float, float]] = None,
     donate: bool = True,
+    ema_decay: Optional[float] = None,
 ) -> Callable:
     """Build the explicit-SPMD train step: (state, x, key) → (state, LossOutput, grad_norm).
 
@@ -98,11 +99,16 @@ def make_spmd_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         grad_norm = optax.global_norm(grads)
+        from midi_vae_tpu.train.state import ema_update
+
         new_state = TrainState(
             params=params,
             batch_stats=batch_stats,
             opt_state=opt_state,
             step=state.step + 1,
+            ema_params=ema_update(state.ema_params, params, ema_decay)
+            if ema_decay is not None
+            else state.ema_params,
         )
         return new_state, lo, grad_norm
 

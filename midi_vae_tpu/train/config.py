@@ -32,6 +32,7 @@ class TrainConfig:
     stem: str = "conv"  # conv (reference parity) | s2d (space-to-depth MXU stem)
     head: str = "deconv"  # deconv (reference parity) | d2s (depth-to-space head)
     fold: int = 4  # FoldedVAE input fold factor (power of two)
+    remat: bool = False  # recompute conv-stack activations in backward (larger batches)
     freeze_encoder: bool = False
     n_features: int = 10  # latent dim
     hidden_dims: Tuple[int, ...] = (32, 64, 128, 256)
@@ -54,6 +55,13 @@ class TrainConfig:
     weight_decay: float = 0.0
     optimizer: str = "AdamW"
     scheduler: str = "OneCycle"
+    # Split each batch into N sequential microbatches inside the compiled
+    # step (one optimizer update per batch) — peak-memory knob, see
+    # train/state.py:make_train_step.
+    grad_accum: int = 1
+    # Track an EMA of the parameters; evaluation/checkpoint-best use the
+    # averaged weights when set (e.g. 0.999). None = off.
+    ema_decay: Optional[float] = None
 
     # Checkpointing (train.py:934-957)
     models_dir: Optional[str] = "models"

@@ -115,6 +115,7 @@ def run(config: TrainConfig) -> dict:
         head=config.head,
         fold=config.fold,
         verbose=config.verbose,
+        remat=config.remat,
     )
     encoder_config = {"input_size": config.image_size, "n_feature": config.n_features}
 
@@ -181,7 +182,7 @@ def run(config: TrainConfig) -> dict:
     # STATE ===================================================================
     init_key = root_key(seed)
     sample_batch = jnp.zeros((2, config.image_size, config.image_size, img_channels), jnp.float32)
-    state = create_train_state(model, bundle.tx, init_key, sample_batch)
+    state = create_train_state(model, bundle.tx, init_key, sample_batch, ema=config.ema_decay is not None)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
     print(f"Model has {n_params:,} parameters")
     state = replicate(state, mesh)
@@ -189,10 +190,12 @@ def run(config: TrainConfig) -> dict:
     if config.step_impl == "shard_map":
         if config.fused or config.loss_type != "elbo":
             raise ValueError("--step-impl shard_map supports the plain ELBO path only")
+        if config.grad_accum > 1:
+            raise ValueError("--grad-accum is implemented on the auto step; drop --step-impl shard_map")
         from midi_vae_tpu.parallel.spmd import make_spmd_train_step
 
         train_step = make_spmd_train_step(
-            model, bundle.tx, kl_sched, mesh, log_var_clamp=config.log_var_clamp
+            model, bundle.tx, kl_sched, mesh, log_var_clamp=config.log_var_clamp, ema_decay=config.ema_decay
         )
     else:
         train_step = make_train_step(
@@ -204,8 +207,16 @@ def run(config: TrainConfig) -> dict:
             loss_type=config.loss_type,
             tc_beta=config.tc_beta,
             dataset_size=len(dataset_train),
+            grad_accum=config.grad_accum,
+            ema_decay=config.ema_decay,
         )
     eval_step = make_eval_step(model)
+
+    def eval_view(s):
+        """Evaluation weights: the EMA shadow params when tracking is on."""
+        if config.ema_decay is not None and s.ema_params:
+            return s.replace(params=s.ema_params)
+        return s
 
     # LOGGING (train.py:246-307) ==============================================
     if config.run_name is None:
@@ -247,7 +258,10 @@ def run(config: TrainConfig) -> dict:
         print(f"Loading state from checkpoint (epoch {checkpoint_payload['epoch']})")
         from flax import serialization
 
-        state = serialization.from_state_dict(state, checkpoint_payload["state"])
+        from midi_vae_tpu.train.state import reconcile_ema_state_dict
+
+        st_dict = reconcile_ema_state_dict(checkpoint_payload["state"], state)
+        state = serialization.from_state_dict(state, st_dict)
         state = replicate(state, mesh)
         total_step = int(checkpoint_payload["total_step"])
         n_samples_seen = int(checkpoint_payload["n_samples_seen"])
@@ -325,7 +339,7 @@ def run(config: TrainConfig) -> dict:
         # Validate (train.py:416-440)
         t_start_val = time.time()
         eval_stats = evaluate(
-            loader_val, model, state, partition_name=eval_set, seed=seed, eval_step=eval_step
+            loader_val, model, eval_view(state), partition_name=eval_set, seed=seed, eval_step=eval_step
         )
         duration_val = time.time() - t_start_val
         eval_stats["throughput"] = loader_val.num_samples / max(duration_val, 1e-9)
@@ -400,13 +414,13 @@ def run(config: TrainConfig) -> dict:
     # FINAL EVALUATION (train.py:503-551) ====================================
     print(f"\nEvaluating final model (epoch {config.epochs}) performance")
     print("\nEvaluating final model on test set...")
-    test_stats = evaluate(loader_test, model, state, partition_name="Test", seed=seed, eval_step=eval_step)
+    test_stats = evaluate(loader_test, model, eval_view(state), partition_name="Test", seed=seed, eval_step=eval_step)
     logger.log({f"eval/test/{k}": v for k, v in test_stats.items() if k != "latents"}, step=total_step)
     results["final_test"] = test_stats
 
     if distinct_val_test:
         print(f"\nEvaluating final model on {eval_set} set...")
-        val_stats = evaluate(loader_val, model, state, partition_name=eval_set, seed=seed, eval_step=eval_step)
+        val_stats = evaluate(loader_val, model, eval_view(state), partition_name=eval_set, seed=seed, eval_step=eval_step)
         logger.log({f"eval/val/{k}": v for k, v in val_stats.items() if k != "latents"}, step=total_step)
         results["final_val"] = val_stats
 
@@ -419,7 +433,7 @@ def run(config: TrainConfig) -> dict:
         dataset_train_eval, global_batch_size, train=False, sharding=x_sharding, prefetch=config.prefetch
     )
     train_eval_stats = evaluate(
-        loader_train_eval, model, state, partition_name="Train", seed=seed, eval_step=eval_step
+        loader_train_eval, model, eval_view(state), partition_name="Train", seed=seed, eval_step=eval_step
     )
     logger.log({f"eval/train/{k}": v for k, v in train_eval_stats.items() if k != "latents"}, step=total_step)
     results["final_train"] = train_eval_stats

@@ -16,6 +16,7 @@ all-reduce the reference never wired up (SURVEY C12).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -36,16 +37,33 @@ class TrainState:
     head/final layers the reference forgets), ``opt_state`` covers
     optimizer+scheduler (schedules live inside optimizer state via
     ``inject_hyperparams``), ``step`` is ``total_step``.
+
+    ``ema_params`` holds the exponential moving average of ``params``
+    when EMA tracking is on (``--ema-decay``; no reference equivalent —
+    a capability extension), or ``{}`` when off so pre-EMA checkpoints
+    stay structurally compatible.
     """
 
     params: dict
     batch_stats: dict
     opt_state: optax.OptState
     step: jax.Array  # int32 total optimizer steps taken
+    ema_params: dict = dataclasses.field(default_factory=dict)
 
 
-def create_train_state(model, tx: optax.GradientTransformation, init_key: jax.Array, sample_batch: jax.Array):
-    """Initialize parameters (Xavier-uniform, models.py:227-236) and optimizer state."""
+def create_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    init_key: jax.Array,
+    sample_batch: jax.Array,
+    *,
+    ema: bool = False,
+):
+    """Initialize parameters (Xavier-uniform, models.py:227-236) and optimizer state.
+
+    ``ema=True`` seeds the EMA shadow copy of the parameters (used with
+    ``make_train_step(..., ema_decay=...)``).
+    """
     variables = model.init({"params": init_key, "reparam": jax.random.fold_in(init_key, 1)}, sample_batch, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -54,7 +72,41 @@ def create_train_state(model, tx: optax.GradientTransformation, init_key: jax.Ar
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         step=jnp.int32(0),
+        # real copies, not aliases: the train step donates the state, and a
+        # buffer shared between params and ema_params would be donated twice
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else {},
     )
+
+
+def reconcile_ema_state_dict(st_dict: dict, state: TrainState) -> dict:
+    """Normalize a checkpoint state dict across EMA generations.
+
+    Pre-EMA checkpoints (no ``ema_params`` key) restore cleanly into any
+    target; when the target tracks EMA and the checkpoint has none, the
+    shadow copy is seeded from the restored params. A checkpoint WITH
+    EMA restored into a non-EMA run drops it (flax dict restore follows
+    the target's keys).
+    """
+    st_dict = dict(st_dict)
+    if state.ema_params and not st_dict.get("ema_params"):
+        import numpy as np
+
+        # host-side copies so params and ema never share buffers (donation)
+        st_dict["ema_params"] = jax.tree_util.tree_map(np.copy, st_dict["params"])
+    st_dict.setdefault("ema_params", {})
+    return st_dict
+
+
+def ema_update(ema_params: dict, params: dict, decay: float) -> dict:
+    """One EMA step: ``ema ← decay·ema + (1−decay)·params``.
+
+    An empty ``ema_params`` (resumed from a pre-EMA checkpoint) is
+    seeded from the current parameters.
+    """
+    if not ema_params:
+        return jax.tree_util.tree_map(jnp.copy, params)
+    d = jnp.float32(decay)
+    return jax.tree_util.tree_map(lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema_params, params)
 
 
 def make_train_step(
@@ -68,6 +120,8 @@ def make_train_step(
     loss_type: str = "elbo",
     tc_beta: float = 6.0,
     dataset_size: int = 1,
+    grad_accum: int = 1,
+    ema_decay: Optional[float] = None,
 ) -> Callable:
     """Build the fused train step: (state, x, key) → (state, LossOutput, grad_norm).
 
@@ -80,21 +134,32 @@ def make_train_step(
     ``loss_type="beta-tc"`` selects the β-TC-VAE objective
     (``losses/tcvae.py``; needs ``dataset_size`` for the minibatch
     estimator; incompatible with ``fused_loss``).
+    ``grad_accum=N`` splits each incoming batch into N sequential
+    microbatches inside the SAME compiled program (a ``lax.scan``),
+    averaging the gradients before the single optimizer update — peak
+    activation memory drops ~N× at unchanged optimizer semantics (one
+    update per batch; BatchNorm batch statistics become per-microbatch,
+    and the running stats see N updates per step). Pairs with
+    ``remat=True`` on the model for the largest-batch configurations.
+    ``ema_decay`` maintains an exponential moving average of the
+    parameters in ``state.ema_params`` (evaluation/serving weights).
     """
     if loss_type not in ("elbo", "beta-tc"):
         raise ValueError(f"unknown loss_type: {loss_type}")
     if loss_type == "beta-tc" and fused_loss:
         raise ValueError("fused Pallas loss implements the plain ELBO only; drop --fused for beta-tc")
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
     def step_fn(state: TrainState, x: jax.Array, epoch_key: jax.Array):
         key = jax.random.fold_in(epoch_key, state.step)
 
-        def loss_fn(params):
+        def loss_fn(params, batch_stats, xm, k):
             out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                x,
+                {"params": params, "batch_stats": batch_stats},
+                xm,
                 train=True,
-                rngs={"reparam": key},
+                rngs={"reparam": k},
                 mutable=["batch_stats"],
             )
             lo = _loss(out, kl_schedule(state.step))
@@ -127,7 +192,39 @@ def make_train_step(
                 kld_weight=jnp.asarray(w, loss.dtype),
             )
 
-        (_, (loss_output, batch_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum == 1:
+            (_, (loss_output, batch_stats)), grads = grad_fn(state.params, state.batch_stats, x, key)
+        else:
+            b = x.shape[0]
+            if b % grad_accum:
+                raise ValueError(f"batch size {b} not divisible by grad_accum={grad_accum}")
+            xs = x.reshape(grad_accum, b // grad_accum, *x.shape[1:])
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            zero_lo = LossOutput(
+                loss=jnp.float32(0),
+                reconstruction_loss=jnp.float32(0),
+                kld_loss=jnp.float32(0),
+                kl=jnp.float32(0),
+                kld_weight=jnp.float32(0),
+            )
+
+            def micro(carry, inp):
+                bs, gsum, losum = carry
+                xm, idx = inp
+                (_, (lo, bs2)), g = grad_fn(state.params, bs, xm, jax.random.fold_in(key, idx))
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                losum = jax.tree_util.tree_map(jnp.add, losum, lo)
+                return (bs2, gsum, losum), None
+
+            (batch_stats, gsum, lo_sum), _ = jax.lax.scan(
+                micro,
+                (state.batch_stats, zero_grads, zero_lo),
+                (xs, jnp.arange(grad_accum)),
+            )
+            inv = jnp.float32(1.0 / grad_accum)
+            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+            loss_output = jax.tree_util.tree_map(lambda v: v * inv, lo_sum)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         grad_norm = optax.global_norm(grads)
@@ -136,6 +233,9 @@ def make_train_step(
             batch_stats=batch_stats,
             opt_state=opt_state,
             step=state.step + 1,
+            ema_params=ema_update(state.ema_params, params, ema_decay)
+            if ema_decay is not None
+            else state.ema_params,
         )
         return new_state, loss_output, grad_norm
 
