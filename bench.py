@@ -52,7 +52,17 @@ HEAD = os.environ.get("MIDI_VAE_BENCH_HEAD", "d2s")
 ARCH = os.environ.get("MIDI_VAE_BENCH_ARCH", "FoldedVAE")
 
 
-def setup(batch=BATCH, bf16=True, fused=False, stem="conv", head="deconv", arch="VanillaVAE"):
+def setup(
+    batch=BATCH,
+    bf16=True,
+    fused=False,
+    stem="conv",
+    head="deconv",
+    arch="VanillaVAE",
+    fold=4,
+    remat=False,
+    grad_accum=1,
+):
     """Build (model, state, train_step, mesh, shardings) for one config."""
     from midi_vae_tpu.losses.schedules import kl_weight_schedule
     from midi_vae_tpu.models.registry import build_model
@@ -74,6 +84,8 @@ def setup(batch=BATCH, bf16=True, fused=False, stem="conv", head="deconv", arch=
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
         stem=stem,
         head=head,
+        fold=fold,
+        remat=remat,
     )
     bundle = build_optimizer(
         None, param_group_label, optimizer="AdamW", lr=1e-3, scheduler="OneCycle", total_steps=10000
@@ -82,7 +94,9 @@ def setup(batch=BATCH, bf16=True, fused=False, stem="conv", head="deconv", arch=
         model, bundle.tx, jax.random.PRNGKey(0), jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 1), jnp.float32)
     )
     state = replicate(state, mesh)
-    train_step = make_train_step(model, bundle.tx, kl_weight_schedule("constant", 2.5e-4), fused_loss=fused)
+    train_step = make_train_step(
+        model, bundle.tx, kl_weight_schedule("constant", 2.5e-4), fused_loss=fused, grad_accum=grad_accum
+    )
     return {
         "model": model,
         "state": state,

@@ -1,0 +1,170 @@
+"""Serving-path latency benchmark: micro-batched inference under load.
+
+Measures what a serving operator actually cares about — per-request
+latency percentiles (p50/p95/p99) and aggregate throughput of the
+micro-batcher (`serving/batcher.py`) under concurrent callers — for the
+reconstruct path (encode → reparam-free mean → decode is the serving
+default) at several concurrency levels.
+
+The reference has no serving story at all (SURVEY §1: "no serving
+layer"); this pins the numbers for ours. Run on the TPU:
+
+    python benchmarks/serving_latency.py [--requests 200] [--levels 1 4 16 64]
+
+Methodology notes (same platform gotchas as bench.py):
+- every bucket size is warmed (compiled + executed) before timing, so
+  percentiles measure steady state, not compiles;
+- each request's latency closes with the materialized numpy result
+  (Future.result() returns host arrays — a value cannot lie);
+- the batcher's max_wait window (default 2 ms) lower-bounds latency at
+  low concurrency by design; the table shows the batching win at high
+  concurrency against that cost.
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+IMAGE_SIZE = 128
+
+
+def build_service(arch="FoldedVAE", bf16=True, max_batch=64, max_wait_ms=2.0):
+    import jax
+    import jax.numpy as jnp
+
+    from midi_vae_tpu.models.registry import build_model
+    from midi_vae_tpu.serving.batcher import MicroBatcher
+
+    model = build_model(
+        arch,
+        in_channels=1,
+        latent_dim=10,
+        input_dim=IMAGE_SIZE,
+        hidden_dims=(32, 64, 128, 256),
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    )
+    x0 = jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, x0)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    @jax.jit
+    def _reconstruct(x):
+        enc = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False, method=type(model).encode
+        )
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            enc.mu,
+            train=False,
+            method=type(model).decode,
+        )
+
+    def fn(x):
+        return np.asarray(_reconstruct(x))
+
+    batcher = MicroBatcher(fn, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    return batcher, fn
+
+
+def warm_buckets(fn, max_batch):
+    """Compile + execute every static bucket size before timing."""
+    from midi_vae_tpu.serving.batcher import _BUCKETS
+
+    for b in _BUCKETS:
+        if b > max_batch:
+            break
+        fn(np.zeros((b, IMAGE_SIZE, IMAGE_SIZE, 1), np.float32))
+
+
+def run_level(batcher, concurrency: int, requests_per_thread: int, req_rows: int = 1):
+    """Fire `concurrency` threads, each sending sequential requests; collect
+    per-request wall latencies (submit → numpy result)."""
+    latencies = []
+    lock = threading.Lock()
+    x = np.random.default_rng(0).random((req_rows, IMAGE_SIZE, IMAGE_SIZE, 1), np.float32)
+
+    def worker():
+        local = []
+        for _ in range(requests_per_thread):
+            t0 = time.perf_counter()
+            out = batcher(x)
+            assert out.shape[0] == req_rows
+            local.append(time.perf_counter() - t0)
+        with lock:
+            latencies.extend(local)
+
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+
+    lat = np.sort(np.array(latencies)) * 1000.0  # ms
+    n = len(lat)
+    return {
+        "concurrency": concurrency,
+        "requests": n,
+        "p50_ms": round(float(lat[n // 2]), 2),
+        "p95_ms": round(float(lat[int(n * 0.95)]), 2),
+        "p99_ms": round(float(lat[min(n - 1, int(n * 0.99))]), 2),
+        "throughput_req_per_s": round(n / wall, 1),
+        "samples_per_s": round(n * req_rows / wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=200, help="requests per thread")
+    ap.add_argument("--levels", type=int, nargs="+", default=[1, 4, 16, 64])
+    ap.add_argument("--rows", type=int, default=1, help="rows (images) per request")
+    ap.add_argument("--arch", default="FoldedVAE")
+    ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    print(f"backend: {jax.devices()[0].platform}", flush=True)
+
+    batcher, fn = build_service(arch=args.arch, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    print("warming buckets (compiles)...", flush=True)
+    warm_buckets(fn, args.max_batch)
+
+    results = []
+    for level in args.levels:
+        r = run_level(batcher, level, args.requests, req_rows=args.rows)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    batcher.close()
+
+    out = {
+        "backend": jax.devices()[0].platform,
+        "arch": args.arch,
+        "max_batch": args.max_batch,
+        "max_wait_ms": args.max_wait_ms,
+        "rows_per_request": args.rows,
+        "levels": results,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "serving_latency.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,10 +41,14 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--out", type=str, default=None, help="Output PNG path (default: <mode>.png)")
     parser.add_argument("--export-midi", type=str, default=None,
                         help="Directory to also write each generated roll as a .mid file")
+    parser.add_argument("--no-ema", action="store_true",
+                        help="Use the raw (non-averaged) parameters even when the checkpoint "
+                             "carries EMA weights (runs trained with --ema-decay). Default: "
+                             "EMA weights are preferred when present.")
     return parser
 
 
-def _load_model_and_state(checkpoint_path: str):
+def _load_model_and_state(checkpoint_path: str, use_ema: bool = True):
     from flax import serialization
 
     from midi_vae_tpu.io.checkpoint import load_checkpoint
@@ -73,8 +77,14 @@ def _load_model_and_state(checkpoint_path: str):
     variables = model.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, sample)
     template = {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})}
     state_dict = payload["state"]
+    # EMA-trained checkpoints (--ema-decay) generate with the averaged
+    # weights unless --no-ema asks for the raw ones
+    params_src = state_dict["params"]
+    if use_ema and state_dict.get("ema_params"):
+        params_src = state_dict["ema_params"]
+        print("Using EMA-averaged weights from the checkpoint (--no-ema for raw)")
     restored = serialization.from_state_dict(
-        template, {"params": state_dict["params"], "batch_stats": state_dict.get("batch_stats", {})}
+        template, {"params": params_src, "batch_stats": state_dict.get("batch_stats", {})}
     )
     return model, restored["params"], restored["batch_stats"], cfg, image_size, channels, dataset
 
@@ -131,7 +141,9 @@ def cli(argv=None) -> None:
     from midi_vae_tpu.evaluation.inference import interpolate, reconstruct, sample_prior
 
     args = get_parser().parse_args(argv)
-    model, params, batch_stats, cfg, image_size, channels, ckpt_dataset = _load_model_and_state(args.checkpoint)
+    model, params, batch_stats, cfg, image_size, channels, ckpt_dataset = _load_model_and_state(
+        args.checkpoint, use_ema=not args.no_ema
+    )
     dataset = args.dataset or ckpt_dataset
     data_dir = args.data_dir or cfg.get("data_dir")  # checkpoint remembers its corpus root
     key = jax.random.PRNGKey(args.seed)

@@ -68,6 +68,42 @@ def trained_checkpoint(tmp_path_factory):
     return config.checkpoint_path
 
 
+def test_generate_prefers_ema_weights(tmp_path):
+    """A checkpoint trained with --ema-decay generates with the averaged
+    weights by default; --no-ema selects the raw ones."""
+    import numpy as np
+
+    from midi_vae_tpu.cli.generate import _load_model_and_state
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        arch="MLPVAE",
+        n_features=8,
+        hidden_dims=(64,),
+        epochs=1,
+        batch_size_per_device=16,
+        num_devices=1,
+        seed=0,
+        ema_decay=0.5,
+        models_dir=str(tmp_path / "models"),
+        log_images=False,
+        run_name="ematest",
+        run_id="ema123",
+    )
+    run(config)
+    _, params_ema, _, _, _, _, _ = _load_model_and_state(config.checkpoint_path)
+    _, params_raw, _, _, _, _, _ = _load_model_and_state(config.checkpoint_path, use_ema=False)
+    leaves_ema = [np.asarray(x) for x in __import__("jax").tree_util.tree_leaves(params_ema)]
+    leaves_raw = [np.asarray(x) for x in __import__("jax").tree_util.tree_leaves(params_raw)]
+    assert any(not np.allclose(a, b) for a, b in zip(leaves_ema, leaves_raw)), (
+        "EMA and raw params should differ after training"
+    )
+
+
 def test_generate_restores_arch_variants(tmp_path):
     """A checkpoint trained with --stem s2d / --head d2s must rebuild the
     SAME param tree at generation time (config carries the variant)."""
