@@ -138,3 +138,27 @@ def test_spmd_per_shard_noise_decorrelated(eight_devices):
     per_shard = z.reshape(8, 2, 4)
     # identical inputs, per-shard keys: shard means must differ
     assert np.unique(per_shard.mean(axis=(1, 2))).size == 8
+
+
+def test_spmd_step_updates_ema(eight_devices):
+    """EMA tracking works through the explicit shard_map path too."""
+    mesh = make_mesh(8)
+    model = MLPVAE(in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(32,))
+    bundle = build_optimizer(
+        None, param_group_label, optimizer="SGD", lr=1e-3, scheduler="OneCycle", total_steps=4
+    )
+    state = create_train_state(
+        model, bundle.tx, jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 1)), ema=True
+    )
+    state = replicate(state, mesh)
+    x = jax.device_put(
+        np.random.default_rng(1).uniform(0, 1, (16, 16, 16, 1)).astype(np.float32),
+        batch_sharding(mesh),
+    )
+    p0 = jax.device_get(state.params)
+    step = make_spmd_train_step(model, bundle.tx, KL, mesh, donate=False, ema_decay=0.5)
+    s1, lo, _ = step(state, x, jax.random.PRNGKey(2))
+    assert np.isfinite(float(lo.loss))
+    expected = jax.tree_util.tree_map(lambda e, p: 0.5 * e + 0.5 * np.asarray(p), p0, s1.params)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.ema_params), jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
