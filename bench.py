@@ -47,9 +47,14 @@ STEM = os.environ.get("MIDI_VAE_BENCH_STEM", "conv")
 # RESULTS.md "architecture experiments") | "deconv" (reference parity)
 HEAD = os.environ.get("MIDI_VAE_BENCH_HEAD", "d2s")
 # model family: "FoldedVAE" (fully folded TPU-native layout — the flagship
-# perf config: 5x the reference arch, models/folded.py) | "VanillaVAE"
-# (reference capability parity; combine with STEM/HEAD above)
+# perf config: ~8x the reference arch at fold=8, models/folded.py) |
+# "VanillaVAE" (reference capability parity; combine with STEM/HEAD above)
 ARCH = os.environ.get("MIDI_VAE_BENCH_ARCH", "FoldedVAE")
+# fold factor for FoldedVAE: 8 won the round-2 sweep (188.9k samples/sec/chip
+# vs 119.2k at fold=4, with eval quality matching the reference layout —
+# benchmarks/quality.json); 16 is +8% faster but quality-riskier at short
+# horizons (worse 300-step train loss)
+FOLD = int(os.environ.get("MIDI_VAE_BENCH_FOLD", "8"))
 
 
 def setup(
@@ -202,7 +207,7 @@ def read_baseline():
 def main():
     # FoldedVAE has its own layout — stem/head knobs only apply to VanillaVAE
     stem, head = (STEM, HEAD) if ARCH.lower() == "vanillavae" else ("conv", "deconv")
-    ctx = setup(batch=BATCH, bf16=BF16, fused=FUSED, stem=stem, head=head, arch=ARCH)
+    ctx = setup(batch=BATCH, bf16=BF16, fused=FUSED, stem=stem, head=head, arch=ARCH, fold=FOLD)
     per_chip, final_loss, measured = measure_train(ctx)
     # median of 3 windows: the first window after compile is routinely much
     # slower on this path (cold caches/power state) — see RESULTS.md
@@ -224,6 +229,7 @@ def main():
                     "fused": FUSED,
                     "dtype": "bfloat16" if BF16 else "float32",
                     "arch": ARCH,
+                    "fold": FOLD if ARCH.lower() == "foldedvae" else None,
                     "stem": stem,
                     "head": head,
                     "sample_throughput_per_chip": round(gen_per_sec, 2),
