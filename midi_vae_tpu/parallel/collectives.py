@@ -48,7 +48,9 @@ def concat_all_gather_ragged(x: jax.Array, valid_count: jax.Array, axis_name: st
     return gathered, masks
 
 
-def psum_mean(x, axis_name: str):
-    """Mean-reduce a pytree across the mesh axis (gradient all-reduce)."""
+def psum_mean(x, axis_name):
+    """Mean-reduce a pytree across one mesh axis (or a tuple of axes, e.g.
+    ``('slice', 'data')`` on the hierarchical multi-slice mesh — XLA lowers
+    the two-axis psum as ICI-within-slice then DCN-across)."""
     n = jax.lax.psum(1, axis_name)
     return jax.tree_util.tree_map(lambda a: jax.lax.psum(a, axis_name) / n, x)

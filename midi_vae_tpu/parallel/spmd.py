@@ -40,7 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from midi_vae_tpu.core.types import LossOutput
 from midi_vae_tpu.losses.elbo import elbo_loss
 from midi_vae_tpu.parallel.collectives import psum_mean
-from midi_vae_tpu.parallel.mesh import DATA_AXIS
+from midi_vae_tpu.parallel.mesh import DATA_AXIS, SLICE_AXIS
 from midi_vae_tpu.train.state import TrainState
 
 
@@ -56,19 +56,26 @@ def make_spmd_train_step(
 ) -> Callable:
     """Build the explicit-SPMD train step: (state, x, key) → (state, LossOutput, grad_norm).
 
-    ``mesh`` must be 1-D over the ``data`` axis (this is the data-parallel
-    step; tensor parallelism composes through the auto path's sharding
-    rules instead, ``parallel/sharding_rules.py``).
+    ``mesh`` must be data-parallel: 1-D over the ``data`` axis, or the
+    hierarchical 2-D ``(slice, data)`` multi-slice mesh
+    (``parallel/mesh.py:make_mesh_multislice`` — psums then reduce over
+    both axes, which XLA lowers as ICI-within-slice + DCN-across). Tensor
+    parallelism composes through the auto path's sharding rules instead
+    (``parallel/sharding_rules.py``).
     """
-    if mesh.axis_names != (DATA_AXIS,):
+    axes = tuple(mesh.axis_names)
+    if any(a not in (SLICE_AXIS, DATA_AXIS) for a in axes) or DATA_AXIS not in axes:
         raise ValueError(
-            f"explicit SPMD step needs a 1-D ('{DATA_AXIS}',) mesh, got axes {mesh.axis_names}"
+            f"explicit SPMD step needs a 1-D ('{DATA_AXIS}',) or 2-D "
+            f"('{SLICE_AXIS}', '{DATA_AXIS}') mesh, got axes {mesh.axis_names}"
         )
 
     def local_step(state: TrainState, x: jax.Array, epoch_key: jax.Array):
         key = jax.random.fold_in(epoch_key, state.step)
-        # Per-shard decorrelation INSIDE the program (see module docstring).
-        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        # Per-shard decorrelation INSIDE the program (see module docstring);
+        # on a multi-slice mesh every (slice, data) coordinate gets its own key.
+        for ax in axes:
+            key = jax.random.fold_in(key, jax.lax.axis_index(ax))
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -85,16 +92,17 @@ def make_spmd_train_step(
 
         # The hand-written collectives: gradient all-reduce (the reference's
         # missing DDP sync) and metric reduction. Equal shard sizes make the
-        # mean-of-means the global mean.
-        grads = psum_mean(grads, DATA_AXIS)
+        # mean-of-means the global mean. ``axes`` is ('data',) or
+        # ('slice', 'data') — lax.psum over the tuple reduces over both.
+        grads = psum_mean(grads, axes)
         lo = LossOutput(
-            loss=psum_mean(lo.loss, DATA_AXIS),
-            reconstruction_loss=psum_mean(lo.reconstruction_loss, DATA_AXIS),
-            kld_loss=psum_mean(lo.kld_loss, DATA_AXIS),
-            kl=psum_mean(lo.kl, DATA_AXIS),
+            loss=psum_mean(lo.loss, axes),
+            reconstruction_loss=psum_mean(lo.reconstruction_loss, axes),
+            kld_loss=psum_mean(lo.kld_loss, axes),
+            kl=psum_mean(lo.kl, axes),
             kld_weight=lo.kld_weight,  # schedule of a replicated step — already equal
         )
-        batch_stats = psum_mean(batch_stats, DATA_AXIS)  # average per-shard BN running stats
+        batch_stats = psum_mean(batch_stats, axes)  # average per-shard BN running stats
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -116,7 +124,7 @@ def make_spmd_train_step(
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(state_spec, P(DATA_AXIS), P()),
+        in_specs=(state_spec, P(axes), P()),
         out_specs=(state_spec, P(), P()),
         check_vma=False,  # axis_index-derived keys are intentionally unreplicated
     )
