@@ -154,6 +154,11 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Batch size per device; global batch = this × mesh size. Default: %(default)s")
     group.add_argument("--num-devices", type=int, default=None,
                        help="Number of devices in the data mesh. Default: all visible devices.")
+    group.add_argument("--mesh-slices", type=int, default=None,
+                       help="Hierarchical multi-slice data parallelism: shard batches over a 2-D"
+                            " (slice, data) mesh with this many slices, so gradient reduction rides"
+                            " ICI within a slice and only per-slice partials cross DCN."
+                            " Default: flat 1-D data mesh.")
     group.add_argument("--bf16", dest="bf16", action="store_true",
                        help="Use bfloat16 compute (float32 params).")
     group.add_argument("--loss-type", type=str, default="elbo", choices=("elbo", "beta-tc"),
@@ -277,6 +282,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         profile_epochs=args.profile_epochs,
         batch_size_per_device=args.batch_size_per_device,
         num_devices=args.num_devices,
+        mesh_slices=args.mesh_slices,
         prefetch=args.prefetch,
         dtype="bfloat16" if args.bf16 else "float32",
         fused=args.fused,

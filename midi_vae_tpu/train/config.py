@@ -84,6 +84,10 @@ class TrainConfig:
     batch_size_per_device: int = 128
     prefetch: int = 2  # batches kept in flight host→device (raise on high-latency links)
     num_devices: Optional[int] = None  # None → all visible devices
+    # Hierarchical multi-slice DP: shard batches over a 2-D (slice, data)
+    # mesh so gradient reduction rides ICI within a slice and only
+    # per-slice partials cross DCN (parallel/mesh.py:make_mesh_multislice).
+    mesh_slices: Optional[int] = None  # None → flat 1-D data mesh
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     # Train-step partitioning: "auto" = jit auto-partitioning (global-batch
     # BN), "shard_map" = explicit SPMD collectives (per-shard BN, pinned

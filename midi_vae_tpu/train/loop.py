@@ -46,7 +46,7 @@ from midi_vae_tpu.io.logging import MetricLogger, PhaseTimer, generate_id, print
 from midi_vae_tpu.losses.schedules import kl_weight_schedule
 from midi_vae_tpu.models.registry import build_model
 from midi_vae_tpu.models.vae import param_group_label
-from midi_vae_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+from midi_vae_tpu.parallel.mesh import batch_sharding, make_mesh, make_mesh_multislice, replicate
 from midi_vae_tpu.train.config import TrainConfig
 from midi_vae_tpu.train.optim import build_optimizer, scale_lr
 from midi_vae_tpu.train.state import create_train_state, make_train_step
@@ -120,11 +120,19 @@ def run(config: TrainConfig) -> dict:
     encoder_config = {"input_size": config.image_size, "n_feature": config.n_features}
 
     # MESH ====================================================================
-    mesh = make_mesh(config.num_devices)
+    if config.mesh_slices:
+        n_avail = config.num_devices or len(jax.devices())
+        mesh = make_mesh_multislice(config.mesh_slices, n_avail // config.mesh_slices)
+    else:
+        mesh = make_mesh(config.num_devices)
     n_devices = mesh.devices.size
     global_batch_size = config.batch_size_per_device * n_devices
     x_sharding = batch_sharding(mesh)
-    print(f"Data-parallel mesh over {n_devices} device(s); global batch size {global_batch_size}")
+    print(
+        f"Data-parallel mesh over {n_devices} device(s)"
+        + (f" ({config.mesh_slices} slices)" if config.mesh_slices else "")
+        + f"; global batch size {global_batch_size}"
+    )
 
     # DATASET (train.py:131-191) ==============================================
     transform_args = {}

@@ -157,3 +157,35 @@ def test_spmd_still_rejects_model_axis_mesh(eight_devices):
         assert "slice" in str(e)
     else:
         raise AssertionError("expected ValueError for (data, model) mesh")
+
+
+def test_trainer_runs_on_multislice_mesh(tmp_path, eight_devices):
+    """--mesh-slices 2 end-to-end: the trainer builds the (2, 4) mesh,
+    trains an epoch, and the flag survives the CLI→config mapping."""
+    from midi_vae_tpu.cli.train import args_to_config, get_parser
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    argv = ["--dataset", "vae-lines-synthetic", "--mesh-slices", "2", "--num-devices", "8"]
+    config = args_to_config(get_parser().parse_args(argv), argv)
+    assert config.mesh_slices == 2
+
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=16,
+        arch="MLPVAE",
+        n_features=4,
+        hidden_dims=(32,),
+        epochs=1,
+        batch_size_per_device=8,
+        num_devices=8,
+        mesh_slices=2,
+        lr_relative=0.01,
+        seed=0,
+        models_dir=str(tmp_path / "models"),
+        log_images=False,
+    )
+    results = run(config)
+    assert np.isfinite(results["train"]["loss"])
+    assert results["n_samples_seen"] > 0
