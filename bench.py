@@ -67,6 +67,7 @@ def setup(
     fold=4,
     remat=False,
     grad_accum=1,
+    hidden_dims=(32, 64, 128, 256),
 ):
     """Build (model, state, train_step, mesh, shardings) for one config."""
     from midi_vae_tpu.losses.schedules import kl_weight_schedule
@@ -84,7 +85,7 @@ def setup(
         in_channels=1,
         latent_dim=10,
         input_dim=IMAGE_SIZE,
-        hidden_dims=(32, 64, 128, 256),
+        hidden_dims=tuple(hidden_dims),
         fused_reparam=fused,
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
         stem=stem,

@@ -29,6 +29,10 @@ VARIANTS = {
     "fold4": dict(arch="FoldedVAE", fold=4),
     "fold8": dict(arch="FoldedVAE", fold=8),
     "fold16": dict(arch="FoldedVAE", fold=16),
+    # fold=8 with a widened first stage: the s2d(8) stem emits 64 channels,
+    # which the default hidden_dims[0]=32 immediately compresses 2x while
+    # also striding — the suspected source of fold8's small quality gap
+    "fold8w": dict(arch="FoldedVAE", fold=8, hidden_dims=(64, 64, 128, 256)),
 }
 
 
@@ -94,6 +98,19 @@ def main():
               f"{r['mae_pct']:>7.2f} {r['kl_nats']:>7.3f} {r['active_units']:>5d}")
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "quality.json")
+    # merge with prior rows measured at the same epochs/size, so partial
+    # re-runs update their variants without dropping the rest of the table
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+            if prior.get("epochs") == args.epochs and prior.get("image_size") == args.image_size:
+                ran = {r["variant"] for r in rows}
+                rows = [r for r in prior["rows"] if r["variant"] not in ran] + rows
+                order = list(VARIANTS)
+                rows.sort(key=lambda r: order.index(r["variant"]) if r["variant"] in order else 99)
+        except (ValueError, KeyError):
+            pass
     with open(path, "w") as f:
         json.dump({"epochs": args.epochs, "image_size": args.image_size, "rows": rows}, f, indent=1)
     print(f"wrote {path}")
