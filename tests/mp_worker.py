@@ -53,7 +53,12 @@ def main() -> None:
     from midi_vae_tpu.losses.schedules import kl_weight_schedule
     from midi_vae_tpu.models.registry import build_model
     from midi_vae_tpu.models.vae import param_group_label
-    from midi_vae_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+    from midi_vae_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        make_mesh_multislice,
+        replicate,
+    )
     from midi_vae_tpu.train.optim import build_optimizer
     from midi_vae_tpu.train.state import create_train_state, make_train_step
 
@@ -61,7 +66,14 @@ def main() -> None:
     assert n_global_devices == int(os.environ["MP_GLOBAL_DEVICES"]), (
         f"expected {os.environ['MP_GLOBAL_DEVICES']} global devices, got {n_global_devices}"
     )
-    mesh = make_mesh(n_global_devices)
+    mesh_slices = int(os.environ.get("MP_MESH_SLICES", "0"))
+    if mesh_slices:
+        # Hierarchical multislice mesh. With one process per slice this is
+        # the real deployment mapping: the slice axis crosses the process
+        # (DCN) boundary, the data axis stays process-local (ICI).
+        mesh = make_mesh_multislice(mesh_slices, n_global_devices // mesh_slices)
+    else:
+        mesh = make_mesh(n_global_devices)
     x_sharding = batch_sharding(mesh)
 
     # Deterministic dataset shared by every topology (numpy, fixed seed).

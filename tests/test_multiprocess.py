@@ -44,7 +44,8 @@ def _write_rrd(tmp_path) -> str:
     return path
 
 
-def _run_topology(n_procs: int, devices_per_proc: int, out_base: str, rrd_path: str):
+def _run_topology(n_procs: int, devices_per_proc: int, out_base: str, rrd_path: str,
+                  mesh_slices: int = 0):
     """Launch n_procs workers; return the npz written by process 0."""
     port = _free_port()
     env_base = os.environ.copy()
@@ -65,6 +66,7 @@ def _run_topology(n_procs: int, devices_per_proc: int, out_base: str, rrd_path: 
             MP_GLOBAL_DEVICES=str(n_procs * devices_per_proc),
             MP_OUT=f"{out_base}_{n_procs}p.npz",
             MP_RRD_PATH=rrd_path,
+            MP_MESH_SLICES=str(mesh_slices),
         )
         procs.append(
             subprocess.Popen(
@@ -110,3 +112,18 @@ def test_two_processes_match_single_process(tmp_path):
     if rrd_path:
         assert str(multi["rrd_status"]) == "ok"
         assert str(single["rrd_status"]) == "ok"
+
+
+@pytest.mark.slow
+def test_multislice_two_processes_match_single_process(tmp_path):
+    """Multislice mesh under real multi-controller SPMD, one process per
+    slice — the deployment mapping where the slice axis IS the process
+    (DCN) boundary. 2 procs x 2 devices and 1 proc x 4 devices both build
+    the (2, 2) (slice, data) mesh; training must agree."""
+    out_base = str(tmp_path / "ms")
+    multi = _run_topology(2, 2, out_base, "", mesh_slices=2)
+    single = _run_topology(1, 4, out_base, "", mesh_slices=2)
+    np.testing.assert_allclose(multi["losses"], single["losses"], rtol=0, atol=1e-5)
+    diff = np.abs(multi["params"] - single["params"])
+    assert diff.max() < 5e-3, f"param drift {diff.max()} exceeds rounding-level bound"
+    assert (diff > 1e-6).mean() < 0.05, f"{(diff > 1e-6).mean():.1%} of params drifted >1e-6"
