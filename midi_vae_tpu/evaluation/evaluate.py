@@ -16,7 +16,14 @@ with sklearn on the concatenated arrays (evaluation.py:73-101):
   zero, so the metric is degenerate (SURVEY §3.3). We keep the metric
   name for dashboard comparability but report the mean *binary*
   cross-entropy in nats, computed from logits.
-- mse/mae reported ×100 as percentages (evaluation.py:99-100).
+- mse/mae reported ×100 as percentages (evaluation.py:99-100). Note the
+  reference-parity caveat these inherit: they compare the sigmoid
+  reconstruction (range 0..1) against the *normalization-shifted* input
+  (−0.5..0.5 under the default table), exactly as the reference does on
+  its normalized stimuli — so they reward outputs that hug the shifted
+  input range, and cross-variant comparisons should lean on the BCE
+  (the objective, computed from logits). The printed value ranges make
+  the mismatch visible in every eval report.
 """
 
 from __future__ import annotations
