@@ -1,0 +1,127 @@
+"""Standalone evaluation CLI: the full metric sweep from a trained checkpoint.
+
+The reference can only evaluate inside a training run (the final
+test/val/train sweeps at ``train.py:503-551``); this CLI makes the same
+suite usable post-hoc on any checkpoint and any partition — including
+the reference's "train set under eval conditions" pass — without
+touching optimizer state.
+
+Usage::
+
+    python -m midi_vae_tpu.cli.evaluate --checkpoint CKPT                     # test partition
+    python -m midi_vae_tpu.cli.evaluate --checkpoint CKPT --partition all
+    python -m midi_vae_tpu.cli.evaluate --checkpoint CKPT --latents-out z.npz
+    python -m midi_vae_tpu.cli.evaluate --checkpoint CKPT --json results.json
+
+Metrics are the reference contract (count / cross-entropy / mse / mae,
+``evaluation.py:95-101``) plus the latent-health extensions (KL,
+active-units). EMA-trained checkpoints evaluate with the averaged
+weights unless ``--no-ema``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from dataclasses import dataclass
+from typing import Any
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Evaluate a trained VAE checkpoint")
+    parser.add_argument("--checkpoint", type=str, required=True,
+                        help="Checkpoint to load: a .msgpack file or an Orbax directory (auto-detected)")
+    parser.add_argument("--partition", choices=("test", "val", "train", "all"), default="test",
+                        help="Dataset partition(s) to sweep; 'train' uses eval-condition transforms"
+                             " (the reference's final train-set pass). Default: %(default)s")
+    parser.add_argument("--dataset", type=str, default=None,
+                        help="Dataset to evaluate on (default: from checkpoint config)")
+    parser.add_argument("--data-dir", type=str, default=None)
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no-ema", action="store_true",
+                        help="Use raw (non-averaged) parameters even when the checkpoint carries EMA weights")
+    parser.add_argument("--latents-out", type=str, default=None,
+                        help="Also collect per-sample posterior latents and write them to this .npz")
+    parser.add_argument("--json", dest="json_out", type=str, default=None,
+                        help="Write the results dict as JSON to this path")
+    parser.add_argument("--cpu", action="store_true", help="Force the CPU backend")
+    return parser
+
+
+@dataclass
+class _EvalState:
+    params: Any
+    batch_stats: Any
+
+
+def cli(argv=None) -> None:
+    args = get_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from midi_vae_tpu.cli.generate import _load_model_and_state
+    from midi_vae_tpu.data.fetch import fetch_dataset
+    from midi_vae_tpu.data.pipeline import make_loader
+    from midi_vae_tpu.data.transforms import VALID_TRANSFORMS, get_transform
+    from midi_vae_tpu.evaluation.evaluate import evaluate
+
+    model, params, batch_stats, cfg, image_size, channels, ckpt_dataset = _load_model_and_state(
+        args.checkpoint, use_ema=not args.no_ema
+    )
+    state = _EvalState(params=params, batch_stats=batch_stats)
+
+    dataset = args.dataset or ckpt_dataset
+    data_dir = args.data_dir or cfg.get("data_dir")
+    targs = {"normalization": dataset} if dataset in VALID_TRANSFORMS else {}
+    # every partition under eval-condition transforms, incl. train —
+    # exactly the reference's final train-set sweep (train.py:536-548)
+    _, transform_eval = get_transform(cfg.get("transform_type", "digits"), image_size, targs)
+    train, val, test, distinct = fetch_dataset(
+        dataset,
+        root=data_dir,
+        prototyping=bool(cfg.get("prototyping", False)),
+        transform_train=transform_eval,
+        transform_eval=transform_eval,
+        protoval_split_id=int(cfg.get("protoval_split_id") or 0),
+    )
+
+    wanted = ("test", "val", "train") if args.partition == "all" else (args.partition,)
+    partitions = []
+    for name in wanted:
+        if name == "val" and not distinct and "test" in wanted:
+            print("val partition is the test set for this dataset (not distinct); skipping duplicate sweep")
+            continue
+        partitions.append((name, {"test": test, "val": val, "train": train}[name]))
+
+    results = {}
+    collected = {}
+    for name, ds in partitions:
+        loader = make_loader(ds, min(args.batch_size, len(ds)), train=False)
+        out = evaluate(
+            loader,
+            model,
+            state,
+            partition_name=name.capitalize(),
+            seed=args.seed,
+            collect_latents=bool(args.latents_out),
+        )
+        if args.latents_out:
+            collected[name] = out.pop("latents")
+        results[name] = out
+
+    if args.latents_out:
+        import numpy as np
+
+        np.savez(args.latents_out, **{f"latents_{k}": v for k, v in collected.items()})
+        print(f"wrote latents for {list(collected)} to {args.latents_out}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {args.json_out}")
+
+
+if __name__ == "__main__":
+    cli()

@@ -223,3 +223,33 @@ def test_local_reconstruction_grid_without_wandb(tmp_path):
     out_dir = os.path.dirname(config.checkpoint_path)
     grids = [f for f in os.listdir(out_dir) if f.startswith("reconstruction_step")]
     assert len(grids) == 2  # first two batches of epoch 1
+
+
+class TestEvaluateCLI:
+    def test_evaluate_cli_all_partitions(self, trained_checkpoint, tmp_path):
+        """The standalone eval CLI sweeps test+train (val skipped as the
+        duplicate of test), writes JSON + latents, and reports the
+        reference metric contract."""
+        import json
+
+        import numpy as np
+
+        from midi_vae_tpu.cli.evaluate import cli
+
+        json_out = str(tmp_path / "results.json")
+        z_out = str(tmp_path / "z.npz")
+        cli([
+            "--checkpoint", trained_checkpoint,
+            "--partition", "all",
+            "--json", json_out,
+            "--latents-out", z_out,
+        ])
+        with open(json_out) as f:
+            results = json.load(f)
+        assert set(results) == {"test", "train"}  # val == test, skipped
+        for part, r in results.items():
+            assert {"count", "cross-entropy", "mse", "mae", "kl", "active-units"} <= set(r)
+            assert r["count"] > 0 and np.isfinite(r["mse"])
+        z = np.load(z_out)
+        assert z["latents_test"].shape == (results["test"]["count"], 8)
+        assert z["latents_train"].shape == (results["train"]["count"], 8)
