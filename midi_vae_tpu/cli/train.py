@@ -70,6 +70,12 @@ def get_parser() -> argparse.ArgumentParser:
                             "(jax.checkpoint) — ~N× lower peak activation memory for ~1 extra "
                             "forward of FLOPs; enables much larger per-chip batches.")
     group.add_argument("--freeze-encoder", action="store_true")
+    group.add_argument("--pretrained", type=str, default=None,
+                       help="Warm-start model parameters from an existing checkpoint; optimizer "
+                            "state and counters start fresh (fine-tuning — unlike --checkpoint, "
+                            "which resumes). EMA weights are preferred when the checkpoint has "
+                            "them. For PyTorch reference checkpoints use "
+                            "examples/migrate_from_torch.py instead.")
     group.add_argument("--n_features", "--latent-dim", dest="n_features", type=int, default=10,
                        help="Latent dimensionality. Default: %(default)s")
     group.add_argument("--hidden-dims", type=int, nargs="+", default=None,
@@ -251,6 +257,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         head=args.head,
         fold=args.fold,
         remat=args.remat,
+        pretrained=args.pretrained,
         freeze_encoder=args.freeze_encoder,
         n_features=args.n_features,
         hidden_dims=tuple(args.hidden_dims) if args.hidden_dims else None,

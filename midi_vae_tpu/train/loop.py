@@ -193,6 +193,37 @@ def run(config: TrainConfig) -> dict:
     state = create_train_state(model, bundle.tx, init_key, sample_batch, ema=config.ema_decay is not None)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
     print(f"Model has {n_params:,} parameters")
+
+    # WARM START (--pretrained): parameters from an existing checkpoint,
+    # optimizer state and counters fresh. Resuming (checkpoint_payload)
+    # takes precedence — the resumed state already contains the weights.
+    if config.pretrained and checkpoint_payload is None:
+        from flax import serialization
+
+        from midi_vae_tpu.io.checkpoint import load_checkpoint as _load_ckpt
+
+        if config.pretrained.endswith(".pt"):
+            raise ValueError(
+                "--pretrained expects a midi_vae_tpu checkpoint; for PyTorch reference "
+                "checkpoints use examples/migrate_from_torch.py (torch_compat import)"
+            )
+        pre = _load_ckpt(config.pretrained)
+        pre_state = pre["state"]
+        params_src = pre_state.get("ema_params") or pre_state["params"]
+        new_params = serialization.from_state_dict(state.params, params_src)
+        state = state.replace(
+            params=new_params,
+            batch_stats=serialization.from_state_dict(
+                state.batch_stats, pre_state.get("batch_stats", {})
+            ),
+            # EMA tracking (if on) restarts from the warm-started weights
+            ema_params=new_params if state.ema_params else state.ema_params,
+        )
+        print(
+            f"Warm-started parameters from '{config.pretrained}' "
+            f"(epoch {pre.get('epoch', '?')}); optimizer state and counters start fresh"
+        )
+
     state = replicate(state, mesh)
 
     if config.step_impl == "shard_map":

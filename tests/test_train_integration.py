@@ -255,3 +255,33 @@ class TestCLI:
         )
         config = args_to_config(get_parser().parse_args(sys.argv[1:]), None)
         assert config.epochs == default_epochs
+
+
+class TestPretrainedWarmStart:
+    def test_pretrained_warm_start(self, first_run, tmp_path):
+        """--pretrained loads params from a checkpoint but starts counters
+        and optimizer fresh (fine-tuning), and continues improving."""
+        prev_path, prev_config, prev_results = first_run
+        config = small_config(
+            tmp_path, pretrained=prev_config.checkpoint_path, epochs=1,
+            run_name="warm", run_id="warm1",
+        )
+        results = run(config)
+        n_train = results["final_train"]["count"]
+        steps_per_epoch = n_train // config.batch_size_per_device
+        # counters started fresh: exactly one epoch of steps
+        assert results["total_step"] == steps_per_epoch
+        # 1 warm epoch on top of 2 trained epochs >= the 2-epoch cold result
+        assert results["final_train"]["cross-entropy"] <= prev_results["final_train"]["cross-entropy"] + 0.02
+
+    def test_pretrained_rejects_torch_checkpoints(self, tmp_path):
+        config = small_config(tmp_path, pretrained="/some/reference/checkpoint_latest.pt")
+        with pytest.raises(ValueError, match="migrate_from_torch"):
+            run(config)
+
+    def test_cli_maps_pretrained(self):
+        from midi_vae_tpu.cli.train import args_to_config, get_parser
+
+        argv = ["--pretrained", "/tmp/ckpt.msgpack"]
+        config = args_to_config(get_parser().parse_args(argv), argv)
+        assert config.pretrained == "/tmp/ckpt.msgpack"
