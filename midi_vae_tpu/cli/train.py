@@ -91,6 +91,11 @@ def get_parser() -> argparse.ArgumentParser:
     group.add_argument("--log-var-clamp", type=float, nargs=2, default=None, metavar=("MIN", "MAX"),
                        help="Clamp encoder log-variance to [MIN, MAX] in the loss (the option the"
                             " reference left commented out, models.py:210-212).")
+    group.add_argument("--free-bits", type=float, default=None,
+                       help="Per-dimension KL floor in nats (free bits, Kingma et al. 2016):"
+                            " dims below the floor stop contributing KL gradient, preventing"
+                            " posterior collapse on sparse corpora. Watch active-units in the"
+                            " epoch summaries.")
 
     # Optimization args (train.py:881-932) ------------------------------------
     group = parser.add_argument_group("Optimization routine")
@@ -265,6 +270,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         kl_schedule=args.kl_schedule,
         kl_warmup_steps=args.kl_warmup_steps,
         log_var_clamp=tuple(args.log_var_clamp) if args.log_var_clamp else None,
+        free_bits=args.free_bits,
         protoval_split_rate=_parse_split_rate(args.protoval_split_rate),
         epochs=args.epochs,
         stop_after_epochs=args.stop_after_epochs,

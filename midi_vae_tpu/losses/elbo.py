@@ -55,10 +55,27 @@ def kl_gaussian(mu: jax.Array, log_var: jax.Array) -> jax.Array:
     return -0.5 * jnp.mean(jnp.sum(1.0 + log_var - mu**2 - jnp.exp(log_var), axis=-1))
 
 
+def kl_gaussian_free_bits(mu: jax.Array, log_var: jax.Array, free_bits: float) -> jax.Array:
+    """Free-bits KL (Kingma et al. 2016, IAF appendix): per-dimension
+    batch-mean KL floored at ``free_bits`` nats, then summed over dims.
+
+    Dimensions whose average KL sits below the floor contribute a
+    constant — zero gradient — so the optimizer has no incentive to
+    squeeze them further toward the prior. This is the standard
+    anti-posterior-collapse tool for sparse targets (where predicting
+    the empty output is a strong local optimum and the KL term happily
+    shuts every latent dimension; see RESULTS.md "posterior collapse on
+    sparse MIDI"). No reference equivalent.
+    """
+    kl_dim = -0.5 * jnp.mean(1.0 + log_var - mu**2 - jnp.exp(log_var), axis=0)  # [latent]
+    return jnp.sum(jnp.maximum(kl_dim, free_bits))
+
+
 def elbo_loss(
     output: ModelOutput,
     kld_weight: jax.Array | float = 1.0,
     log_var_clamp: Optional[Tuple[float, float]] = None,
+    free_bits: Optional[float] = None,
 ) -> LossOutput:
     """VAE loss (reference: ``VanillaVAE.loss``, models.py:190-225).
 
@@ -72,14 +89,21 @@ def elbo_loss(
         recorded MIDI runs used 2.5e-4, configs/vae.yaml:20).
     log_var_clamp : (min, max), optional
         The clamp the reference left commented out (models.py:210-212).
+    free_bits : float, optional
+        Per-dimension KL floor in nats (:func:`kl_gaussian_free_bits`).
+        The *reported* ``kl`` stays the true (unfloored) KL; only the
+        gradient-carrying term is floored.
     """
     loss_recon = jnp.mean(bce_from_logits(output.logits, output.input))
     log_var = output.encoded.log_var
     if log_var_clamp is not None:
         log_var = jnp.clip(log_var, log_var_clamp[0], log_var_clamp[1])
     kl = kl_gaussian(output.encoded.mu, log_var)
+    kl_term = (
+        kl if free_bits is None else kl_gaussian_free_bits(output.encoded.mu, log_var, free_bits)
+    )
     w = jnp.asarray(kld_weight, dtype=loss_recon.dtype)
-    loss = loss_recon + w * kl
+    loss = loss_recon + w * kl_term
     return LossOutput(
         loss=loss,
         reconstruction_loss=jax.lax.stop_gradient(loss_recon),

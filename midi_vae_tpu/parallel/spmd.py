@@ -20,6 +20,9 @@ Semantic differences from the auto path, both deliberate:
   ``batch_stats`` are psum-averaged so the replicated state stays
   consistent. Models without BN (e.g. ``MLPVAE``) produce bitwise-equal
   gradients on both paths — proven in ``tests/test_spmd.py``.
+- **Free-bits floors apply per shard** (the floor compares against the
+  local-batch per-dim KL mean, like per-shard BN above; the auto path
+  floors the global-batch mean).
 - **Reparameterization noise is decorrelated per shard** by folding
   ``lax.axis_index("data")`` into the step key *inside* the program —
   the SPMD-safe home for per-shard randomness that round 1's host-side
@@ -51,6 +54,7 @@ def make_spmd_train_step(
     mesh: Mesh,
     *,
     log_var_clamp: Optional[Tuple[float, float]] = None,
+    free_bits: Optional[float] = None,
     donate: bool = True,
     ema_decay: Optional[float] = None,
 ) -> Callable:
@@ -85,7 +89,12 @@ def make_spmd_train_step(
                 rngs={"reparam": key},
                 mutable=["batch_stats"],
             )
-            lo = elbo_loss(out, kld_weight=kl_schedule(state.step), log_var_clamp=log_var_clamp)
+            lo = elbo_loss(
+                out,
+                kld_weight=kl_schedule(state.step),
+                log_var_clamp=log_var_clamp,
+                free_bits=free_bits,
+            )
             return lo.loss, (lo, mutated["batch_stats"])
 
         (_, (lo, batch_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

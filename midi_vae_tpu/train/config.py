@@ -49,6 +49,10 @@ class TrainConfig:
     loss_type: str = "elbo"  # elbo | beta-tc (losses/tcvae.py)
     tc_beta: float = 6.0  # TC penalty for loss_type=beta-tc
     log_var_clamp: Optional[Tuple[float, float]] = None
+    # Per-dimension KL floor in nats (free bits, Kingma et al. 2016) —
+    # the anti-posterior-collapse tool for sparse corpora (RESULTS.md
+    # "posterior collapse on sparse MIDI"). None = plain ELBO.
+    free_bits: Optional[float] = None
     fused: bool = False  # Pallas fused reparam + BCE kernels on the hot path
 
     # Optimization (train.py:881-932)

@@ -234,7 +234,13 @@ def run(config: TrainConfig) -> dict:
         from midi_vae_tpu.parallel.spmd import make_spmd_train_step
 
         train_step = make_spmd_train_step(
-            model, bundle.tx, kl_sched, mesh, log_var_clamp=config.log_var_clamp, ema_decay=config.ema_decay
+            model,
+            bundle.tx,
+            kl_sched,
+            mesh,
+            log_var_clamp=config.log_var_clamp,
+            free_bits=config.free_bits,
+            ema_decay=config.ema_decay,
         )
     else:
         train_step = make_train_step(
@@ -242,6 +248,7 @@ def run(config: TrainConfig) -> dict:
             bundle.tx,
             kl_sched,
             log_var_clamp=config.log_var_clamp,
+            free_bits=config.free_bits,
             fused_loss=config.fused,
             loss_type=config.loss_type,
             tc_beta=config.tc_beta,

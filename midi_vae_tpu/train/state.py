@@ -115,6 +115,7 @@ def make_train_step(
     kl_schedule: Callable,
     *,
     log_var_clamp: Optional[Tuple[float, float]] = None,
+    free_bits: Optional[float] = None,
     donate: bool = True,
     fused_loss: bool = False,
     loss_type: str = "elbo",
@@ -148,6 +149,8 @@ def make_train_step(
         raise ValueError(f"unknown loss_type: {loss_type}")
     if loss_type == "beta-tc" and fused_loss:
         raise ValueError("fused Pallas loss implements the plain ELBO only; drop --fused for beta-tc")
+    if free_bits is not None and (fused_loss or loss_type != "elbo"):
+        raise ValueError("--free-bits is implemented on the plain (non-fused) ELBO path")
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
@@ -177,7 +180,7 @@ def make_train_step(
                     log_var_clamp=log_var_clamp,
                 )
             if not fused_loss:
-                return elbo_loss(out, kld_weight=w, log_var_clamp=log_var_clamp)
+                return elbo_loss(out, kld_weight=w, log_var_clamp=log_var_clamp, free_bits=free_bits)
             from midi_vae_tpu.ops.fused_elbo import fused_elbo_terms
 
             lv = out.encoded.log_var

@@ -308,3 +308,52 @@ class TestBetaTCVAE:
                 model, optax.adam(1e-3), kl_weight_schedule("constant", 1.0),
                 loss_type="beta-tc", fused_loss=True,
             )
+
+
+class TestFreeBits:
+    """Free-bits KL floor (Kingma et al. 2016): collapsed dims stop
+    contributing KL gradient; the reported KL stays the true value."""
+
+    def test_floor_applies_per_dimension(self):
+        # dim 0 collapsed to the prior (KL=0), dim 1 active
+        mu = np.array([[0.0, 1.0], [0.0, -1.0]], np.float32)
+        lv = np.zeros((2, 2), np.float32)
+        out = make_output(
+            np.zeros((2, 4, 4, 1), np.float32), np.full((2, 4, 4, 1), 0.5, np.float32), mu, lv
+        )
+        fb = 0.25
+        res = elbo_loss(out, kld_weight=1.0, free_bits=fb)
+        # true per-dim KL: dim0 = 0, dim1 = 0.5·mean(mu²) = 0.5
+        # floored term = max(0, fb) + max(0.5, fb) = 0.25 + 0.5
+        recon = float(res.reconstruction_loss)
+        np.testing.assert_allclose(float(res.loss), recon + (fb + 0.5), rtol=1e-6)
+        # reported KL is the TRUE KL (0 + 0.5), not the floored one
+        np.testing.assert_allclose(float(res.kl), 0.5, rtol=1e-6)
+
+    def test_collapsed_dim_has_zero_kl_gradient(self):
+        def kl_term(mu):
+            out = make_output(
+                np.zeros((2, 4, 4, 1), np.float32),
+                np.full((2, 4, 4, 1), 0.5, np.float32),
+                mu,
+                jnp.zeros((2, 2)),
+            )
+            # kld_weight=1, recon independent of mu -> grad of loss wrt mu
+            # is the KL-term gradient
+            return elbo_loss(out, kld_weight=1.0, free_bits=0.25).loss
+
+        mu = jnp.array([[0.01, 1.0], [-0.01, -1.0]])  # dim0 below floor, dim1 above
+        g = jax.grad(kl_term)(mu)
+        np.testing.assert_allclose(np.asarray(g)[:, 0], 0.0, atol=1e-8)  # floored: no gradient
+        assert np.all(np.abs(np.asarray(g)[:, 1]) > 1e-3)  # active: real gradient
+
+    def test_rejected_on_fused_and_tc_paths(self):
+        import optax
+
+        from midi_vae_tpu.train.state import make_train_step
+
+        sched = kl_weight_schedule("constant", 1.0)
+        with pytest.raises(ValueError, match="free-bits"):
+            make_train_step(object(), optax.sgd(0.1), sched, free_bits=0.5, fused_loss=True)
+        with pytest.raises(ValueError, match="free-bits"):
+            make_train_step(object(), optax.sgd(0.1), sched, free_bits=0.5, loss_type="beta-tc")
