@@ -162,3 +162,31 @@ def test_spmd_step_updates_ema(eight_devices):
     expected = jax.tree_util.tree_map(lambda e, p: 0.5 * e + 0.5 * np.asarray(p), p0, s1.params)
     for a, b in zip(jax.tree_util.tree_leaves(s1.ema_params), jax.tree_util.tree_leaves(expected)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_spmd_step_free_bits(eight_devices):
+    """--free-bits composes with the explicit shard_map step: the loss
+    carries the floored KL term while the reported KL stays true."""
+    mesh = make_mesh(8)
+    model = MLPVAE(in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(32,))
+    bundle = build_optimizer(
+        None, param_group_label, optimizer="SGD", lr=1e-3, scheduler="OneCycle", total_steps=2
+    )
+    state = create_train_state(model, bundle.tx, jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 1)))
+    state = replicate(state, mesh)
+    x = jax.device_put(
+        np.random.default_rng(1).uniform(0, 1, (16, 16, 16, 1)).astype(np.float32),
+        batch_sharding(mesh),
+    )
+    # a floor far above any real per-dim KL at init: the KL term becomes
+    # the constant 4 * fb, so loss == recon + w * 4 * fb exactly
+    fb = 100.0
+    step = make_spmd_train_step(model, bundle.tx, KL, mesh, free_bits=fb, donate=False)
+    state, lo, gn = step(state, x, jax.random.PRNGKey(3))
+    w = float(lo.kld_weight)
+    np.testing.assert_allclose(
+        float(lo.loss), float(lo.reconstruction_loss) + w * 4 * fb, rtol=1e-5
+    )
+    # reported KL is the true KL — far below the floor at init
+    assert float(lo.kl) < 4 * fb
+    assert np.isfinite(float(gn))
