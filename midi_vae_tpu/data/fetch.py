@@ -32,6 +32,10 @@ SYNTHETIC_SIZES = {
     "vae-lines-large-synthetic": 4096,
     "pianoroll-synthetic": 4096,
     "midi-synthetic": 512,  # .mid files, each yielding 1-2 training windows
+    # Dense variant: ~8.5% roll fill vs ~1.3% — the corpus where the
+    # folded family keeps full latent health (RESULTS.md "posterior
+    # collapse on sparse MIDI": the collapse trigger is sparsity)
+    "midi-synthetic-dense": 512,
 }
 
 
@@ -43,22 +47,27 @@ def _synthetic_dataset(dataset: str, seed: int = 0) -> ArrayDataset:
         images, labels = generate_line_images(
             n, img_size=(128, 128), max_lines=20, line_width=0, full_length=False, seed=seed
         )
-    elif dataset == "midi-synthetic":
+    elif dataset in ("midi-synthetic", "midi-synthetic-dense"):
         # Full MIDI ingestion exercised end-to-end: write a synthetic
         # .mid corpus to a per-seed temp tree, then parse + rasterize it
         # through the real folder path (factory → SMF → parser → windows).
+        # The -dense variant raises max_notes 48 → 384 (~8.5% roll fill).
         import tempfile
 
         from midi_vae_tpu.data.sources import load_midi_folder
         from midi_vae_tpu.midi.factory import generate_midi_dataset
 
+        max_notes = 384 if dataset.endswith("-dense") else 48
         # generate into a private tmp dir, then atomic-rename: a crashed or
         # concurrent generator can never leave a half-corpus that later runs
         # silently mistake for complete
-        corpus = os.path.join(tempfile.gettempdir(), f"midi_vae_tpu_synth_{n}files_{seed}")
+        corpus = os.path.join(
+            tempfile.gettempdir(), f"midi_vae_tpu_synth_{n}files_{seed}_n{max_notes}"
+            if max_notes != 48 else f"midi_vae_tpu_synth_{n}files_{seed}"
+        )
         if not os.path.isdir(corpus):
             staging = tempfile.mkdtemp(prefix=f"midi_vae_tpu_synth_{seed}_", dir=tempfile.gettempdir())
-            generate_midi_dataset(n, staging, seed=seed)
+            generate_midi_dataset(n, staging, seed=seed, max_notes=max_notes)
             try:
                 os.rename(staging, corpus)
             except OSError:  # lost the race: another process finished first

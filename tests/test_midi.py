@@ -493,3 +493,19 @@ class TestSMPTEDivision:
         if native_midiparse_available():
             nat = parse_midi_native(p)
             np.testing.assert_allclose(nat.duration, py.duration, atol=1e-12)
+
+
+def test_midi_synthetic_dense_corpus():
+    """The -dense variant (max_notes 384) produces a markedly denser roll
+    distribution than the default corpus — the reproducible corpus behind
+    RESULTS.md's collapse-trigger isolation (~8.5% vs ~1.3% fill)."""
+    import numpy as np
+
+    from midi_vae_tpu.data.fetch import fetch_dataset
+
+    dense_train, _, _, _ = fetch_dataset("midi-synthetic-dense")
+    sparse_train, _, _, _ = fetch_dataset("midi-synthetic")
+    dense_fill = float((dense_train.images > 0).mean())
+    sparse_fill = float((sparse_train.images > 0).mean())
+    assert dense_fill > 3 * sparse_fill, (dense_fill, sparse_fill)
+    assert dense_train.images.shape[1:] == sparse_train.images.shape[1:]
