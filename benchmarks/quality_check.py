@@ -100,6 +100,7 @@ def main():
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "quality.json")
     # merge with prior rows measured at the same epochs/size, so partial
     # re-runs update their variants without dropping the rest of the table
+    dropped = []
     if os.path.exists(path):
         try:
             with open(path) as f:
@@ -109,11 +110,24 @@ def main():
                 rows = [r for r in prior["rows"] if r["variant"] not in ran] + rows
                 order = list(VARIANTS)
                 rows.sort(key=lambda r: order.index(r["variant"]) if r["variant"] in order else 99)
+            else:
+                # a run at different settings cannot be merged; publishing it
+                # would silently drop every previously published variant row
+                ran = {r["variant"] for r in rows}
+                dropped = sorted({r["variant"] for r in prior.get("rows", [])} - ran)
         except (ValueError, KeyError):
             pass
     with open(path, "w") as f:
         json.dump({"epochs": args.epochs, "image_size": args.image_size, "rows": rows}, f, indent=1)
     print(f"wrote {path}")
+    if dropped:
+        print(
+            f"WARNING: this run ({args.epochs} epochs @ {args.image_size}px) does not match the "
+            f"published table's settings and omits previously published variants {dropped}; "
+            "NOT rewriting RESULTS.md — re-run with all variants (or the published settings) "
+            "to update the table."
+        )
+        return
     splice_results(args.epochs, args.image_size, rows)
 
 

@@ -85,7 +85,10 @@ def cli(argv=None) -> None:
         prototyping=bool(cfg.get("prototyping", False)),
         transform_train=transform_eval,
         transform_eval=transform_eval,
+        # reproduce the checkpoint's exact train/val split: id AND rate
+        # (a different rate would leak training samples into --partition val)
         protoval_split_id=int(cfg.get("protoval_split_id") or 0),
+        protoval_split_rate=float(cfg.get("protoval_split_rate") or 0.1),
     )
 
     wanted = ("test", "val", "train") if args.partition == "all" else (args.partition,)
@@ -95,6 +98,12 @@ def cli(argv=None) -> None:
             print("val partition is the test set for this dataset (not distinct); skipping duplicate sweep")
             continue
         partitions.append((name, {"test": test, "val": val, "train": train}[name]))
+
+    # one compiled eval step shared across partitions (evaluate() rebuilds
+    # only the collect_latents diagnostic variant itself)
+    from midi_vae_tpu.evaluation.evaluate import make_eval_step
+
+    shared_step = None if args.latents_out else make_eval_step(model)
 
     results = {}
     collected = {}
@@ -107,6 +116,7 @@ def cli(argv=None) -> None:
             partition_name=name.capitalize(),
             seed=args.seed,
             collect_latents=bool(args.latents_out),
+            eval_step=shared_step,
         )
         if args.latents_out:
             collected[name] = out.pop("latents")

@@ -32,12 +32,12 @@ class TrainConfig:
     stem: str = "conv"  # conv (reference parity) | s2d (space-to-depth MXU stem)
     head: str = "deconv"  # deconv (reference parity) | d2s (depth-to-space head)
     fold: int = 4  # FoldedVAE input fold factor (power of two)
-    remat: bool = False
+    remat: bool = False  # recompute conv-stack activations in backward (larger batches)
     # Warm-start model parameters from an existing checkpoint; optimizer
     # state and counters start fresh (fine-tuning). Distinct from
     # checkpoint_path, which RESUMES a run. The reference parses
     # --pretrained but never uses it (train.py:854-879) — here it works.
-    pretrained: Optional[str] = None  # recompute conv-stack activations in backward (larger batches)
+    pretrained: Optional[str] = None
     freeze_encoder: bool = False
     n_features: int = 10  # latent dim
     hidden_dims: Tuple[int, ...] = (32, 64, 128, 256)

@@ -121,8 +121,18 @@ def run(config: TrainConfig) -> dict:
 
     # MESH ====================================================================
     if config.mesh_slices:
-        n_avail = config.num_devices or len(jax.devices())
-        mesh = make_mesh_multislice(config.mesh_slices, n_avail // config.mesh_slices)
+        if config.num_devices is not None:
+            if config.num_devices % config.mesh_slices:
+                raise ValueError(
+                    f"--num-devices {config.num_devices} does not divide into "
+                    f"--mesh-slices {config.mesh_slices}"
+                )
+            mesh = make_mesh_multislice(config.mesh_slices, config.num_devices // config.mesh_slices)
+        else:
+            # let the helper infer chips_per_slice (and validate divisibility /
+            # per-slice capacity — on real multi-slice platforms slices group
+            # by slice_index, so a flat device-count division would be wrong)
+            mesh = make_mesh_multislice(config.mesh_slices)
     else:
         mesh = make_mesh(config.num_devices)
     n_devices = mesh.devices.size

@@ -189,3 +189,26 @@ def test_trainer_runs_on_multislice_mesh(tmp_path, eight_devices):
     results = run(config)
     assert np.isfinite(results["train"]["loss"])
     assert results["n_samples_seen"] > 0
+
+
+def test_trainer_rejects_indivisible_mesh_slices(tmp_path, eight_devices):
+    import pytest
+
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        image_size=16,
+        arch="MLPVAE",
+        n_features=4,
+        hidden_dims=(32,),
+        epochs=1,
+        batch_size_per_device=8,
+        num_devices=8,
+        mesh_slices=3,  # 8 % 3 != 0 — must fail loudly, not drop devices
+        models_dir=str(tmp_path / "m"),
+        log_images=False,
+    )
+    with pytest.raises(ValueError, match="divide"):
+        run(config)
