@@ -7,6 +7,8 @@ Minimal stdlib server (no extra dependencies) wrapping the
   [N,H,W,C] in [0,1]) → ``{"reconstructions": [...]}``
 - ``POST /encode`` — same input → ``{"mu": [...], "log_var": [...]}``
 - ``POST /sample`` — ``{"n": 4, "seed": 0}`` → ``{"samples": [...]}``
+- ``POST /interpolate`` — ``{"a": [...], "b": [...], "steps": 8,
+  "slerp": false}`` ([H,W,C] endpoints in [0,1]) → ``{"path": [...]}``
 - ``GET /healthz`` — liveness + batcher stats
 
 Run: ``python -m midi_vae_tpu.serving.server --checkpoint CKPT --port 8000``
@@ -67,6 +69,15 @@ class InferenceService:
         out = sample_prior(self.model, self.params, self.batch_stats, jax.random.PRNGKey(seed), n)
         return np.asarray(out)
 
+    def interpolate(self, a: np.ndarray, b: np.ndarray, steps: int, mode: str) -> np.ndarray:
+        from midi_vae_tpu.evaluation.inference import interpolate
+
+        path = interpolate(
+            self.model, self.params, self.batch_stats,
+            a[None], b[None], steps=steps, mode=mode,
+        )
+        return np.asarray(path[:, 0])  # [steps, H, W, C]
+
     def close(self):
         self.reconstruct.close()
         self.encode.close()
@@ -106,6 +117,15 @@ def make_handler(service: InferenceService):
                     n = int(payload.get("n", 1))
                     out = service.sample(n, int(payload.get("seed", 0)))
                     self._json(200, {"samples": out.tolist()})
+                elif self.path == "/interpolate":
+                    a = np.asarray(payload["a"], np.float32)
+                    b = np.asarray(payload["b"], np.float32)
+                    out = service.interpolate(
+                        a, b,
+                        steps=int(payload.get("steps", 8)),
+                        mode="slerp" if payload.get("slerp") else "lerp",
+                    )
+                    self._json(200, {"path": out.tolist()})
                 elif self.path in ("/reconstruct", "/encode"):
                     x = np.asarray(payload["images"], np.float32)
                     if x.ndim == 3:

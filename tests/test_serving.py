@@ -186,3 +186,24 @@ class TestServer:
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(req, timeout=10)
         assert exc_info.value.code == 400
+
+
+class TestInterpolateEndpoint:
+    def test_interpolate(self, server):
+        rng = np.random.default_rng(2)
+        a = rng.uniform(0, 1, (32, 32, 1)).astype(np.float32)
+        b = rng.uniform(0, 1, (32, 32, 1)).astype(np.float32)
+        out = _post(f"{server}/interpolate", {"a": a.tolist(), "b": b.tolist(), "steps": 5})
+        path = np.asarray(out["path"])
+        assert path.shape == (5, 32, 32, 1)
+        assert (path >= 0).all() and (path <= 1).all()
+        # consecutive frames differ: it's a path, not a constant
+        assert np.abs(path[0] - path[-1]).max() > 1e-4
+
+    def test_interpolate_slerp(self, server):
+        rng = np.random.default_rng(3)
+        a = rng.uniform(0, 1, (32, 32, 1)).astype(np.float32)
+        b = rng.uniform(0, 1, (32, 32, 1)).astype(np.float32)
+        out = _post(f"{server}/interpolate",
+                    {"a": a.tolist(), "b": b.tolist(), "steps": 4, "slerp": True})
+        assert np.asarray(out["path"]).shape == (4, 32, 32, 1)
