@@ -69,6 +69,11 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Rematerialize conv-stack activations in the backward pass "
                             "(jax.checkpoint) — ~N× lower peak activation memory for ~1 extra "
                             "forward of FLOPs; enables much larger per-chip batches.")
+    group.add_argument("--torch-compat", action="store_true",
+                       help="Use the reference's exact padding arithmetic and flatten order —"
+                            " forward bit-compatible with the torch reference, so weights"
+                            " import from it and export back to it"
+                            " (python -m midi_vae_tpu.interop.torch_export).")
     group.add_argument("--freeze-encoder", action="store_true")
     group.add_argument("--pretrained", type=str, default=None,
                        help="Warm-start model parameters from an existing checkpoint; optimizer "
@@ -262,6 +267,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         head=args.head,
         fold=args.fold,
         remat=args.remat,
+        torch_compat=args.torch_compat,
         pretrained=args.pretrained,
         freeze_encoder=args.freeze_encoder,
         n_features=args.n_features,

@@ -33,6 +33,10 @@ class TrainConfig:
     head: str = "deconv"  # deconv (reference parity) | d2s (depth-to-space head)
     fold: int = 4  # FoldedVAE input fold factor (power of two)
     remat: bool = False  # recompute conv-stack activations in backward (larger batches)
+    # Reference's exact padding arithmetic + flatten order: forward is
+    # bit-compatible with the torch reference, enabling weight import
+    # (interop/torch_import.py) and export (interop/torch_export.py)
+    torch_compat: bool = False
     # Warm-start model parameters from an existing checkpoint; optimizer
     # state and counters start fresh (fine-tuning). Distinct from
     # checkpoint_path, which RESUMES a run. The reference parses

@@ -116,6 +116,7 @@ def run(config: TrainConfig) -> dict:
         fold=config.fold,
         verbose=config.verbose,
         remat=config.remat,
+        torch_compat=config.torch_compat,
     )
     encoder_config = {"input_size": config.image_size, "n_feature": config.n_features}
 

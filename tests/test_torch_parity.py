@@ -109,3 +109,91 @@ def test_elbo_value_parity(pair):
     np.testing.assert_allclose(float(lo.loss), loss_t, rtol=2e-4)
     np.testing.assert_allclose(float(lo.reconstruction_loss), float(bce_t), rtol=2e-4)
     np.testing.assert_allclose(float(lo.kl), float(kld_t), rtol=2e-3, atol=1e-5)
+
+
+class TestTorchExport:
+    """Reverse interop: flax → reference state_dict (interop/torch_export)."""
+
+    def test_roundtrip_bitwise(self, pair):
+        from midi_vae_tpu.interop.torch_export import export_reference_state_dict
+
+        tmodel, _, variables, _ = pair
+        sd_orig = {k: v.detach().cpu().numpy() for k, v in tmodel.state_dict().items()}
+        sd_back = export_reference_state_dict(
+            variables["params"], variables["batch_stats"], input_dim=IMG, hidden_dims=HID
+        )
+        assert set(sd_back) == set(sd_orig)
+        for k in sd_orig:
+            if k.endswith("num_batches_tracked"):
+                continue
+            np.testing.assert_array_equal(sd_back[k], sd_orig[k], err_msg=k)
+
+    def test_exported_state_dict_loads_and_matches_forward(self, pair):
+        """A fresh torch reference model loaded from the export produces the
+        same deterministic forward as the flax model (eval mode, z = mu)."""
+        from midi_vae_tpu.interop.torch_export import export_reference_state_dict
+
+        _, jmodel, variables, x = pair
+        sd = export_reference_state_dict(
+            variables["params"], variables["batch_stats"], input_dim=IMG, hidden_dims=HID
+        )
+        import sys, os
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
+        from torch_cpu_baseline import TorchRefVAE
+
+        fresh = TorchRefVAE(in_ch=1, latent=10, input_dim=IMG, hidden=HID)
+        fresh.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+        fresh.eval()
+
+        eps = np.zeros((4, 10), np.float32)  # z == mu
+        mu_j, lv_j, recon_j, _ = _jax_forward(jmodel, variables, x.transpose(0, 2, 3, 1), eps, train=False)
+        with torch.no_grad():
+            recon_t, mu_t, _ = fresh(torch.tensor(x), eps=torch.tensor(eps))
+        np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(recon_j), recon_t.numpy().transpose(0, 2, 3, 1), atol=2e-5
+        )
+
+
+def test_train_compat_then_export_cli(tmp_path):
+    """Full CLI round trip: train --torch-compat, export with the
+    interop CLI, load the exported state_dict into the torch reference
+    model (strict) — migration works in BOTH directions."""
+    from midi_vae_tpu.interop.torch_export import main as export_main
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        torch_compat=True,
+        n_features=8,
+        hidden_dims=(8, 16, 32, 64),
+        epochs=1,
+        batch_size_per_device=16,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "m"),
+        log_images=False,
+        run_name="compat",
+        run_id="cmp1",
+    )
+    run(config)
+
+    out = str(tmp_path / "exported.pt")
+    export_main(["--checkpoint", config.checkpoint_path, "--out", out])
+
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
+    from torch_cpu_baseline import TorchRefVAE
+
+    tmodel = TorchRefVAE(in_ch=1, latent=8, input_dim=32, hidden=(8, 16, 32, 64))
+    tmodel.load_state_dict(torch.load(out, weights_only=True))  # strict: every key maps
+    tmodel.eval()
+    with torch.no_grad():
+        recon, mu, lv = tmodel(torch.zeros(2, 1, 32, 32), eps=torch.zeros(2, 8))
+    assert recon.shape == (2, 1, 32, 32)
+    assert torch.isfinite(recon).all() and torch.isfinite(mu).all()
