@@ -55,6 +55,18 @@ class _EvalState:
     batch_stats: Any
 
 
+def _stored_split_rate(raw: Any):
+    """Checkpoint-stored protoval split rate → fetch_dataset argument.
+
+    ``--protoval-split-rate auto`` is kept as the string "auto" in the
+    config (cli/train.py _parse_split_rate) and fetch_dataset handles it
+    natively; only absent/None falls back to the 0.1 default.
+    """
+    if raw is None:
+        return 0.1
+    return raw if raw == "auto" else float(raw)
+
+
 def cli(argv=None) -> None:
     args = get_parser().parse_args(argv)
     if args.cpu:
@@ -88,7 +100,9 @@ def cli(argv=None) -> None:
         # reproduce the checkpoint's exact train/val split: id AND rate
         # (a different rate would leak training samples into --partition val)
         protoval_split_id=int(cfg.get("protoval_split_id") or 0),
-        protoval_split_rate=float(cfg.get("protoval_split_rate") or 0.1),
+        # "auto" is a supported rate (sized like the test set) and is stored
+        # in the config as the string — pass it through, don't float() it
+        protoval_split_rate=_stored_split_rate(cfg.get("protoval_split_rate")),
     )
 
     wanted = ("test", "val", "train") if args.partition == "all" else (args.partition,)

@@ -34,12 +34,16 @@ def _np(a) -> np.ndarray:
     return np.asarray(a, dtype=np.float32)
 
 
-def _bn_out(sd: Dict, prefix: str, params: Dict, stats: Dict) -> None:
+def _bn_out(sd: Dict, prefix: str, params: Dict, stats: Dict, num_batches: int = 0) -> None:
     sd[f"{prefix}.weight"] = _np(params["scale"])
     sd[f"{prefix}.bias"] = _np(params["bias"])
     sd[f"{prefix}.running_mean"] = _np(stats["mean"])
     sd[f"{prefix}.running_var"] = _np(stats["var"])
-    sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+    # Representative training-step count. torch only consults this counter
+    # when fine-tuning with BatchNorm momentum=None (cumulative-average
+    # mode); flax BN has no such counter, so the checkpoint's total_step is
+    # the honest stand-in (every BN layer saw every step).
+    sd[f"{prefix}.num_batches_tracked"] = np.asarray(num_batches, dtype=np.int64)
 
 
 def export_reference_state_dict(
@@ -48,9 +52,13 @@ def export_reference_state_dict(
     *,
     input_dim: int = 32,
     hidden_dims: Sequence[int] = (32, 64, 128, 256),
+    num_batches_tracked: int = 0,
 ) -> Dict[str, np.ndarray]:
     """``{"params", "batch_stats"}`` of ``VanillaVAE(torch_compat=True)``
-    → reference-layout ``state_dict`` of numpy arrays."""
+    → reference-layout ``state_dict`` of numpy arrays.
+
+    ``num_batches_tracked`` stamps every BN layer's counter (pass the
+    checkpoint's ``total_step``; see ``_bn_out``)."""
     s = conv_output_size(input_dim, len(hidden_dims))
     perm = flatten_permutation(s, hidden_dims[-1])
     inv_perm = np.empty_like(perm)
@@ -65,6 +73,7 @@ def export_reference_state_dict(
         _bn_out(
             sd, f"encoder.{i}.1", blk["BatchNorm_0"],
             batch_stats["encoder"][f"ConvBlock_{i}"]["BatchNorm_0"],
+            num_batches_tracked,
         )
 
     for head in ("fc_mu", "fc_var"):
@@ -84,6 +93,7 @@ def export_reference_state_dict(
         _bn_out(
             sd, f"decoder.{i}.1", blk["BatchNorm_0"],
             batch_stats["decoder"][f"DeconvBlock_{i}"]["BatchNorm_0"],
+            num_batches_tracked,
         )
 
     fl = params["final_layer"]
@@ -92,6 +102,7 @@ def export_reference_state_dict(
     _bn_out(
         sd, "final_layer.1", fl["DeconvBlock_0"]["BatchNorm_0"],
         batch_stats["final_layer"]["DeconvBlock_0"]["BatchNorm_0"],
+        num_batches_tracked,
     )
     sd["final_layer.3.weight"] = _np(fl["Conv_0"]["kernel"]).transpose(3, 2, 0, 1)
     sd["final_layer.3.bias"] = _np(fl["Conv_0"]["bias"])
@@ -127,8 +138,12 @@ def main(argv=None) -> None:
             f"(got {type(model).__name__}, torch_compat={getattr(model, 'torch_compat', False)}); "
             "train with --torch-compat for a torch-exportable run"
         )
+    from midi_vae_tpu.io.checkpoint import load_checkpoint
+
+    total_step = int(load_checkpoint(args.checkpoint).get("total_step", 0))
     sd = export_reference_state_dict(
-        params, batch_stats, input_dim=image_size, hidden_dims=tuple(model.hidden_dims)
+        params, batch_stats, input_dim=image_size, hidden_dims=tuple(model.hidden_dims),
+        num_batches_tracked=total_step,
     )
     if args.out.endswith(".npz"):
         np.savez(args.out, **sd)

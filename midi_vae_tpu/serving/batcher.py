@@ -44,11 +44,24 @@ class MicroBatcher:
         what it has.
     """
 
-    def __init__(self, fn: Callable, *, max_batch: int = 64, max_wait_ms: float = 2.0):
+    def __init__(
+        self,
+        fn: Callable,
+        *,
+        max_batch: int = 64,
+        max_wait_ms: float = 2.0,
+        item_shape: "tuple | None" = None,
+    ):
         self.fn = fn
         # clamp the cap to a bucket size so padding never exceeds it
         self.max_batch = _bucket(max_batch)
         self.max_wait = max_wait_ms / 1000.0
+        # per-item trailing shape contract: fixed up front when the caller
+        # knows it (e.g. the server's [H, W, C]), else locked to the first
+        # submitted request. Checked at submit() so a malformed request is
+        # rejected at its own call site instead of poisoning the concat and
+        # failing every co-batched waiter in the tick.
+        self._item_shape = tuple(item_shape) if item_shape is not None else None
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._submit_lock = threading.Lock()  # serializes submit vs close drain
@@ -59,14 +72,29 @@ class MicroBatcher:
         self.requests_served = 0
 
     def submit(self, x: np.ndarray) -> Future:
-        """Enqueue a [n, ...] request; resolves to the [n, ...] result."""
+        """Enqueue a [n, ...] request; resolves to the [n, ...] result.
+
+        Raises ``ValueError`` immediately (in the caller's thread) when the
+        request's per-item shape disagrees with the batcher's contract —
+        other requests in flight are unaffected.
+        """
+        x = np.asarray(x)
+        if x.ndim < 1 or len(x) == 0:
+            raise ValueError(f"request must be a non-empty [n, ...] array, got shape {x.shape}")
         fut: Future = Future()
         with self._submit_lock:
             # checked under the lock: close() drains under the same lock, so a
             # put can never land after the drain and hang its caller
             if self._stop.is_set():
                 raise RuntimeError("batcher is closed")
-            self._queue.put((np.asarray(x), fut))
+            if self._item_shape is None:
+                self._item_shape = tuple(x.shape[1:])  # first request sets the contract
+            elif tuple(x.shape[1:]) != self._item_shape:
+                raise ValueError(
+                    f"request item shape {tuple(x.shape[1:])} does not match the "
+                    f"batcher's item shape {self._item_shape}"
+                )
+            self._queue.put((x, fut))
         return fut
 
     def __call__(self, x: np.ndarray) -> np.ndarray:

@@ -46,11 +46,20 @@ class InferenceService:
 
         @jax.jit
         def _reconstruct(x):
-            out = model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x, train=False, rngs={"reparam": jax.random.PRNGKey(0)},
+            # Posterior-MEAN decode: encode → mu → decode, no reparam draw.
+            # This is the right serving semantics (the mean is the MAP
+            # reconstruction; a fixed-key eps draw would add the same frozen
+            # noise to every request) and it is exactly the computation
+            # benchmarks/serving_latency.py measures — the served path and
+            # the benched path are one code path.
+            enc = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False,
+                method=type(model).encode,
             )
-            return out.output
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, enc.mu, train=False,
+                method=type(model).decode,
+            )
 
         @jax.jit
         def _encode(x):
@@ -59,19 +68,38 @@ class InferenceService:
             )
             return jnp.concatenate([enc.mu, enc.log_var], axis=-1)
 
-        self.reconstruct = MicroBatcher(_reconstruct, max_batch=max_batch, max_wait_ms=max_wait_ms)
-        self.encode = MicroBatcher(_encode, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        item_shape = (self.image_size, self.image_size, self.channels)
+        self.reconstruct = MicroBatcher(
+            _reconstruct, max_batch=max_batch, max_wait_ms=max_wait_ms, item_shape=item_shape
+        )
+        self.encode = MicroBatcher(
+            _encode, max_batch=max_batch, max_wait_ms=max_wait_ms, item_shape=item_shape
+        )
         self.latent_dim = self.model.latent_dim
+
+    MAX_SAMPLES = 1024  # same bound rationale as MAX_INTERPOLATE_STEPS
 
     def sample(self, n: int, seed: int = 0) -> np.ndarray:
         from midi_vae_tpu.evaluation.inference import sample_prior
 
+        if not (1 <= n <= self.MAX_SAMPLES):
+            raise ValueError(f"n must be in [1, {self.MAX_SAMPLES}], got {n}")
         out = sample_prior(self.model, self.params, self.batch_stats, jax.random.PRNGKey(seed), n)
         return np.asarray(out)
+
+    MAX_INTERPOLATE_STEPS = 64  # bounds the [steps, H, W, C] result of one request
 
     def interpolate(self, a: np.ndarray, b: np.ndarray, steps: int, mode: str) -> np.ndarray:
         from midi_vae_tpu.evaluation.inference import interpolate
 
+        # this path runs eagerly outside the micro-batcher, so an unvalidated
+        # request could allocate an unbounded result and stall the process
+        if not (2 <= steps <= self.MAX_INTERPOLATE_STEPS):
+            raise ValueError(f"steps must be in [2, {self.MAX_INTERPOLATE_STEPS}], got {steps}")
+        expect = (self.image_size, self.image_size, self.channels)
+        for name, arr in (("a", a), ("b", b)):
+            if tuple(arr.shape) != expect:
+                raise ValueError(f"'{name}' must have shape {expect}, got {tuple(arr.shape)}")
         path = interpolate(
             self.model, self.params, self.batch_stats,
             a[None], b[None], steps=steps, mode=mode,

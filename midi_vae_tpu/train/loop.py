@@ -227,8 +227,14 @@ def run(config: TrainConfig) -> dict:
             batch_stats=serialization.from_state_dict(
                 state.batch_stats, pre_state.get("batch_stats", {})
             ),
-            # EMA tracking (if on) restarts from the warm-started weights
-            ema_params=new_params if state.ema_params else state.ema_params,
+            # EMA tracking (if on) restarts from the warm-started weights.
+            # Explicit host-side copies: the train step donates the state, so
+            # params and ema_params must never share buffers (create_train_state
+            # documents the invariant; don't rely on from_state_dict returning
+            # fresh leaves).
+            ema_params=jax.tree_util.tree_map(np.copy, new_params)
+            if state.ema_params
+            else state.ema_params,
         )
         print(
             f"Warm-started parameters from '{config.pretrained}' "
@@ -556,7 +562,6 @@ def train_one_epoch(
         last_lo = lo
         n_samples_seen += world_batch
         steps_since_log += 1
-        total_step = int(state.step) if batch_idx == num_batches - 1 else None  # sync only at epoch end
 
         is_print = batch_idx <= 2 or batch_idx % print_interval == 0 or batch_idx >= num_batches - 1
         is_log = batch_idx % config.log_interval == 0

@@ -57,20 +57,30 @@ class TestMicroBatcher:
             batcher(np.zeros((1, 2), np.float32))
         batcher.close()
 
-    def test_shape_mismatch_fails_request_not_thread(self):
-        """A bad request must error its own waiters and leave the dispatcher
-        alive (regression: concat outside try killed the loop thread)."""
+    def test_shape_mismatch_rejected_at_submit_only_offender(self):
+        """A malformed request is rejected at its own submit() — co-batched
+        well-formed requests are unaffected and the dispatcher survives."""
         batcher = MicroBatcher(lambda x: x, max_batch=64, max_wait_ms=30.0)
         f1 = batcher.submit(np.zeros((1, 4, 4, 1), np.float32))
-        f2 = batcher.submit(np.zeros((1, 8, 8, 1), np.float32))  # mismatched
-        with pytest.raises(ValueError):
-            f1.result(timeout=5)
-        with pytest.raises(ValueError):
-            f2.result(timeout=5)
+        with pytest.raises(ValueError, match="item shape"):
+            batcher.submit(np.zeros((1, 8, 8, 1), np.float32))  # mismatched: only IT errors
+        out1 = f1.result(timeout=5)  # the innocent co-batched request still serves
+        assert out1.shape == (1, 4, 4, 1)
         assert batcher._thread.is_alive()
-        # the batcher still serves well-formed requests afterwards
         out = batcher(np.ones((2, 4, 4, 1), np.float32))
         assert out.shape == (2, 4, 4, 1)
+        batcher.close()
+
+    def test_fixed_item_shape_rejects_first_bad_request(self):
+        """With item_shape pinned up front (as the server does), even the
+        FIRST request is validated instead of setting a wrong contract."""
+        batcher = MicroBatcher(lambda x: x, max_wait_ms=5.0, item_shape=(4, 4, 1))
+        with pytest.raises(ValueError, match="item shape"):
+            batcher.submit(np.zeros((1, 8, 8, 1), np.float32))
+        with pytest.raises(ValueError, match="non-empty"):
+            batcher.submit(np.zeros((0, 4, 4, 1), np.float32))
+        out = batcher(np.ones((3, 4, 4, 1), np.float32))
+        assert out.shape == (3, 4, 4, 1)
         batcher.close()
 
     def test_max_batch_is_a_hard_cap(self):
@@ -179,6 +189,23 @@ class TestServer:
         assert not errors
         assert all(r is not None for r in results)
 
+    def test_reconstruct_is_posterior_mean_deterministic(self, server):
+        """/reconstruct decodes the posterior MEAN (the benched path) — no
+        per-request noise, so the same input reconstructs identically."""
+        x = np.random.default_rng(4).uniform(0, 1, (1, 32, 32, 1)).astype(np.float32).tolist()
+        r1 = np.asarray(_post(f"{server}/reconstruct", {"images": x})["reconstructions"])
+        r2 = np.asarray(_post(f"{server}/reconstruct", {"images": x})["reconstructions"])
+        np.testing.assert_array_equal(r1, r2)
+
+    def test_oversized_sample_request_rejected(self, server):
+        req = urllib.request.Request(
+            f"{server}/sample", data=json.dumps({"n": 10**6}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc_info.value.code == 400
+
     def test_bad_request_is_400(self, server):
         req = urllib.request.Request(
             f"{server}/reconstruct", data=b'{"wrong": 1}', headers={"Content-Type": "application/json"}
@@ -199,6 +226,29 @@ class TestInterpolateEndpoint:
         assert (path >= 0).all() and (path <= 1).all()
         # consecutive frames differ: it's a path, not a constant
         assert np.abs(path[0] - path[-1]).max() > 1e-4
+
+    def test_interpolate_steps_clamped(self, server):
+        """A huge steps value must be a 400, not an unbounded allocation."""
+        a = np.zeros((32, 32, 1), np.float32).tolist()
+        req = urllib.request.Request(
+            f"{server}/interpolate",
+            data=json.dumps({"a": a, "b": a, "steps": 100000}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc_info.value.code == 400
+
+    def test_interpolate_wrong_shape_rejected(self, server):
+        a = np.zeros((8, 8, 1), np.float32).tolist()  # wrong size for a 32px model
+        req = urllib.request.Request(
+            f"{server}/interpolate",
+            data=json.dumps({"a": a, "b": a, "steps": 4}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc_info.value.code == 400
 
     def test_interpolate_slerp(self, server):
         rng = np.random.default_rng(3)
