@@ -101,6 +101,18 @@ def get_parser() -> argparse.ArgumentParser:
                             " dims below the floor stop contributing KL gradient, preventing"
                             " posterior collapse on sparse corpora. Watch active-units in the"
                             " epoch summaries.")
+    group.add_argument("--bce-pos-weight", type=_parse_auto_float, default=None, metavar="W|auto",
+                       help="Positive-class weight on the BCE reconstruction term (torch "
+                            "BCEWithLogitsLoss pos_weight convention vs the reference's unweighted "
+                            "models.py:208). 'auto' = (1-p)/p from the train corpus fill rate — "
+                            "the reconstruction-side anti-collapse rebalancer for sparse "
+                            "piano-rolls. Default: off (reference parity)")
+    group.add_argument("--output-bias-init", type=_parse_auto_float, default=None, metavar="B|auto",
+                       help="Initialize the decoder's output-logit bias to this constant; 'auto' = "
+                            "log(p/(1-p)) from the train corpus fill rate, so the decoder starts "
+                            "at the corpus base rate instead of the all-0.5 output where ~98%% of "
+                            "sparse-corpus cells emit a coherent pull into the silence attractor. "
+                            "Default: zeros (reference parity)")
 
     # Optimization args (train.py:881-932) ------------------------------------
     group = parser.add_argument_group("Optimization routine")
@@ -232,6 +244,14 @@ def _parse_split_rate(value):
     return float(value)
 
 
+def _parse_auto_float(value):
+    """'auto' stays a string (resolved against the corpus in train/loop.py);
+    anything else must parse as a float."""
+    if value is None or value == "auto":
+        return value
+    return float(value)
+
+
 def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
     """Build a TrainConfig from parsed args (+ optional YAML base)."""
     if args.disable_wandb:
@@ -277,6 +297,8 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         kl_warmup_steps=args.kl_warmup_steps,
         log_var_clamp=tuple(args.log_var_clamp) if args.log_var_clamp else None,
         free_bits=args.free_bits,
+        bce_pos_weight=args.bce_pos_weight,
+        output_bias_init=args.output_bias_init,
         protoval_split_rate=_parse_split_rate(args.protoval_split_rate),
         epochs=args.epochs,
         stop_after_epochs=args.stop_after_epochs,

@@ -33,7 +33,9 @@ from midi_vae_tpu.core.types import LossOutput, ModelOutput
 _LOG_CLAMP = -100.0  # torch binary_cross_entropy clamps log terms at -100
 
 
-def bce_from_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+def bce_from_logits(
+    logits: jax.Array, targets: jax.Array, pos_weight: Optional[float] = None
+) -> jax.Array:
     """Elementwise binary cross-entropy from logits, in nats.
 
     ``-[t·max(log σ(l), -100) + (1-t)·max(log(1-σ(l)), -100)]`` — the log
@@ -44,10 +46,19 @@ def bce_from_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
     negative targets is unbounded below without it — training would run
     away to -inf. Everything stays one fused VPU expression
     (log σ(l) = -softplus(-l)).
+
+    ``pos_weight`` multiplies the positive-class (target) term — torch's
+    ``BCEWithLogitsLoss(pos_weight=...)`` convention, against the
+    reference's unweighted formula at models.py:208. On sparse piano-rolls
+    (~1-2% fill) the unweighted loss makes all-silence a strong local
+    optimum; upweighting the set pixels by ~1/fill-rate rebalances the
+    two classes' gradient mass (RESULTS.md "posterior collapse on sparse
+    MIDI" — the reconstruction-side fix). ``None``/1.0 = reference parity.
     """
     log_p = jnp.maximum(-jax.nn.softplus(-logits), _LOG_CLAMP)
     log_1mp = jnp.maximum(-jax.nn.softplus(logits), _LOG_CLAMP)
-    return -(targets * log_p + (1.0 - targets) * log_1mp)
+    pw = 1.0 if pos_weight is None else pos_weight
+    return -(pw * targets * log_p + (1.0 - targets) * log_1mp)
 
 
 def kl_gaussian(mu: jax.Array, log_var: jax.Array) -> jax.Array:
@@ -76,6 +87,7 @@ def elbo_loss(
     kld_weight: jax.Array | float = 1.0,
     log_var_clamp: Optional[Tuple[float, float]] = None,
     free_bits: Optional[float] = None,
+    pos_weight: Optional[float] = None,
 ) -> LossOutput:
     """VAE loss (reference: ``VanillaVAE.loss``, models.py:190-225).
 
@@ -93,8 +105,12 @@ def elbo_loss(
         Per-dimension KL floor in nats (:func:`kl_gaussian_free_bits`).
         The *reported* ``kl`` stays the true (unfloored) KL; only the
         gradient-carrying term is floored.
+    pos_weight : float, optional
+        Positive-class weight on the BCE term (:func:`bce_from_logits`) —
+        the sparse-corpus rebalancer. The reported ``reconstruction_loss``
+        is the weighted value (it is the optimized objective).
     """
-    loss_recon = jnp.mean(bce_from_logits(output.logits, output.input))
+    loss_recon = jnp.mean(bce_from_logits(output.logits, output.input, pos_weight))
     log_var = output.encoded.log_var
     if log_var_clamp is not None:
         log_var = jnp.clip(log_var, log_var_clamp[0], log_var_clamp[1])

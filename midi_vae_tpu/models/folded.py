@@ -45,6 +45,7 @@ from midi_vae_tpu.models.vae import (
     ConvBlock,
     DeconvBlock,
     VanillaVAE,
+    _logit_bias_init,
     _xavier,
 )
 
@@ -116,6 +117,7 @@ class FoldedHead(nn.Module):
     fold: int = 4
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    output_logit_bias: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -126,7 +128,9 @@ class FoldedHead(nn.Module):
             strides=(1, 1),
             padding="SAME",
             kernel_init=_xavier,
-            bias_init=nn.initializers.zeros,
+            # unfolds onto output pixels, so this IS the output-logit bias
+            # (see models/vae.py _logit_bias_init)
+            bias_init=_logit_bias_init(self.output_logit_bias),
             dtype=self.dtype,
         )(x)
         return _depth_to_space(x, self.fold, self.out_channels)
@@ -176,4 +180,5 @@ class FoldedVAE(VanillaVAE):
             fold=self.fold,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
+            output_logit_bias=self.output_logit_bias,
         )

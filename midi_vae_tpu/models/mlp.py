@@ -34,6 +34,7 @@ class MLPVAE(nn.Module):
     fused_reparam: bool = False
     verbose: bool = False  # forward range tracing (see vae.trace_range)
     remat: bool = False  # inert (dense stack is activation-light); kept for constructor parity
+    output_logit_bias: Optional[float] = None  # see models/vae.py _logit_bias_init
 
     name_tag = "MLPVAE"
 
@@ -53,10 +54,12 @@ class MLPVAE(nn.Module):
             nn.Dense(h, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
             for h in reversed(self.hidden_dims)
         ]
+        from midi_vae_tpu.models.vae import _logit_bias_init
+
         self.decoder_out = nn.Dense(
             self.input_dim * self.input_dim * out_ch,
             kernel_init=_xavier,
-            bias_init=nn.initializers.zeros,
+            bias_init=_logit_bias_init(self.output_logit_bias),
             dtype=self.dtype,
         )
 

@@ -40,6 +40,7 @@ def build_model(
     fold: int = 4,
     verbose: bool = False,
     remat: bool = False,
+    output_logit_bias=None,
 ):
     """Construct a model by architecture name (case-insensitive).
 
@@ -72,4 +73,6 @@ def build_model(
         kwargs["verbose"] = True
     if remat:
         kwargs["remat"] = True
+    if output_logit_bias is not None:
+        kwargs["output_logit_bias"] = float(output_logit_bias)
     return ctor(**kwargs)

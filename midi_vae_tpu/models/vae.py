@@ -80,6 +80,20 @@ def conv_output_size(dim: int, num_layers: int, stride: int = 2) -> int:
 _xavier = nn.initializers.xavier_uniform()
 
 
+def _logit_bias_init(value: Optional[float]):
+    """Bias initializer for the decoder's output-logit conv/dense layer.
+
+    ``None`` → zeros (reference parity: σ(0) = 0.5 initial output).
+    A float → constant init, normally the corpus base-rate logit
+    ``log(p/(1-p))`` so the decoder STARTS at the corpus mean instead of
+    having to descend into the all-silence attractor to find it — the
+    standard anti-collapse init for sparse (~98% empty) BCE targets
+    (RESULTS.md "posterior collapse on sparse MIDI"). Only the output
+    layer's bias is touched; everything else stays Xavier/zeros.
+    """
+    return nn.initializers.zeros if value is None else nn.initializers.constant(value)
+
+
 class TorchConvTranspose(nn.Module):
     """Bit-exact torch ``ConvTranspose2d(k3, s2, p1, output_padding=1)``.
 
@@ -277,6 +291,7 @@ class FinalLayer(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     torch_compat: bool = False
+    output_logit_bias: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -289,7 +304,7 @@ class FinalLayer(nn.Module):
             strides=(1, 1),
             padding="SAME",
             kernel_init=_xavier,
-            bias_init=nn.initializers.zeros,
+            bias_init=_logit_bias_init(self.output_logit_bias),
             dtype=self.dtype,
         )(x)
 
@@ -313,6 +328,7 @@ class D2SHead(nn.Module):
     out_channels: int
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    output_logit_bias: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -339,7 +355,9 @@ class D2SHead(nn.Module):
             strides=(1, 1),
             padding="SAME",
             kernel_init=_xavier,
-            bias_init=nn.initializers.zeros,
+            # every channel block lands on output pixels after the shuffle,
+            # so a constant bias here IS the output-logit bias
+            bias_init=_logit_bias_init(self.output_logit_bias),
             dtype=self.dtype,
         )(x)
         b, h, w, _ = x.shape
@@ -378,6 +396,10 @@ class VanillaVAE(nn.Module):
     # Verbose forward range tracing (reference models.py:126-173) via
     # jax.debug.print — jit-safe, zero cost when off.
     verbose: bool = False
+    # Initialize the output-logit layer's bias to this constant (normally
+    # the corpus base-rate logit log(p/(1-p)); see _logit_bias_init).
+    # None = zeros, reference parity.
+    output_logit_bias: Optional[float] = None
     # Rematerialization: recompute the conv stacks' activations during the
     # backward pass instead of storing them (jax.checkpoint via nn.remat) —
     # trades ~1 extra forward of FLOPs for an ~N× drop in peak activation
@@ -432,6 +454,7 @@ class VanillaVAE(nn.Module):
                 self.out_channels or self.in_channels,
                 dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name,
+                output_logit_bias=self.output_logit_bias,
             )
         else:
             self.final_layer = fin_cls(
@@ -440,6 +463,7 @@ class VanillaVAE(nn.Module):
                 dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name,
                 torch_compat=self.torch_compat,
+                output_logit_bias=self.output_logit_bias,
             )
 
     def encode(self, x: jax.Array, train: bool = False) -> EncoderOutput:

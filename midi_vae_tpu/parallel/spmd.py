@@ -55,6 +55,7 @@ def make_spmd_train_step(
     *,
     log_var_clamp: Optional[Tuple[float, float]] = None,
     free_bits: Optional[float] = None,
+    pos_weight: Optional[float] = None,
     donate: bool = True,
     ema_decay: Optional[float] = None,
 ) -> Callable:
@@ -94,6 +95,7 @@ def make_spmd_train_step(
                 kld_weight=kl_schedule(state.step),
                 log_var_clamp=log_var_clamp,
                 free_bits=free_bits,
+                pos_weight=pos_weight,
             )
             return lo.loss, (lo, mutated["batch_stats"])
 

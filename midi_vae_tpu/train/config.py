@@ -57,6 +57,16 @@ class TrainConfig:
     # the anti-posterior-collapse tool for sparse corpora (RESULTS.md
     # "posterior collapse on sparse MIDI"). None = plain ELBO.
     free_bits: Optional[float] = None
+    # Positive-class weight on the BCE term (torch BCEWithLogitsLoss
+    # pos_weight convention): a float, or "auto" = (1-p)/p from the train
+    # corpus fill rate p (data/stats.py). The reconstruction-side
+    # anti-collapse rebalancer for sparse piano-rolls. None = reference
+    # parity (unweighted, models.py:208).
+    bce_pos_weight: Any = None
+    # Decoder output-logit bias init: a float, or "auto" = log(p/(1-p))
+    # from the train corpus fill rate — the decoder starts at the corpus
+    # base rate instead of the all-0.5 cliff. None = zeros (parity).
+    output_bias_init: Any = None
     fused: bool = False  # Pallas fused reparam + BCE kernels on the hot path
 
     # Optimization (train.py:881-932)

@@ -95,29 +95,14 @@ def run(config: TrainConfig) -> dict:
 
     start_epoch = 1 if checkpoint_payload is None else int(checkpoint_payload["epoch"]) + 1
 
-    # MODEL ===================================================================
+    # MODEL SIZING (the model itself builds after the dataset, which the
+    # "auto" loss/init statistics need) =======================================
     n_class, raw_img_size, img_channels = image_dataset_sizes(config.dataset_name)
     if config.image_size is None:
         # Reference hardcodes 32 regardless of dataset (train.py:105); same
         # default here, but --image-size genuinely works.
         config.image_size = 32
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-    print(f"loading model '{config.arch}' for '{config.dataset_name}' dataset @ {config.image_size}px")
-    model = build_model(
-        config.arch,
-        in_channels=img_channels,
-        latent_dim=config.n_features,
-        input_dim=config.image_size,
-        hidden_dims=config.hidden_dims,
-        dtype=dtype,
-        fused_reparam=config.fused,
-        stem=config.stem,
-        head=config.head,
-        fold=config.fold,
-        verbose=config.verbose,
-        remat=config.remat,
-        torch_compat=config.torch_compat,
-    )
     encoder_config = {"input_size": config.image_size, "n_feature": config.n_features}
 
     # MESH ====================================================================
@@ -164,6 +149,29 @@ def run(config: TrainConfig) -> dict:
         **dataset_args, transform_train=transform_train, transform_eval=transform_eval
     )
     eval_set = "Val" if distinct_val_test else "Test"
+
+    # MODEL (train.py:101-115) ================================================
+    from midi_vae_tpu.data.stats import resolve_auto
+
+    pos_weight = resolve_auto(config.bce_pos_weight, dataset_train, "pos_weight")
+    output_bias = resolve_auto(config.output_bias_init, dataset_train, "bias")
+    print(f"loading model '{config.arch}' for '{config.dataset_name}' dataset @ {config.image_size}px")
+    model = build_model(
+        config.arch,
+        in_channels=img_channels,
+        latent_dim=config.n_features,
+        input_dim=config.image_size,
+        hidden_dims=config.hidden_dims,
+        dtype=dtype,
+        fused_reparam=config.fused,
+        stem=config.stem,
+        head=config.head,
+        fold=config.fold,
+        verbose=config.verbose,
+        remat=config.remat,
+        torch_compat=config.torch_compat,
+        output_logit_bias=output_bias,
+    )
 
     seed = config.seed if config.seed is not None else int(time.time()) % 100000
     if config.seed is None and jax.process_count() > 1:
@@ -257,6 +265,7 @@ def run(config: TrainConfig) -> dict:
             mesh,
             log_var_clamp=config.log_var_clamp,
             free_bits=config.free_bits,
+            pos_weight=pos_weight,
             ema_decay=config.ema_decay,
         )
     else:
@@ -266,6 +275,7 @@ def run(config: TrainConfig) -> dict:
             kl_sched,
             log_var_clamp=config.log_var_clamp,
             free_bits=config.free_bits,
+            pos_weight=pos_weight,
             fused_loss=config.fused,
             loss_type=config.loss_type,
             tc_beta=config.tc_beta,

@@ -116,6 +116,7 @@ def make_train_step(
     *,
     log_var_clamp: Optional[Tuple[float, float]] = None,
     free_bits: Optional[float] = None,
+    pos_weight: Optional[float] = None,
     donate: bool = True,
     fused_loss: bool = False,
     loss_type: str = "elbo",
@@ -151,6 +152,8 @@ def make_train_step(
         raise ValueError("fused Pallas loss implements the plain ELBO only; drop --fused for beta-tc")
     if free_bits is not None and (fused_loss or loss_type != "elbo"):
         raise ValueError("--free-bits is implemented on the plain (non-fused) ELBO path")
+    if pos_weight is not None and fused_loss:
+        raise ValueError("the fused Pallas BCE implements the unweighted reference formula; drop --fused for --bce-pos-weight")
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
@@ -178,9 +181,16 @@ def make_train_step(
                     dataset_size=dataset_size,
                     kld_weight=w,
                     log_var_clamp=log_var_clamp,
+                    pos_weight=pos_weight,
                 )
             if not fused_loss:
-                return elbo_loss(out, kld_weight=w, log_var_clamp=log_var_clamp, free_bits=free_bits)
+                return elbo_loss(
+                    out,
+                    kld_weight=w,
+                    log_var_clamp=log_var_clamp,
+                    free_bits=free_bits,
+                    pos_weight=pos_weight,
+                )
             from midi_vae_tpu.ops.fused_elbo import fused_elbo_terms
 
             lv = out.encoded.log_var

@@ -357,3 +357,96 @@ class TestFreeBits:
             make_train_step(object(), optax.sgd(0.1), sched, free_bits=0.5, fused_loss=True)
         with pytest.raises(ValueError, match="free-bits"):
             make_train_step(object(), optax.sgd(0.1), sched, free_bits=0.5, loss_type="beta-tc")
+
+class TestPosWeight:
+    """--bce-pos-weight: the reconstruction-side sparse-corpus rebalancer."""
+
+    def test_matches_weighted_probability_form(self):
+        rng = np.random.default_rng(7)
+        logits = rng.normal(size=(64,)).astype(np.float32) * 3
+        t = rng.uniform(size=(64,)).astype(np.float32)
+        p = 1.0 / (1.0 + np.exp(-logits))
+        pw = 75.0
+        expected = -(pw * t * np.log(p) + (1 - t) * np.log(1 - p))
+        got = np.asarray(bce_from_logits(jnp.asarray(logits), jnp.asarray(t), pos_weight=pw))
+        np.testing.assert_allclose(got, expected, rtol=2e-4, atol=1e-4)
+
+    def test_none_and_one_are_reference_parity(self):
+        rng = np.random.default_rng(8)
+        logits = jnp.asarray(rng.normal(size=(32,)), jnp.float32)
+        t = jnp.asarray(rng.uniform(size=(32,)), jnp.float32)
+        base = np.asarray(bce_from_logits(logits, t))
+        np.testing.assert_array_equal(np.asarray(bce_from_logits(logits, t, pos_weight=1.0)), base)
+        np.testing.assert_array_equal(np.asarray(bce_from_logits(logits, t, pos_weight=None)), base)
+
+    def test_elbo_threads_pos_weight(self):
+        rng = np.random.default_rng(9)
+        logits = rng.normal(size=(4, 8, 8, 1)).astype(np.float32)
+        targets = (rng.uniform(size=(4, 8, 8, 1)) < 0.02).astype(np.float32)  # sparse
+        mu = rng.normal(size=(4, 10)).astype(np.float32)
+        lv = np.zeros((4, 10), np.float32)
+        out = make_output(logits, targets, mu, lv)
+        plain = elbo_loss(out, kld_weight=0.0)
+        weighted = elbo_loss(out, kld_weight=0.0, pos_weight=50.0)
+        assert float(weighted.reconstruction_loss) > float(plain.reconstruction_loss)
+        # weighted loss == manual mean of the weighted elementwise BCE
+        manual = float(jnp.mean(bce_from_logits(out.logits, out.input, 50.0)))
+        np.testing.assert_allclose(float(weighted.loss), manual, rtol=1e-6)
+
+    def test_pos_weight_boosts_positive_gradient(self):
+        """The filled cells' gradient mass scales by the weight — the mechanism
+        that counters the silence attractor."""
+        t = jnp.asarray([[1.0]], jnp.float32)
+
+        def loss(logits, pw):
+            return jnp.mean(bce_from_logits(logits, t, pw))
+
+        g1 = float(jax.grad(loss)(jnp.zeros((1, 1)), 1.0)[0, 0])
+        g50 = float(jax.grad(loss)(jnp.zeros((1, 1)), 50.0)[0, 0])
+        np.testing.assert_allclose(g50, 50.0 * g1, rtol=1e-5)
+
+    def test_rejected_on_fused_path(self):
+        import optax
+
+        from midi_vae_tpu.models.mlp import MLPVAE
+        from midi_vae_tpu.train.state import make_train_step
+
+        model = MLPVAE(input_dim=8, hidden_dims=(16,), latent_dim=4)
+        with pytest.raises(ValueError, match="pos-weight"):
+            make_train_step(
+                model, optax.sgd(1e-3), kl_weight_schedule("constant", 1.0),
+                fused_loss=True, pos_weight=2.0,
+            )
+
+
+class TestCorpusStats:
+    """data/stats.py — the 'auto' statistics behind --bce-pos-weight/--output-bias-init."""
+
+    def _dataset(self, fill=0.02):
+        from midi_vae_tpu.data.sources import ArrayDataset
+
+        rng = np.random.default_rng(3)
+        images = (rng.uniform(size=(64, 16, 16, 1)) < fill).astype(np.uint8) * 255
+        return ArrayDataset(images=images, labels=np.zeros(64, np.int64), name="t")
+
+    def test_estimate_base_rate_is_raw_fill_rate(self):
+        from midi_vae_tpu.data.stats import estimate_base_rate
+
+        ds = self._dataset(fill=0.02)
+        p = estimate_base_rate(ds)
+        assert abs(p - ds.images.mean() / 255.0) < 1e-9
+
+    def test_base_rate_logit_inverts_sigmoid(self):
+        from midi_vae_tpu.data.stats import base_rate_logit
+
+        assert abs(1.0 / (1.0 + np.exp(-base_rate_logit(0.013))) - 0.013) < 1e-9
+
+    def test_resolve_auto(self):
+        from midi_vae_tpu.data.stats import resolve_auto
+
+        ds = self._dataset(fill=0.02)
+        p = ds.images.mean() / 255.0
+        assert resolve_auto(None, ds, "bias") is None
+        assert resolve_auto(2.5, ds, "pos_weight") == 2.5
+        np.testing.assert_allclose(resolve_auto("auto", ds, "bias"), np.log(p / (1 - p)), rtol=1e-9)
+        np.testing.assert_allclose(resolve_auto("auto", ds, "pos_weight"), (1 - p) / p, rtol=1e-9)

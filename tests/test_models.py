@@ -259,3 +259,39 @@ def test_multichannel_output_matches_input_channels():
         variables, x, train=True, rngs={"reparam": jax.random.PRNGKey(0)}, mutable=["batch_stats"]
     )
     assert out.output.shape == (2, 32, 32, 3)
+
+
+@pytest.mark.parametrize("arch_kwargs", [
+    dict(arch="VanillaVAE"),
+    dict(arch="VanillaVAE", head="d2s"),
+    dict(arch="FoldedVAE", fold=4),
+    dict(arch="MLPVAE"),
+])
+def test_output_bias_init_sets_initial_output_rate(arch_kwargs):
+    """--output-bias-init: at init the decoder's mean output sigmoid must sit
+    near the requested base rate, not at 0.5 (the silence-attractor cliff)."""
+    from midi_vae_tpu.data.stats import base_rate_logit
+    from midi_vae_tpu.models.registry import build_model
+
+    p = 0.02
+    kwargs = dict(arch_kwargs)
+    arch = kwargs.pop("arch")
+    model = build_model(
+        arch, in_channels=1, latent_dim=8, input_dim=32,
+        hidden_dims=(16, 32) if arch != "MLPVAE" else (32,),
+        output_logit_bias=base_rate_logit(p), **kwargs,
+    )
+    x = jnp.zeros((4, 32, 32, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, x)
+    out = model.apply(variables, x, train=False, rngs={"reparam": jax.random.PRNGKey(2)})
+    mean_out = float(out.output.mean())
+    # Xavier noise moves it a little off p, but it must be near p, not 0.5
+    assert mean_out < 0.15, f"{arch}: mean initial output {mean_out} not pulled toward p={p}"
+    # and without the bias the same model starts at ~0.5
+    model0 = build_model(
+        arch, in_channels=1, latent_dim=8, input_dim=32,
+        hidden_dims=(16, 32) if arch != "MLPVAE" else (32,), **kwargs,
+    )
+    v0 = model0.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, x)
+    out0 = model0.apply(v0, x, train=False, rngs={"reparam": jax.random.PRNGKey(2)})
+    assert abs(float(out0.output.mean()) - 0.5) < 0.2
