@@ -202,6 +202,13 @@ def get_parser() -> argparse.ArgumentParser:
     group.add_argument("--prefetch", type=int, default=2,
                        help="Batches kept in flight host→device. Raise (e.g. 8-16) on "
                             "high-latency links to hide transfer time. Default: %(default)s")
+    group.add_argument("--data-placement", type=str, default="auto",
+                       choices=("auto", "host", "device"),
+                       help="Corpus placement: 'auto' uploads corpora that fit the HBM data "
+                            "budget (MIDI_VAE_DEVICE_DATA_BUDGET_MB, default 2048) to device once "
+                            "— the per-epoch shuffle, gather, and transforms then run entirely "
+                            "on device with no per-batch host copies; 'host' keeps the streaming "
+                            "loaders; 'device' forces residency. Default: %(default)s")
     group.add_argument("--multihost", action="store_true",
                        help="Initialize jax.distributed for multi-host (TPU pod) training: one "
                             "process per host, coordinator discovered from the standard JAX env "
@@ -325,6 +332,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         num_devices=args.num_devices,
         mesh_slices=args.mesh_slices,
         prefetch=args.prefetch,
+        data_placement=args.data_placement,
         dtype="bfloat16" if args.bf16 else "float32",
         fused=args.fused,
         step_impl=args.step_impl,

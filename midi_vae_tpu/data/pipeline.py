@@ -318,6 +318,151 @@ class NativeDeviceLoader:
         self._native_ds.close()
 
 
+class DeviceResidentLoader:
+    """Device-resident corpus: upload the uint8 corpus ONCE, then run the
+    shuffled gather + transform of every batch inside one jitted program.
+
+    The host loaders above pay a host→device copy per batch — on a local
+    PCIe link that overlaps compute, but through a remote-TPU tunnel a
+    ``device_put`` round-trip costs ~1 s regardless of size (RESULTS.md
+    "Host-fed training": 1,811 samples/sec vs 190k on-device). Any corpus
+    that fits an HBM budget can instead live on device: per epoch one
+    small index-array upload (the resume-stable permutation), per batch
+    only a scalar batch index crosses the link — the gather, zero-pad,
+    and transform all run on device.
+
+    Batch-for-batch EQUIVALENT to :class:`DeviceLoader` (tested): same
+    ``host_rng`` epoch permutation, same per-batch crop-key derivation,
+    same zero-padding/mask layout for the final eval batch.
+
+    Single-process only (a multi-host pod has local PCIe and its batch is
+    sharded across processes; ``make_loader`` routes those to the host
+    loaders).
+    """
+
+    def __init__(
+        self,
+        dataset: ArrayDataset,
+        batch_size: int,
+        *,
+        train: bool,
+        seed: int = 0,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        prefetch: int = 2,  # accepted for interface parity; gathers are already async
+    ):
+        if jax.process_count() > 1:
+            raise ValueError("device-resident placement is single-process; use the host loaders")
+        if len(dataset) == 0:
+            raise ValueError("empty dataset")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+        n = len(dataset)
+        self.num_batches = n // batch_size if train else -(-n // batch_size)
+        if self.num_batches == 0:
+            raise ValueError(f"dataset of {n} samples yields no batches at batch_size={batch_size} (drop_last)")
+
+        self._x_sharding = sharding
+        if isinstance(sharding, jax.sharding.NamedSharding):
+            mesh = sharding.mesh
+            replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            batch_axis = sharding.spec[0] if len(sharding.spec) else None
+            # [num_batches, B] index/mask planes: shard the BATCH axis so each
+            # device gathers exactly its slice of every batch locally
+            self._plane_sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(None, batch_axis)
+            )
+        else:
+            replicated = None
+            self._plane_sharding = None
+        # THE one-time corpus upload (uint8 — 4× less link traffic than f32)
+        self._images = jax.device_put(dataset.images, replicated)
+        self._labels = jax.device_put(dataset.labels.astype(np.int32), replicated)
+
+        spec = dataset.transform
+        use_key = bool(train) and spec is not None
+
+        def make_batch(images, labels, order, masks, batch_idx, ekey):
+            idx = jax.lax.dynamic_index_in_dim(order, batch_idx, axis=0, keepdims=False)
+            mask = jax.lax.dynamic_index_in_dim(masks, batch_idx, axis=0, keepdims=False)
+            rows = jnp.take(images, idx, axis=0)
+            # zero the pad rows BEFORE the transform — identical to
+            # DeviceLoader's zero-padded host batch (pad gathers row 0)
+            rows = rows * mask.astype(rows.dtype).reshape(-1, *([1] * (rows.ndim - 1)))
+            y = jnp.where(mask > 0, jnp.take(labels, idx, axis=0), 0)
+            key = jax.random.fold_in(ekey, batch_idx) if use_key else None
+            x = apply_transform(spec, rows, key) if spec is not None else _scale_only(rows)
+            return x, y, mask
+
+        self._make_batch = jax.jit(make_batch)
+
+    def __len__(self) -> int:
+        return self.num_batches
+
+    @property
+    def num_samples(self) -> int:
+        n = len(self.dataset)
+        return self.num_batches * self.batch_size if self.train else n
+
+    def epoch(self, epoch: int = 1) -> Iterator[Batch]:
+        n = len(self.dataset)
+        B, nb = self.batch_size, self.num_batches
+        if self.train:
+            order = host_rng(self.seed, epoch).permutation(n)[: nb * B]
+            masks = np.ones(nb * B, np.float32)
+        else:
+            order = np.arange(n)
+            pad = nb * B - n
+            if pad:
+                order = np.concatenate([order, np.zeros(pad, order.dtype)])
+            masks = (np.arange(nb * B) < n).astype(np.float32)
+        # the epoch's ONLY data upload: [num_batches, B] int32 + f32 planes
+        order_dev = jax.device_put(order.reshape(nb, B).astype(np.int32), self._plane_sharding)
+        masks_dev = jax.device_put(masks.reshape(nb, B), self._plane_sharding)
+        ekey = epoch_key(self.seed, epoch)  # harmless for eval (use_key baked False)
+
+        for i in range(nb):
+            x, y, m = self._make_batch(
+                self._images, self._labels, order_dev, masks_dev, jnp.int32(i), ekey
+            )
+            yield Batch(x=x, y=y, mask=m)
+
+
+# Corpora at or under this many bytes ride device-resident under
+# placement="auto"; larger ones stream through the host loaders.
+# 2 GiB default leaves most of a 16 GB-HBM chip for the model; override
+# with MIDI_VAE_DEVICE_DATA_BUDGET_MB.
+def _device_data_budget() -> int:
+    import os
+
+    return int(os.environ.get("MIDI_VAE_DEVICE_DATA_BUDGET_MB", "2048")) * (1 << 20)
+
+
+def _corpus_nbytes(dataset) -> int:
+    if getattr(dataset, "is_rrd_stream", False):
+        from midi_vae_tpu.native.rrd import read_rrd
+
+        images, _ = read_rrd(dataset.path, mmap=True)
+        return int(len(dataset) * int(np.prod(images.shape[1:])))
+    return int(dataset.images.nbytes)
+
+
+def _materialize(dataset) -> ArrayDataset:
+    """RRD stream → in-memory ArrayDataset (rows for this split only)."""
+    if not getattr(dataset, "is_rrd_stream", False):
+        return dataset
+    from midi_vae_tpu.native.rrd import read_rrd
+
+    images, labels = read_rrd(dataset.path, mmap=True)
+    return ArrayDataset(
+        images=np.ascontiguousarray(images[dataset.indices]),
+        labels=np.asarray(labels[dataset.indices]),
+        name=dataset.name,
+        transform=dataset.transform,
+    )
+
+
 def make_loader(
     dataset,
     batch_size: int,
@@ -326,9 +471,35 @@ def make_loader(
     seed: int = 0,
     sharding: Optional[jax.sharding.Sharding] = None,
     prefetch: int = 2,
+    placement: str = "host",
 ):
-    """Route a dataset to the right loader: RRD streams → the native
-    threaded path, in-memory arrays → :class:`DeviceLoader`."""
+    """Route a dataset to the right loader.
+
+    ``placement``:
+    - ``"host"`` — the host-fed paths: RRD streams → the native C++
+      threaded loader, in-memory arrays → :class:`DeviceLoader`.
+    - ``"device"`` — force :class:`DeviceResidentLoader` (corpus uploaded
+      to HBM once; raises if multi-process).
+    - ``"auto"`` — device-resident when the corpus fits the HBM data
+      budget (single-process), else the host path.
+    """
+    if placement not in ("host", "device", "auto"):
+        raise ValueError(f"unknown placement: {placement!r} (host|device|auto)")
+    if placement != "host":
+        multiproc = jax.process_count() > 1
+        if placement == "device" and multiproc:
+            raise ValueError("--data-placement device is single-process; multi-host runs use the host loaders")
+        if not multiproc:
+            nbytes = _corpus_nbytes(dataset)
+            if placement == "device" or nbytes <= _device_data_budget():
+                return DeviceResidentLoader(
+                    _materialize(dataset), batch_size, train=train, seed=seed,
+                    sharding=sharding, prefetch=prefetch,
+                )
+            print(
+                f"data placement auto: corpus {nbytes / 2**20:.0f} MiB exceeds the "
+                f"{_device_data_budget() / 2**20:.0f} MiB device budget; host-fed path"
+            )
     if getattr(dataset, "is_rrd_stream", False):
         from midi_vae_tpu.native.rrd import native_available
 
@@ -337,15 +508,7 @@ def make_loader(
                 dataset, batch_size, train=train, seed=seed, sharding=sharding, prefetch=prefetch
             )
         # no toolchain: degrade to mmap-backed python batching
-        from midi_vae_tpu.native.rrd import read_rrd
-
-        images, labels = read_rrd(dataset.path, mmap=True)
-        dataset = ArrayDataset(
-            images=images[dataset.indices],
-            labels=labels[dataset.indices],
-            name=dataset.name,
-            transform=dataset.transform,
-        )
+        dataset = _materialize(dataset)
     return DeviceLoader(dataset, batch_size, train=train, seed=seed, sharding=sharding, prefetch=prefetch)
 
 

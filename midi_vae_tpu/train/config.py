@@ -106,6 +106,11 @@ class TrainConfig:
     # Hardware (train.py:971-1007)
     batch_size_per_device: int = 128
     prefetch: int = 2  # batches kept in flight host→device (raise on high-latency links)
+    # Corpus placement: "auto" uploads corpora that fit the HBM data budget
+    # to device ONCE (shuffled gather + transform run inside jit — no
+    # per-batch host→device copy); "host" keeps the streaming loaders;
+    # "device" forces residency (data/pipeline.py:DeviceResidentLoader).
+    data_placement: str = "auto"
     num_devices: Optional[int] = None  # None → all visible devices
     # Hierarchical multi-slice DP: shard batches over a 2-D (slice, data)
     # mesh so gradient reduction rides ICI within a slice and only

@@ -182,10 +182,17 @@ def run(config: TrainConfig) -> dict:
 
         seed = int(multihost_utils.broadcast_one_to_all(jnp.int32(seed)))
     loader_train = make_loader(
-        dataset_train, global_batch_size, train=True, seed=seed, sharding=x_sharding, prefetch=config.prefetch
+        dataset_train, global_batch_size, train=True, seed=seed, sharding=x_sharding,
+        prefetch=config.prefetch, placement=config.data_placement,
     )
-    loader_val = make_loader(dataset_val, global_batch_size, train=False, sharding=x_sharding, prefetch=config.prefetch)
-    loader_test = make_loader(dataset_test, global_batch_size, train=False, sharding=x_sharding, prefetch=config.prefetch)
+    loader_val = make_loader(
+        dataset_val, global_batch_size, train=False, sharding=x_sharding,
+        prefetch=config.prefetch, placement=config.data_placement,
+    )
+    loader_test = make_loader(
+        dataset_test, global_batch_size, train=False, sharding=x_sharding,
+        prefetch=config.prefetch, placement=config.data_placement,
+    )
 
     # OPTIMIZATION (train.py:193-244) =========================================
     lr = scale_lr(config.lr_relative, global_batch_size)
@@ -503,7 +510,8 @@ def run(config: TrainConfig) -> dict:
         **dataset_args, transform_train=transform_eval, transform_eval=transform_eval
     )[0]
     loader_train_eval = make_loader(
-        dataset_train_eval, global_batch_size, train=False, sharding=x_sharding, prefetch=config.prefetch
+        dataset_train_eval, global_batch_size, train=False, sharding=x_sharding,
+        prefetch=config.prefetch, placement=config.data_placement,
     )
     train_eval_stats = evaluate(
         loader_train_eval, model, eval_view(state), partition_name="Train", seed=seed, eval_step=eval_step

@@ -294,3 +294,72 @@ class TestSVHNDownload:
         assert len(train) == 12 and len(test) == 12
         assert train.images.shape == (12, 32, 32, 3)  # HWCN -> NHWC
         assert set(np.unique(train.labels)) <= set(range(10))  # "10" remapped to 0
+
+
+class TestDeviceResidentLoader:
+    """data/pipeline.py DeviceResidentLoader: batch-for-batch equivalence
+    with DeviceLoader (same permutation, crop keys, padding layout)."""
+
+    def _dataset(self, n=37, size=16, spec=None):
+        from midi_vae_tpu.data.sources import ArrayDataset
+
+        rng = np.random.default_rng(11)
+        images = rng.integers(0, 256, (n, size, size, 1), dtype=np.uint8)
+        return ArrayDataset(
+            images=images, labels=rng.integers(0, 5, n).astype(np.int64),
+            name="t", transform=spec,
+        )
+
+    def _compare(self, ds, batch_size, train, epoch=3, seed=5):
+        from midi_vae_tpu.data.pipeline import DeviceLoader, DeviceResidentLoader
+
+        host = DeviceLoader(ds, batch_size, train=train, seed=seed)
+        dev = DeviceResidentLoader(ds, batch_size, train=train, seed=seed)
+        assert len(host) == len(dev) and host.num_samples == dev.num_samples
+        hb = list(host.epoch(epoch))
+        db = list(dev.epoch(epoch))
+        assert len(hb) == len(db)
+        for b1, b2 in zip(hb, db):
+            np.testing.assert_allclose(np.asarray(b1.x), np.asarray(b2.x), atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(b1.y), np.asarray(b2.y))
+            np.testing.assert_array_equal(np.asarray(b1.mask), np.asarray(b2.mask))
+
+    def test_train_equivalence_plain(self):
+        self._compare(self._dataset(), batch_size=8, train=True)
+
+    def test_train_equivalence_random_crop(self):
+        from midi_vae_tpu.data.transforms import TransformSpec
+
+        spec = TransformSpec(image_size=12, random_crop=True)
+        self._compare(self._dataset(spec=spec), batch_size=8, train=True)
+
+    def test_eval_equivalence_with_padding(self):
+        from midi_vae_tpu.data.transforms import TransformSpec
+
+        spec = TransformSpec(image_size=16, random_crop=False)
+        # 37 % 8 != 0 → the final batch is padded+masked on both paths
+        self._compare(self._dataset(spec=spec), batch_size=8, train=False)
+
+    def test_make_loader_placement_routing(self, monkeypatch):
+        from midi_vae_tpu.data.pipeline import DeviceLoader, DeviceResidentLoader, make_loader
+
+        ds = self._dataset()
+        assert isinstance(make_loader(ds, 8, train=True), DeviceLoader)  # default host
+        assert isinstance(make_loader(ds, 8, train=True, placement="device"), DeviceResidentLoader)
+        assert isinstance(make_loader(ds, 8, train=True, placement="auto"), DeviceResidentLoader)
+        # auto respects the budget: force it to 0 MB → host path
+        monkeypatch.setenv("MIDI_VAE_DEVICE_DATA_BUDGET_MB", "0")
+        assert isinstance(make_loader(ds, 8, train=True, placement="auto"), DeviceLoader)
+        with pytest.raises(ValueError, match="placement"):
+            make_loader(ds, 8, train=True, placement="gpu")
+
+    def test_shuffles_differ_across_epochs(self):
+        from midi_vae_tpu.data.pipeline import DeviceResidentLoader
+
+        ds = self._dataset(n=32)
+        dev = DeviceResidentLoader(ds, 16, train=True, seed=1)
+        e1 = np.concatenate([np.asarray(b.y) for b in dev.epoch(1)])
+        e2 = np.concatenate([np.asarray(b.y) for b in dev.epoch(2)])
+        e1b = np.concatenate([np.asarray(b.y) for b in dev.epoch(1)])
+        assert not np.array_equal(e1, e2)
+        np.testing.assert_array_equal(e1, e1b)  # resume-stable
