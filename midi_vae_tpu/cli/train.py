@@ -107,6 +107,12 @@ def get_parser() -> argparse.ArgumentParser:
                             "models.py:208). 'auto' = (1-p)/p from the train corpus fill rate — "
                             "the reconstruction-side anti-collapse rebalancer for sparse "
                             "piano-rolls. Default: off (reference parity)")
+    group.add_argument("--bce-targets", type=str, default="normalized", choices=("normalized", "raw"),
+                       help="BCE target space: 'normalized' = reference parity (BCE against the "
+                            "normalized input, targets in [-0.5, 0.5] under the default mean-0.5 "
+                            "table); 'raw' de-normalizes targets back to [0, 1] inside the loss — "
+                            "true probability space, where --bce-pos-weight and --output-bias-init "
+                            "are exact. Default: %(default)s")
     group.add_argument("--output-bias-init", type=_parse_auto_float, default=None, metavar="B|auto",
                        help="Initialize the decoder's output-logit bias to this constant; 'auto' = "
                             "log(p/(1-p)) from the train corpus fill rate, so the decoder starts "
@@ -306,6 +312,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         free_bits=args.free_bits,
         bce_pos_weight=args.bce_pos_weight,
         output_bias_init=args.output_bias_init,
+        bce_targets=args.bce_targets,
         protoval_split_rate=_parse_split_rate(args.protoval_split_rate),
         epochs=args.epochs,
         stop_after_epochs=args.stop_after_epochs,

@@ -82,12 +82,32 @@ def kl_gaussian_free_bits(mu: jax.Array, log_var: jax.Array, free_bits: float) -
     return jnp.sum(jnp.maximum(kl_dim, free_bits))
 
 
+def denormalized_targets(
+    targets: jax.Array, target_denorm: Tuple[Tuple[float, ...], Tuple[float, ...]]
+) -> jax.Array:
+    """Undo the input normalization on the BCE targets: t·std + mean, clipped
+    to [0, 1].
+
+    The reference computes BCE against the *normalized* input
+    (models.py:208 with data_transformations.py:6's mean-0.5 shift), so its
+    targets live in [-0.5, 0.5] — a regime where BCE is only bounded by the
+    -100 log clamp and where the per-empty-cell optimum is saturated σ→0
+    (the silence attractor itself). ``--bce-targets raw`` restores true
+    probability-space targets; class-rebalancing (``pos_weight``) and the
+    base-rate output bias are exact in this space.
+    """
+    mean = jnp.asarray(target_denorm[0], jnp.float32).reshape(1, 1, 1, -1)
+    std = jnp.asarray(target_denorm[1], jnp.float32).reshape(1, 1, 1, -1)
+    return jnp.clip(targets * std + mean, 0.0, 1.0)
+
+
 def elbo_loss(
     output: ModelOutput,
     kld_weight: jax.Array | float = 1.0,
     log_var_clamp: Optional[Tuple[float, float]] = None,
     free_bits: Optional[float] = None,
     pos_weight: Optional[float] = None,
+    target_denorm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None,
 ) -> LossOutput:
     """VAE loss (reference: ``VanillaVAE.loss``, models.py:190-225).
 
@@ -109,8 +129,15 @@ def elbo_loss(
         Positive-class weight on the BCE term (:func:`bce_from_logits`) —
         the sparse-corpus rebalancer. The reported ``reconstruction_loss``
         is the weighted value (it is the optimized objective).
+    target_denorm : ((mean...), (std...)), optional
+        De-normalize the BCE targets back to [0, 1] first
+        (:func:`denormalized_targets`). None = reference parity
+        (normalized targets, models.py:208).
     """
-    loss_recon = jnp.mean(bce_from_logits(output.logits, output.input, pos_weight))
+    targets = output.input
+    if target_denorm is not None:
+        targets = denormalized_targets(targets, target_denorm)
+    loss_recon = jnp.mean(bce_from_logits(output.logits, targets, pos_weight))
     log_var = output.encoded.log_var
     if log_var_clamp is not None:
         log_var = jnp.clip(log_var, log_var_clamp[0], log_var_clamp[1])

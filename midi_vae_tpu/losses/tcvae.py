@@ -75,6 +75,7 @@ def beta_tc_elbo_loss(
     kld_weight: Optional[jax.Array] = None,
     log_var_clamp=None,
     pos_weight: Optional[float] = None,
+    target_denorm=None,
 ) -> LossOutput:
     """BCE reconstruction + α·MI + β·TC + γ·DWKL.
 
@@ -86,7 +87,12 @@ def beta_tc_elbo_loss(
     lv = output.encoded.log_var
     if log_var_clamp is not None:
         lv = jnp.clip(lv, log_var_clamp[0], log_var_clamp[1])
-    recon = bce_from_logits(output.logits, output.input, pos_weight).mean()
+    targets = output.input
+    if target_denorm is not None:
+        from midi_vae_tpu.losses.elbo import denormalized_targets
+
+        targets = denormalized_targets(targets, target_denorm)
+    recon = bce_from_logits(output.logits, targets, pos_weight).mean()
     mi, tc, dwkl = tc_decomposition(output.latents, output.encoded.mu, lv, dataset_size)
     w = jnp.asarray(1.0 if kld_weight is None else kld_weight, recon.dtype)
     kl_block = alpha * mi + tc_beta * tc + gamma * dwkl

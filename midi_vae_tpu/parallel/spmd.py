@@ -56,6 +56,7 @@ def make_spmd_train_step(
     log_var_clamp: Optional[Tuple[float, float]] = None,
     free_bits: Optional[float] = None,
     pos_weight: Optional[float] = None,
+    target_denorm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None,
     donate: bool = True,
     ema_decay: Optional[float] = None,
 ) -> Callable:
@@ -96,6 +97,7 @@ def make_spmd_train_step(
                 log_var_clamp=log_var_clamp,
                 free_bits=free_bits,
                 pos_weight=pos_weight,
+                target_denorm=target_denorm,
             )
             return lo.loss, (lo, mutated["batch_stats"])
 

@@ -67,6 +67,11 @@ class TrainConfig:
     # from the train corpus fill rate — the decoder starts at the corpus
     # base rate instead of the all-0.5 cliff. None = zeros (parity).
     output_bias_init: Any = None
+    # BCE target space: "normalized" = reference parity (BCE against the
+    # normalized input, models.py:208 — targets in [-0.5, 0.5] under the
+    # default table); "raw" = de-normalize targets to [0, 1] inside the
+    # loss, the space where pos-weight/base-rate math is exact.
+    bce_targets: str = "normalized"
     fused: bool = False  # Pallas fused reparam + BCE kernels on the hot path
 
     # Optimization (train.py:881-932)

@@ -155,6 +155,12 @@ def run(config: TrainConfig) -> dict:
 
     pos_weight = resolve_auto(config.bce_pos_weight, dataset_train, "pos_weight")
     output_bias = resolve_auto(config.output_bias_init, dataset_train, "bias")
+    # --bce-targets raw: the loss de-normalizes targets back to [0, 1]
+    target_denorm = (
+        (tuple(transform_train.mean), tuple(transform_train.std))
+        if config.bce_targets == "raw"
+        else None
+    )
     print(f"loading model '{config.arch}' for '{config.dataset_name}' dataset @ {config.image_size}px")
     model = build_model(
         config.arch,
@@ -273,6 +279,7 @@ def run(config: TrainConfig) -> dict:
             log_var_clamp=config.log_var_clamp,
             free_bits=config.free_bits,
             pos_weight=pos_weight,
+            target_denorm=target_denorm,
             ema_decay=config.ema_decay,
         )
     else:
@@ -283,6 +290,7 @@ def run(config: TrainConfig) -> dict:
             log_var_clamp=config.log_var_clamp,
             free_bits=config.free_bits,
             pos_weight=pos_weight,
+            target_denorm=target_denorm,
             fused_loss=config.fused,
             loss_type=config.loss_type,
             tc_beta=config.tc_beta,

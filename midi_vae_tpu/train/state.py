@@ -117,6 +117,7 @@ def make_train_step(
     log_var_clamp: Optional[Tuple[float, float]] = None,
     free_bits: Optional[float] = None,
     pos_weight: Optional[float] = None,
+    target_denorm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None,
     donate: bool = True,
     fused_loss: bool = False,
     loss_type: str = "elbo",
@@ -154,6 +155,8 @@ def make_train_step(
         raise ValueError("--free-bits is implemented on the plain (non-fused) ELBO path")
     if pos_weight is not None and fused_loss:
         raise ValueError("the fused Pallas BCE implements the unweighted reference formula; drop --fused for --bce-pos-weight")
+    if target_denorm is not None and fused_loss:
+        raise ValueError("the fused Pallas BCE consumes normalized targets; drop --fused for --bce-targets raw")
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
@@ -182,6 +185,7 @@ def make_train_step(
                     kld_weight=w,
                     log_var_clamp=log_var_clamp,
                     pos_weight=pos_weight,
+                    target_denorm=target_denorm,
                 )
             if not fused_loss:
                 return elbo_loss(
@@ -190,6 +194,7 @@ def make_train_step(
                     log_var_clamp=log_var_clamp,
                     free_bits=free_bits,
                     pos_weight=pos_weight,
+                    target_denorm=target_denorm,
                 )
             from midi_vae_tpu.ops.fused_elbo import fused_elbo_terms
 

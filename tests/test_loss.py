@@ -450,3 +450,46 @@ class TestCorpusStats:
         assert resolve_auto(2.5, ds, "pos_weight") == 2.5
         np.testing.assert_allclose(resolve_auto("auto", ds, "bias"), np.log(p / (1 - p)), rtol=1e-9)
         np.testing.assert_allclose(resolve_auto("auto", ds, "pos_weight"), (1 - p) / p, rtol=1e-9)
+
+
+class TestRawTargets:
+    """--bce-targets raw: de-normalized [0,1] targets inside the loss."""
+
+    def test_denormalized_targets_invert_normalization(self):
+        from midi_vae_tpu.losses.elbo import denormalized_targets
+
+        raw = np.random.default_rng(4).uniform(size=(2, 8, 8, 1)).astype(np.float32)
+        normalized = raw - 0.5  # the default table: mean 0.5, std 1.0
+        back = np.asarray(denormalized_targets(jnp.asarray(normalized), ((0.5,), (1.0,))))
+        np.testing.assert_allclose(back, raw, atol=1e-6)
+
+    def test_elbo_raw_targets_match_manual(self):
+        rng = np.random.default_rng(5)
+        logits = rng.normal(size=(2, 8, 8, 1)).astype(np.float32)
+        raw = (rng.uniform(size=(2, 8, 8, 1)) < 0.05).astype(np.float32)
+        out = make_output(logits, raw - 0.5, np.zeros((2, 3)), np.zeros((2, 3)))
+        res = elbo_loss(out, kld_weight=0.0, target_denorm=((0.5,), (1.0,)))
+        manual = float(jnp.mean(bce_from_logits(out.logits, jnp.asarray(raw))))
+        np.testing.assert_allclose(float(res.loss), manual, rtol=1e-6)
+
+    def test_raw_space_positive_bce_bounded_below_by_zero(self):
+        """In raw space a perfect reconstruction reaches BCE≈0 — unlike the
+        shifted space where the optimum is the clamp."""
+        t = np.zeros((1, 4, 4, 1), np.float32)  # raw all-empty
+        out = make_output(np.full((1, 4, 4, 1), -30.0, np.float32), t - 0.5,
+                          np.zeros((1, 2)), np.zeros((1, 2)))
+        res = elbo_loss(out, kld_weight=0.0, target_denorm=((0.5,), (1.0,)))
+        assert 0.0 <= float(res.loss) < 1e-6
+
+    def test_rejected_on_fused_path(self):
+        import optax
+
+        from midi_vae_tpu.models.mlp import MLPVAE
+        from midi_vae_tpu.train.state import make_train_step
+
+        model = MLPVAE(input_dim=8, hidden_dims=(16,), latent_dim=4)
+        with pytest.raises(ValueError, match="bce-targets"):
+            make_train_step(
+                model, optax.sgd(1e-3), kl_weight_schedule("constant", 1.0),
+                fused_loss=True, target_denorm=((0.5,), (1.0,)),
+            )
