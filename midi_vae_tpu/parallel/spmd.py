@@ -58,6 +58,7 @@ def make_spmd_train_step(
     pos_weight: Optional[float] = None,
     target_denorm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None,
     donate: bool = True,
+    grad_accum: int = 1,
     ema_decay: Optional[float] = None,
 ) -> Callable:
     """Build the explicit-SPMD train step: (state, x, key) → (state, LossOutput, grad_norm).
@@ -68,7 +69,18 @@ def make_spmd_train_step(
     both axes, which XLA lowers as ICI-within-slice + DCN-across). Tensor
     parallelism composes through the auto path's sharding rules instead
     (``parallel/sharding_rules.py``).
+
+    ``grad_accum=N`` splits each shard's LOCAL batch slice into N
+    sequential microbatches inside the program (``lax.scan``, mirroring
+    the auto path at train/state.py) — local gradients accumulate across
+    micros, then ONE psum all-reduce and ONE optimizer update per batch.
+    The microbatch grouping differs from the auto path (per-shard slices
+    vs contiguous global slices), but the batch-averaged gradient is
+    identical for per-sample losses (equivalence-tested for the no-BN
+    model); BatchNorm statistics are per-shard AND per-micro here.
     """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     axes = tuple(mesh.axis_names)
     if any(a not in (SLICE_AXIS, DATA_AXIS) for a in axes) or DATA_AXIS not in axes:
         raise ValueError(
@@ -83,12 +95,12 @@ def make_spmd_train_step(
         for ax in axes:
             key = jax.random.fold_in(key, jax.lax.axis_index(ax))
 
-        def loss_fn(params):
+        def loss_fn(params, batch_stats, xm, k):
             out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                x,
+                {"params": params, "batch_stats": batch_stats},
+                xm,
                 train=True,
-                rngs={"reparam": key},
+                rngs={"reparam": k},
                 mutable=["batch_stats"],
             )
             lo = elbo_loss(
@@ -101,7 +113,41 @@ def make_spmd_train_step(
             )
             return lo.loss, (lo, mutated["batch_stats"])
 
-        (_, (lo, batch_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if grad_accum == 1:
+            (_, (lo, batch_stats)), grads = grad_fn(state.params, state.batch_stats, x, key)
+        else:
+            b = x.shape[0]  # the LOCAL shard slice
+            if b % grad_accum:
+                raise ValueError(
+                    f"per-shard batch size {b} not divisible by grad_accum={grad_accum}"
+                )
+            xs = x.reshape(grad_accum, b // grad_accum, *x.shape[1:])
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            zero_lo = LossOutput(
+                loss=jnp.float32(0),
+                reconstruction_loss=jnp.float32(0),
+                kld_loss=jnp.float32(0),
+                kl=jnp.float32(0),
+                kld_weight=jnp.float32(0),
+            )
+
+            def micro(carry, inp):
+                bs, gsum, losum = carry
+                xm, idx = inp
+                (_, (mlo, bs2)), g = grad_fn(state.params, bs, xm, jax.random.fold_in(key, idx))
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                losum = jax.tree_util.tree_map(jnp.add, losum, mlo)
+                return (bs2, gsum, losum), None
+
+            (batch_stats, gsum, lo_sum), _ = jax.lax.scan(
+                micro,
+                (state.batch_stats, zero_grads, zero_lo),
+                (xs, jnp.arange(grad_accum)),
+            )
+            inv = jnp.float32(1.0 / grad_accum)
+            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+            lo = jax.tree_util.tree_map(lambda v: v * inv, lo_sum)
 
         # The hand-written collectives: gradient all-reduce (the reference's
         # missing DDP sync) and metric reduction. Equal shard sizes make the

@@ -267,8 +267,6 @@ def run(config: TrainConfig) -> dict:
     if config.step_impl == "shard_map":
         if config.fused or config.loss_type != "elbo":
             raise ValueError("--step-impl shard_map supports the plain ELBO path only")
-        if config.grad_accum > 1:
-            raise ValueError("--grad-accum is implemented on the auto step; drop --step-impl shard_map")
         from midi_vae_tpu.parallel.spmd import make_spmd_train_step
 
         train_step = make_spmd_train_step(
@@ -280,6 +278,7 @@ def run(config: TrainConfig) -> dict:
             free_bits=config.free_bits,
             pos_weight=pos_weight,
             target_denorm=target_denorm,
+            grad_accum=config.grad_accum,
             ema_decay=config.ema_decay,
         )
     else:

@@ -190,3 +190,50 @@ def test_spmd_step_free_bits(eight_devices):
     # reported KL is the true KL — far below the floor at init
     assert float(lo.kl) < 4 * fb
     assert np.isfinite(float(gn))
+
+
+def test_spmd_grad_accum_matches_auto_path(eight_devices):
+    """--step-impl shard_map --grad-accum 4 == the auto path at accum=4:
+    same noise-neutralization recipe as test_spmd_step_matches_auto_path
+    (pinned log_var, SGD, no BN). The microbatch groupings differ
+    (per-shard slices vs global slices) but the batch-averaged gradient
+    is identical for per-sample losses."""
+    mesh = make_mesh(8)
+    model = MLPVAE(in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(32,))
+    bundle, state0, _ = _setup(model, mesh, optimizer="SGD")
+    # 64 rows → local shard slice 8, microbatch 2 at accum=4
+    x = jax.device_put(
+        np.random.default_rng(3).uniform(0, 1, (64, 16, 16, 1)).astype(np.float32),
+        batch_sharding(mesh),
+    )
+    params = jax.tree_util.tree_map(lambda p: p, state0.params)
+    params["fc_var"]["kernel"] = jnp.zeros_like(params["fc_var"]["kernel"])
+    params["fc_var"]["bias"] = jnp.full_like(params["fc_var"]["bias"], -60.0)
+    state0 = state0.replace(params=params)
+
+    auto_step = make_train_step(model, bundle.tx, KL, log_var_clamp=CLAMP, donate=False, grad_accum=4)
+    spmd_step = make_spmd_train_step(
+        model, bundle.tx, KL, mesh, log_var_clamp=CLAMP, donate=False, grad_accum=4
+    )
+
+    sa, sm = state0, state0
+    for _ in range(3):
+        sa, lo_a, gn_a = auto_step(sa, x, jax.random.PRNGKey(7))
+        sm, lo_m, gn_m = spmd_step(sm, x, jax.random.PRNGKey(7))
+        np.testing.assert_allclose(float(lo_a.loss), float(lo_m.loss), rtol=1e-5)
+        np.testing.assert_allclose(float(gn_a), float(gn_m), rtol=1e-5)
+    for pa, pm in zip(jax.tree_util.tree_leaves(sa.params), jax.tree_util.tree_leaves(sm.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pm), rtol=1e-5, atol=1e-7)
+    assert int(sm.step) == 3  # ONE optimizer update per batch
+
+
+def test_spmd_grad_accum_rejects_indivisible_local_batch(eight_devices):
+    """Local shard slice (global/8 = 2) not divisible by accum=3 → clear error."""
+    import pytest
+
+    mesh = make_mesh(8)
+    model = MLPVAE(in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(32,))
+    bundle, state, x = _setup(model, mesh, optimizer="SGD")
+    step = make_spmd_train_step(model, bundle.tx, KL, mesh, donate=False, grad_accum=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, x, jax.random.PRNGKey(0))
