@@ -360,15 +360,18 @@ def run(config: TrainConfig) -> dict:
     last_epoch = config.epochs
     if config.stop_after_epochs is not None:
         last_epoch = min(last_epoch, start_epoch + config.stop_after_epochs - 1)
-    # The writer thread is non-daemon: if an exception unwinds out of the
-    # epoch loop, interpreter shutdown still joins the in-flight write, so
-    # every handed-off checkpoint lands on disk (tmp+rename keeps the
-    # latest file atomic even under SIGTERM mid-write).
+    # The msgpack writer thread is non-daemon: if an exception unwinds out
+    # of the epoch loop, interpreter shutdown still joins the in-flight
+    # write, so every handed-off checkpoint lands on disk (tmp+rename keeps
+    # the latest file atomic even under SIGTERM mid-write). The orbax
+    # variant delegates to Orbax's own AsyncCheckpointer, which handles the
+    # multi-host barrier internally (io/orbax_io.py:OrbaxAsyncWriter).
     if config.async_checkpoint and config.checkpoint_backend == "orbax":
-        # the orbax save is an all-hosts collective; driving it from
-        # background threads risks cross-host barrier deadlocks
-        raise ValueError("--async-checkpoint is not supported with --checkpoint-backend orbax")
-    async_writer = AsyncCheckpointWriter() if config.async_checkpoint else None
+        from midi_vae_tpu.io.orbax_io import OrbaxAsyncWriter
+
+        async_writer = OrbaxAsyncWriter()
+    else:
+        async_writer = AsyncCheckpointWriter() if config.async_checkpoint else None
     profiling = False
     for epoch in range(start_epoch, last_epoch + 1):
         t_start_epoch = time.time()
@@ -492,6 +495,8 @@ def run(config: TrainConfig) -> dict:
         print(f"Wrote profiler trace to {config.profile_dir}")
     if async_writer is not None:
         async_writer.wait()  # the final checkpoint must be on disk before eval/return
+        if hasattr(async_writer, "close"):
+            async_writer.close()
 
     if start_epoch > config.epochs:
         print("Training already completed!")

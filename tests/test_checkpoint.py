@@ -237,3 +237,93 @@ class TestOrbaxBackend:
         save_checkpoint(path, self._state(), epoch=3)
         assert os.path.isfile(path)  # single file, not a directory
         assert load_checkpoint(path)["epoch"] == 3
+
+
+class TestOrbaxAsyncWriter:
+    """--async-checkpoint --checkpoint-backend orbax: Orbax's AsyncCheckpointer
+    with the deferred crash-safe swap (round-2 VERDICT item 7)."""
+
+    def _state(self):
+        return {"w": np.arange(12, dtype=np.float32).reshape(3, 4), "step": np.int32(7)}
+
+    def test_save_wait_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from midi_vae_tpu.io.checkpoint import load_checkpoint
+        from midi_vae_tpu.io.orbax_io import OrbaxAsyncWriter, is_orbax_checkpoint
+
+        path = str(tmp_path / "ckpt_async")
+        w = OrbaxAsyncWriter()
+        w.save(path, self._state(), epoch=1, total_step=5, backend="orbax")
+        w.wait()
+        assert is_orbax_checkpoint(path)
+        payload = load_checkpoint(path)
+        assert payload["epoch"] == 1 and payload["total_step"] == 5
+        assert "backend" not in payload  # routing hint stripped, payload parity
+        # second save supersedes, no .old left behind
+        w.save(path, self._state(), epoch=2, total_step=10)
+        w.close()
+        assert load_checkpoint(path)["epoch"] == 2
+        assert not os.path.exists(path + ".old") and not os.path.exists(path + ".staging")
+
+    def test_in_flight_save_never_clobbers_previous(self, tmp_path):
+        """Crash-window guarantee: while save N+1 is in flight (pre-wait),
+        the path still loads as the COMPLETE checkpoint N."""
+        pytest.importorskip("orbax.checkpoint")
+        from midi_vae_tpu.io.checkpoint import load_checkpoint
+        from midi_vae_tpu.io.orbax_io import OrbaxAsyncWriter
+
+        path = str(tmp_path / "ckpt_async2")
+        w = OrbaxAsyncWriter()
+        w.save(path, self._state(), epoch=1)
+        w.wait()
+        w.save(path, self._state(), epoch=2)  # in flight; swap deferred
+        assert load_checkpoint(path)["epoch"] == 1
+        w.close()
+        assert load_checkpoint(path)["epoch"] == 2
+
+    def test_swap_window_crash_recovers_from_old(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        from midi_vae_tpu.io.checkpoint import load_checkpoint
+        from midi_vae_tpu.io.orbax_io import OrbaxAsyncWriter, is_orbax_checkpoint
+
+        path = str(tmp_path / "ckpt_async3")
+        w = OrbaxAsyncWriter()
+        w.save(path, self._state(), epoch=4)
+        w.close()
+        os.rename(path, path + ".old")  # the exact mid-swap crash state
+        assert is_orbax_checkpoint(path)
+        assert load_checkpoint(path)["epoch"] == 4
+
+    def test_train_loop_async_orbax(self, tmp_path, eight_devices):
+        """The full loop trains, saves async orbax on the virtual mesh, and
+        resumes (this flag combination used to be rejected)."""
+        pytest.importorskip("orbax.checkpoint")
+        from midi_vae_tpu.io.checkpoint import load_checkpoint
+        from midi_vae_tpu.train.config import TrainConfig
+        from midi_vae_tpu.train.loop import run
+
+        config = TrainConfig(
+            dataset_name="vae-lines-synthetic",
+            transform_type="noaug",
+            image_size=32,
+            arch="MLPVAE",
+            n_features=8,
+            hidden_dims=(64,),
+            epochs=2,
+            batch_size_per_device=4,
+            num_devices=8,
+            seed=0,
+            models_dir=str(tmp_path / "m"),
+            log_images=False,
+            async_checkpoint=True,
+            checkpoint_backend="orbax",
+        )
+        results = run(config)
+        payload = load_checkpoint(config.checkpoint_path)
+        assert payload["epoch"] == 2
+        assert payload["total_step"] == results["total_step"]
+        # resume continues from epoch 3
+        config2 = TrainConfig.from_dict({**config.to_dict(), "epochs": 3})
+        results2 = run(config2)
+        assert load_checkpoint(config.checkpoint_path)["epoch"] == 3
+        assert results2["total_step"] > results["total_step"]
