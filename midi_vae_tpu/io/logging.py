@@ -59,6 +59,21 @@ class PhaseTimer:
         self._marks.clear()
 
 
+# Config keys never uploaded to wandb (reference: train.py:254-263's
+# EXCLUDED_WANDB_CONFIG_KEYS): run identity lives in the run object itself,
+# and logging/output plumbing is noise in a hyperparameter table.
+EXCLUDED_WANDB_CONFIG_KEYS = frozenset(
+    {
+        "log_wandb",
+        "wandb_entity",
+        "wandb_project",
+        "run_name",
+        "run_id",
+        "model_output_dir",
+    }
+)
+
+
 class MetricLogger:
     """Fan-out metric logger: console + JSONL + optional wandb."""
 
@@ -99,7 +114,8 @@ class MetricLogger:
         if id_file and os.path.isfile(id_file):
             with open(id_file) as f:
                 resume_id = f.read().strip()  # preemption resume (utils.py:63-71)
-        kwargs = dict(entity=entity, project=project, name=run_name, config=config or {}, tags=list(tags))
+        uploaded = {k: v for k, v in (config or {}).items() if k not in EXCLUDED_WANDB_CONFIG_KEYS}
+        kwargs = dict(entity=entity, project=project, name=run_name, config=uploaded, tags=list(tags))
         if resume_id:
             self._wandb = wandb.init(resume=resume_id, **kwargs)
         else:

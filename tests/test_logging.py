@@ -48,3 +48,41 @@ def test_generate_id_format():
     a, b = generate_id(), generate_id()
     assert a != b
     assert len(a) == 8 and a.isalnum()
+
+
+def test_wandb_config_exclusion_list(tmp_path, monkeypatch):
+    """The uploaded config omits EXCLUDED_WANDB_CONFIG_KEYS (reference:
+    train.py:254-263) but keeps real hyperparameters."""
+    import sys
+    import types
+
+    captured = {}
+
+    fake = types.ModuleType("wandb")
+
+    class _Run:
+        id = "r1"
+
+        def log(self, *a, **k):
+            pass
+
+    def init(**kwargs):
+        captured.update(kwargs)
+        return _Run()
+
+    fake.init = init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from midi_vae_tpu.io.logging import MetricLogger
+
+    cfg = {
+        "epochs": 5, "lr_relative": 0.01,
+        "log_wandb": True, "wandb_entity": "me", "wandb_project": "p",
+        "run_name": "n", "run_id": "i", "model_output_dir": "/x",
+    }
+    logger = MetricLogger(str(tmp_path), use_wandb=True, config=cfg)
+    assert logger.wandb_run is not None
+    up = captured["config"]
+    assert up["epochs"] == 5 and up["lr_relative"] == 0.01
+    for noisy in ("log_wandb", "wandb_entity", "wandb_project", "run_name", "run_id", "model_output_dir"):
+        assert noisy not in up
