@@ -1,15 +1,19 @@
 """Serving-path latency benchmark: micro-batched inference under load.
 
 Measures what a serving operator actually cares about — per-request
-latency percentiles (p50/p95/p99) and aggregate throughput of the
-micro-batcher (`serving/batcher.py`) under concurrent callers — for the
-reconstruct path (encode → reparam-free mean → decode is the serving
-default) at several concurrency levels.
+latency percentiles (p50/p95/p99) and aggregate throughput — for the
+reconstruct path at several concurrency levels. The timed object IS the
+server's own `InferenceService.reconstruct` batcher (`serving/server.py`
+builds the jitted posterior-mean encode→decode program and the
+MicroBatcher in one place), so the benchmark and the live handler
+execute one code path. `--http` goes one layer further and fires JSON
+requests at a real `ThreadingHTTPServer` endpoint, measuring the full
+wire path (JSON encode/decode dominates at 128px — the table shows both).
 
 The reference has no serving story at all (SURVEY §1: "no serving
 layer"); this pins the numbers for ours. Run on the TPU:
 
-    python benchmarks/serving_latency.py [--requests 200] [--levels 1 4 16 64]
+    python benchmarks/serving_latency.py [--requests 200] [--levels 1 4 16 64] [--http]
 
 Methodology notes (same platform gotchas as bench.py):
 - every bucket size is warmed (compiled + executed) before timing, so
@@ -36,11 +40,14 @@ IMAGE_SIZE = 128
 
 
 def build_service(arch="FoldedVAE", bf16=True, max_batch=64, max_wait_ms=2.0):
+    """The server's own InferenceService over a randomly-initialized model —
+    `service.reconstruct` is the exact MicroBatcher + jitted program the
+    HTTP handler dispatches to."""
     import jax
     import jax.numpy as jnp
 
     from midi_vae_tpu.models.registry import build_model
-    from midi_vae_tpu.serving.batcher import MicroBatcher
+    from midi_vae_tpu.serving.server import InferenceService
 
     model = build_model(
         arch,
@@ -52,26 +59,11 @@ def build_service(arch="FoldedVAE", bf16=True, max_batch=64, max_wait_ms=2.0):
     )
     x0 = jnp.zeros((2, IMAGE_SIZE, IMAGE_SIZE, 1), jnp.float32)
     variables = model.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, x0)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-
-    @jax.jit
-    def _reconstruct(x):
-        enc = model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=False, method=type(model).encode
-        )
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            enc.mu,
-            train=False,
-            method=type(model).decode,
-        )
-
-    def fn(x):
-        return np.asarray(_reconstruct(x))
-
-    batcher = MicroBatcher(fn, max_batch=max_batch, max_wait_ms=max_wait_ms)
-    return batcher, fn
+    service = InferenceService.from_parts(
+        model, variables["params"], variables.get("batch_stats", {}),
+        IMAGE_SIZE, 1, max_batch=max_batch, max_wait_ms=max_wait_ms,
+    )
+    return service
 
 
 def warm_buckets(fn, max_batch):
@@ -82,6 +74,52 @@ def warm_buckets(fn, max_batch):
         if b > max_batch:
             break
         fn(np.zeros((b, IMAGE_SIZE, IMAGE_SIZE, 1), np.float32))
+
+
+def run_level_http(url: str, concurrency: int, requests_per_thread: int, req_rows: int = 1):
+    """Same shape as run_level, but each request is a real HTTP POST to the
+    live /reconstruct endpoint (JSON body, JSON response)."""
+    import json as _json
+    import urllib.request
+
+    latencies = []
+    lock = threading.Lock()
+    x = np.random.default_rng(0).random((req_rows, IMAGE_SIZE, IMAGE_SIZE, 1), np.float32)
+    body = _json.dumps({"images": x.tolist()}).encode()
+
+    def worker():
+        local = []
+        for _ in range(requests_per_thread):
+            t0 = time.perf_counter()
+            req = urllib.request.Request(
+                url + "/reconstruct", data=body, headers={"Content-Type": "application/json"}
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                out = _json.loads(resp.read())
+            assert len(out["reconstructions"]) == req_rows
+            local.append(time.perf_counter() - t0)
+        with lock:
+            latencies.extend(local)
+
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+
+    lat = np.sort(np.array(latencies)) * 1000.0
+    n = len(lat)
+    return {
+        "concurrency": concurrency,
+        "requests": n,
+        "p50_ms": round(float(lat[n // 2]), 2),
+        "p95_ms": round(float(lat[int(n * 0.95)]), 2),
+        "p99_ms": round(float(lat[min(n - 1, int(n * 0.99))]), 2),
+        "throughput_req_per_s": round(n / wall, 1),
+        "samples_per_s": round(n * req_rows / wall, 1),
+    }
 
 
 def run_level(batcher, concurrency: int, requests_per_thread: int, req_rows: int = 1):
@@ -131,6 +169,8 @@ def main():
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--http", action="store_true",
+                    help="also measure through a live HTTP endpoint (full wire path)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -141,16 +181,34 @@ def main():
 
     print(f"backend: {jax.devices()[0].platform}", flush=True)
 
-    batcher, fn = build_service(arch=args.arch, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    service = build_service(arch=args.arch, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+    batcher = service.reconstruct  # the handler's own batcher — one code path
     print("warming buckets (compiles)...", flush=True)
-    warm_buckets(fn, args.max_batch)
+    warm_buckets(batcher, args.max_batch)
 
     results = []
     for level in args.levels:
         r = run_level(batcher, level, args.requests, req_rows=args.rows)
         results.append(r)
         print(json.dumps(r), flush=True)
-    batcher.close()
+
+    http_results = []
+    if args.http:
+        from http.server import ThreadingHTTPServer
+
+        from midi_vae_tpu.serving.server import make_handler
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        print(f"live endpoint: {url}", flush=True)
+        for level in args.levels:
+            r = run_level_http(url, level, args.requests, req_rows=args.rows)
+            http_results.append(r)
+            print(json.dumps({"http": True, **r}), flush=True)
+        httpd.shutdown()
+    service.close()
 
     out = {
         "backend": jax.devices()[0].platform,
@@ -159,6 +217,7 @@ def main():
         "max_wait_ms": args.max_wait_ms,
         "rows_per_request": args.rows,
         "levels": results,
+        "http_levels": http_results,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "serving_latency.json")
     with open(path, "w") as f:

@@ -34,15 +34,43 @@ from midi_vae_tpu.serving.batcher import MicroBatcher
 
 
 class InferenceService:
-    """Jitted model entry points + batchers, built from a checkpoint."""
+    """Jitted model entry points + batchers, built from a checkpoint.
+
+    ``benchmarks/serving_latency.py`` constructs this same class (via
+    :meth:`from_parts`) and times ``service.reconstruct`` — the handler
+    and the benchmark execute one code path.
+    """
 
     def __init__(self, checkpoint_path: str, *, max_batch: int = 64, max_wait_ms: float = 2.0):
         from midi_vae_tpu.cli.generate import _load_model_and_state
 
-        (self.model, self.params, self.batch_stats, self.config,
-         self.image_size, self.channels, self.dataset) = _load_model_and_state(checkpoint_path)
+        (model, params, batch_stats, config,
+         image_size, channels, dataset) = _load_model_and_state(checkpoint_path)
+        self._init_from_parts(
+            model, params, batch_stats, image_size, channels,
+            config=config, dataset=dataset, max_batch=max_batch, max_wait_ms=max_wait_ms,
+        )
 
-        model, params, batch_stats = self.model, self.params, self.batch_stats
+    @classmethod
+    def from_parts(
+        cls, model, params, batch_stats, image_size: int, channels: int = 1,
+        *, max_batch: int = 64, max_wait_ms: float = 2.0,
+    ) -> "InferenceService":
+        """Build a service from in-memory model state (no checkpoint file)."""
+        self = cls.__new__(cls)
+        self._init_from_parts(
+            model, params, batch_stats, image_size, channels,
+            max_batch=max_batch, max_wait_ms=max_wait_ms,
+        )
+        return self
+
+    def _init_from_parts(
+        self, model, params, batch_stats, image_size, channels,
+        *, config=None, dataset=None, max_batch=64, max_wait_ms=2.0,
+    ):
+        self.model, self.params, self.batch_stats = model, params, batch_stats
+        self.config, self.dataset = config or {}, dataset
+        self.image_size, self.channels = image_size, channels
 
         @jax.jit
         def _reconstruct(x):
