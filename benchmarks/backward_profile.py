@@ -50,31 +50,48 @@ def _trace_dir_planes(trace_dir):
 
 
 def aggregate_device_ops(trace_dir):
-    """{op_name: total_duration_ns} over the XLA op streams in the trace.
+    """(op_totals, module_totals, async_total_ns) from the device trace.
 
-    TPU/GPU runs put op events on dedicated device planes; CPU (and some
-    plugin backends) put them on ``*XLAPjRt*`` client lines inside the
-    host plane — accept both, skip pure host/python threads.
+    TPU device planes carry distinct lines: ``XLA Ops`` (non-overlapping
+    op-level events — THE attribution stream), ``XLA Modules`` (one event
+    per executed program), and ``Async XLA Ops`` (overlapped DMA/copies,
+    excluded from the critical-path total). CPU traces have no device
+    plane; fall back to the ``*XLAPjRt*`` client line so the script still
+    smokes there.
     """
-    totals = collections.Counter()
-    plane_names = []
+    ops = collections.Counter()
+    modules = collections.Counter()
+    async_ns = 0
+    saw_device = False
     for pd in _trace_dir_planes(trace_dir):
         for plane in pd.planes:
             pname = plane.name or ""
-            plane_names.append(pname)
             plow = pname.lower()
-            plane_is_device = "tpu" in plow or "gpu" in plow or "/device:" in plow
-            if pname in ("/host:metadata", "Task Environment"):
+            if not ("/device:tpu" in plow or "/device:gpu" in plow):
                 continue
+            saw_device = True
             for line in plane.lines:
-                lname = (line.name or "").lower()
-                if not plane_is_device and "xlapjrt" not in lname:
-                    continue  # python / GC / other host threads
-                for event in line.events:
-                    if event.name.startswith("end: "):
-                        continue  # CPU stream end markers
-                    totals[event.name] += max(0, event.duration_ns)
-    return totals, plane_names
+                lname = line.name or ""
+                if lname == "XLA Ops":
+                    for e in line.events:
+                        ops[e.name.split(" = ")[0]] += max(0, e.duration_ns)
+                elif lname == "XLA Modules":
+                    for e in line.events:
+                        modules[e.name] += max(0, e.duration_ns)
+                elif lname == "Async XLA Ops":
+                    async_ns += sum(max(0, e.duration_ns) for e in line.events)
+    if not saw_device:  # CPU fallback
+        for pd in _trace_dir_planes(trace_dir):
+            for plane in pd.planes:
+                if plane.name != "/host:CPU":
+                    continue
+                for line in plane.lines:
+                    if "xlapjrt" not in (line.name or "").lower():
+                        continue
+                    for e in line.events:
+                        if not e.name.startswith("end: "):
+                            ops[e.name] += max(0, e.duration_ns)
+    return ops, modules, async_ns
 
 
 def capture(fn, steps, trace_dir):
@@ -144,16 +161,20 @@ def main():
     jax.block_until_ready(fwd_only(st.params, st.batch_stats, x0, base_key))
     print("warm; tracing...", flush=True)
 
+    # pre-generate the inputs OUTSIDE the trace window so the op
+    # attribution contains only the step under study, not the data
+    # generator (~1.3 GB HBM for 10 f32 batches at 2048×128² — fine)
+    xs = [jax.block_until_ready(make_x(i)) for i in range(args.steps)]
     state_holder = {"s": st}
 
     def step_full(i):
-        s, lo, _ = train_step(state_holder["s"], make_x(i), base_key)
+        s, lo, _ = train_step(state_holder["s"], xs[i], base_key)
         state_holder["s"] = s
         return lo.loss
 
     def step_fwd(i):
         s = state_holder["s"]
-        return fwd_only(s.params, s.batch_stats, make_x(i), jax.random.fold_in(base_key, i))
+        return fwd_only(s.params, s.batch_stats, xs[i], jax.random.fold_in(base_key, i))
 
     results = {}
     for name, fn in (("train_step", step_full), ("forward_only", step_fwd)):
@@ -161,15 +182,18 @@ def main():
         t0 = time.perf_counter()
         capture(fn, args.steps, trace_dir)
         wall = time.perf_counter() - t0
-        totals, plane_names = aggregate_device_ops(trace_dir)
-        total_ns = sum(totals.values())
-        top = totals.most_common(args.top)
+        ops, modules, async_ns = aggregate_device_ops(trace_dir)
+        total_ns = sum(ops.values())
+        top = ops.most_common(args.top)
         results[name] = {
             "wall_s": round(wall, 3),
             "steps": args.steps,
-            "device_total_ms": round(total_ns / 1e6, 3),
+            "device_op_total_ms": round(total_ns / 1e6, 3),
             "per_step_device_ms": round(total_ns / 1e6 / args.steps, 3),
-            "planes_seen": sorted(set(plane_names)),
+            "async_copy_ms_total": round(async_ns / 1e6, 3),
+            "modules_per_step_ms": {
+                m: round(ns / 1e6 / args.steps, 3) for m, ns in modules.most_common(6)
+            },
             "top_ops": [
                 {
                     "op": op,
@@ -180,9 +204,12 @@ def main():
                 for op, ns in top
             ],
         }
-        print(f"\n== {name}: {total_ns / 1e6 / args.steps:.3f} ms device/step "
-              f"(wall {wall:.2f}s for {args.steps} steps) ==")
-        for row in results[name]["top_ops"][:15]:
+        print(f"\n== {name}: {total_ns / 1e6 / args.steps:.3f} ms device-op time/step "
+              f"(wall {wall:.2f}s for {args.steps} steps; async copies "
+              f"{async_ns / 1e6 / args.steps:.2f} ms/step overlapped) ==")
+        for m, v in results[name]["modules_per_step_ms"].items():
+            print(f"  module {v:8.3f} ms/step  {m[:70]}")
+        for row in results[name]["top_ops"][:args.top]:
             print(f"  {row['pct']:6.2f}%  {row['per_step_us']:10.1f} us/step  {row['op'][:90]}")
 
     out_path = args.out or os.path.join(os.path.dirname(os.path.abspath(__file__)), "backward_profile.json")

@@ -31,6 +31,8 @@ TRAIN_CONFIGS = [
     ("bf16, FoldedVAE fold=16", dict(bf16=True, fused=False, arch="FoldedVAE", fold=16)),
     ("bf16, FoldedVAE fold=8 wide (64,64,128,256)",
      dict(bf16=True, fused=False, arch="FoldedVAE", fold=8, hidden_dims=(64, 64, 128, 256))),
+    ("bf16, FoldedVAE fold=8 mid (48,64,128,256)",
+     dict(bf16=True, fused=False, arch="FoldedVAE", fold=8, hidden_dims=(48, 64, 128, 256))),
     ("bf16, reference arch", dict(bf16=True, fused=False, stem="conv")),
     ("bf16, s2d stem", dict(bf16=True, fused=False, stem="s2d")),
     ("bf16, d2s head", dict(bf16=True, fused=False, stem="conv", head="d2s")),

@@ -33,6 +33,10 @@ VARIANTS = {
     # which the default hidden_dims[0]=32 immediately compresses 2x while
     # also striding — the suspected source of fold8's small quality gap
     "fold8w": dict(arch="FoldedVAE", fold=8, hidden_dims=(64, 64, 128, 256)),
+    # the 48-channel compromise between fold8 (fastest) and fold8w (best
+    # objective): does most of the widened first stage's quality win come
+    # at less of its throughput cost? (round-3 flagship-config probe)
+    "fold8m": dict(arch="FoldedVAE", fold=8, hidden_dims=(48, 64, 128, 256)),
 }
 
 
