@@ -26,13 +26,13 @@ RESULTS = os.path.join(HERE, "RESULTS.md")
 TRAIN_CONFIGS = [
     # (label, kwargs for bench.setup); "(bench default)" marks the flagship
     # config bench.py runs — sampling is measured on that one
-    ("bf16, FoldedVAE fold=8 (bench default)", dict(bf16=True, fused=False, arch="FoldedVAE", fold=8)),
+    ("bf16, FoldedVAE fold=8 flagship fold8m (48,64,128,256) (bench default)",
+     dict(bf16=True, fused=False, arch="FoldedVAE", fold=8, hidden_dims=(48, 64, 128, 256))),
+    ("bf16, FoldedVAE fold=8 narrow (32,64,128,256)", dict(bf16=True, fused=False, arch="FoldedVAE", fold=8)),
     ("bf16, FoldedVAE fold=4", dict(bf16=True, fused=False, arch="FoldedVAE", fold=4)),
     ("bf16, FoldedVAE fold=16", dict(bf16=True, fused=False, arch="FoldedVAE", fold=16)),
-    ("bf16, FoldedVAE fold=8 wide (64,64,128,256)",
+    ("bf16, FoldedVAE fold=8 wide fold8w (64,64,128,256)",
      dict(bf16=True, fused=False, arch="FoldedVAE", fold=8, hidden_dims=(64, 64, 128, 256))),
-    ("bf16, FoldedVAE fold=8 mid (48,64,128,256)",
-     dict(bf16=True, fused=False, arch="FoldedVAE", fold=8, hidden_dims=(48, 64, 128, 256))),
     ("bf16, reference arch", dict(bf16=True, fused=False, stem="conv")),
     ("bf16, s2d stem", dict(bf16=True, fused=False, stem="s2d")),
     ("bf16, d2s head", dict(bf16=True, fused=False, stem="conv", head="d2s")),
