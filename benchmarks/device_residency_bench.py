@@ -60,11 +60,31 @@ def time_training(loader, train_step, state, ekey, epochs, warmup_epochs=1):
     return n / dt, final, state
 
 
+def time_training_scan(loader, train_step, state, epochs, chunk, warmup_epochs=1):
+    """Scan-chunked variant: epoch_scan (N steps per dispatch)."""
+    import numpy as np
+
+    n = 0
+    m = None
+    for e in range(1, warmup_epochs + 1):
+        for state, ys in loader.epoch_scan(state, train_step, e, chunk=chunk):
+            m = ys
+    float(np.asarray(m)[-1, 0])
+    t0 = time.perf_counter()
+    for e in range(warmup_epochs + 1, warmup_epochs + epochs + 1):
+        for state, ys in loader.epoch_scan(state, train_step, e, chunk=chunk):
+            m = ys
+            n += ys.shape[0] * loader.batch_size
+    final = float(np.asarray(m)[-1, 0])  # materialization closes the window
+    dt = time.perf_counter() - t0
+    return n / dt, final, state
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--placements", nargs="+", default=["device", "host"])
+    ap.add_argument("--placements", nargs="+", default=["device_scan64", "device", "host"])
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -109,8 +129,16 @@ def main():
             model, bundle.tx, jax.random.PRNGKey(0), jnp.zeros((2, SIZE, SIZE, 1), jnp.float32)
         )
         step = make_train_step(model, bundle.tx, kl_weight_schedule("constant", 2.5e-4))
-        loader = make_loader(train_ds, args.batch, train=True, seed=0, placement=placement)
-        rate, final, _ = time_training(loader, step, state, epoch_key(0, 1), args.epochs)
+        scan_chunk = None
+        load_as = placement
+        if placement.startswith("device_scan"):
+            scan_chunk = int(placement[len("device_scan"):] or 64)
+            load_as = "device"
+        loader = make_loader(train_ds, args.batch, train=True, seed=0, placement=load_as)
+        if scan_chunk:
+            rate, final, _ = time_training_scan(loader, step, state, args.epochs, scan_chunk)
+        else:
+            rate, final, _ = time_training(loader, step, state, epoch_key(0, 1), args.epochs)
         results[placement] = {"samples_per_sec": round(rate, 1), "final_loss": round(final, 5)}
         print(json.dumps({"placement": placement, **results[placement]}), flush=True)
         if hasattr(loader, "close"):

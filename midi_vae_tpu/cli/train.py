@@ -208,6 +208,13 @@ def get_parser() -> argparse.ArgumentParser:
     group.add_argument("--prefetch", type=int, default=2,
                        help="Batches kept in flight host→device. Raise (e.g. 8-16) on "
                             "high-latency links to hide transfer time. Default: %(default)s")
+    group.add_argument("--scan-steps", type=int, default=1, metavar="N",
+                       help="Train N steps per compiled dispatch: a lax.scan over the "
+                            "device-resident corpus runs gather + transform + train step for N "
+                            "batches with zero host involvement, then hands back per-step "
+                            "metrics. Amortizes dispatch latency N x (the big win on remote/"
+                            "high-latency links). Requires --data-placement device/auto (corpus "
+                            "resident) and the default --step-impl auto. Default: %(default)s")
     group.add_argument("--data-placement", type=str, default="auto",
                        choices=("auto", "host", "device"),
                        help="Corpus placement: 'auto' uploads corpora that fit the HBM data "
@@ -340,6 +347,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         mesh_slices=args.mesh_slices,
         prefetch=args.prefetch,
         data_placement=args.data_placement,
+        scan_steps=args.scan_steps,
         dtype="bfloat16" if args.bf16 else "float32",
         fused=args.fused,
         step_impl=args.step_impl,

@@ -395,7 +395,9 @@ class DeviceResidentLoader:
             x = apply_transform(spec, rows, key) if spec is not None else _scale_only(rows)
             return x, y, mask
 
+        self._batch_core = make_batch  # raw, for composition into scan programs
         self._make_batch = jax.jit(make_batch)
+        self._scan_cache: dict = {}
 
     def __len__(self) -> int:
         return self.num_batches
@@ -406,6 +408,19 @@ class DeviceResidentLoader:
         return self.num_batches * self.batch_size if self.train else n
 
     def epoch(self, epoch: int = 1) -> Iterator[Batch]:
+        nb = self.num_batches
+        # the epoch's ONLY data upload: [num_batches, B] int32 + f32 planes
+        order_dev, masks_dev = self._epoch_planes(epoch)
+        ekey = epoch_key(self.seed, epoch)  # harmless for eval (use_key baked False)
+
+        for i in range(nb):
+            x, y, m = self._make_batch(
+                self._images, self._labels, order_dev, masks_dev, jnp.int32(i), ekey
+            )
+            yield Batch(x=x, y=y, mask=m)
+
+    def _epoch_planes(self, epoch: int):
+        """The per-epoch [num_batches, B] order/mask planes (device-resident)."""
         n = len(self.dataset)
         B, nb = self.batch_size, self.num_batches
         if self.train:
@@ -417,16 +432,68 @@ class DeviceResidentLoader:
             if pad:
                 order = np.concatenate([order, np.zeros(pad, order.dtype)])
             masks = (np.arange(nb * B) < n).astype(np.float32)
-        # the epoch's ONLY data upload: [num_batches, B] int32 + f32 planes
         order_dev = jax.device_put(order.reshape(nb, B).astype(np.int32), self._plane_sharding)
         masks_dev = jax.device_put(masks.reshape(nb, B), self._plane_sharding)
-        ekey = epoch_key(self.seed, epoch)  # harmless for eval (use_key baked False)
+        return order_dev, masks_dev
 
-        for i in range(nb):
-            x, y, m = self._make_batch(
-                self._images, self._labels, order_dev, masks_dev, jnp.int32(i), ekey
+    def _chunk_program(self, raw_step):
+        """Memoized compiled program: scan ``n_steps`` train steps over the
+        device-resident corpus, no host involvement inside the chunk."""
+        import functools
+
+        key_id = id(raw_step)
+        if key_id not in self._scan_cache:
+            core = self._batch_core
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
+            def run_chunk(state, images, labels, order, masks, start, ekey, n_steps):
+                def body(st, i):
+                    x, _, _ = core(images, labels, order, masks, i, ekey)
+                    st, lo, gn = raw_step(st, x, ekey)
+                    return st, jnp.stack(
+                        [
+                            lo.loss,
+                            lo.reconstruction_loss,
+                            lo.kld_loss,
+                            lo.kld_weight,
+                            gn,
+                        ]
+                    ).astype(jnp.float32)
+
+                return jax.lax.scan(body, state, start + jnp.arange(n_steps))
+
+            self._scan_cache[key_id] = run_chunk
+        return self._scan_cache[key_id]
+
+    def epoch_scan(self, state, raw_step, epoch: int, chunk: int = 64):
+        """One TRAIN epoch as scan-chunked compiled programs.
+
+        The per-batch ``epoch()`` path pays 2-3 host→device round trips
+        per step — negligible on local PCIe, dominant through a remote
+        tunnel (measured: the per-batch device-resident path trains at
+        13.6k samples/sec in this environment where the pure-compute rate
+        is ~190k). Scanning ``chunk`` steps inside ONE compiled dispatch
+        amortizes that overhead ``chunk``× with FULL metric fidelity: the
+        scan stacks per-step (loss, recon, kld, kld_weight, grad_norm)
+        and the caller logs them after each chunk lands.
+
+        Yields ``(state, metrics)`` per chunk; ``metrics`` is a float32
+        [n_steps, 5] device array (materialize with np.asarray — that is
+        the host sync point).
+        """
+        if not self.train:
+            raise ValueError("epoch_scan is the training path; eval uses epoch()")
+        order_dev, masks_dev = self._epoch_planes(epoch)
+        ekey = epoch_key(self.seed, epoch)
+        run_chunk = self._chunk_program(getattr(raw_step, "raw_step_fn", raw_step))
+        nb = self.num_batches
+        for start in range(0, nb, chunk):
+            n_steps = min(chunk, nb - start)
+            state, ys = run_chunk(
+                state, self._images, self._labels, order_dev, masks_dev,
+                jnp.int32(start), ekey, n_steps=n_steps,
             )
-            yield Batch(x=x, y=y, mask=m)
+            yield state, ys
 
 
 # Corpora at or under this many bytes ride device-resident under

@@ -116,6 +116,11 @@ class TrainConfig:
     # per-batch host→device copy); "host" keeps the streaming loaders;
     # "device" forces residency (data/pipeline.py:DeviceResidentLoader).
     data_placement: str = "auto"
+    # Train N steps per compiled dispatch (lax.scan over the device-resident
+    # corpus — zero host involvement inside a chunk, per-step metrics still
+    # logged). 1 = per-batch dispatch. Needs device placement + the auto
+    # step; the big win on high-dispatch-latency links.
+    scan_steps: int = 1
     num_devices: Optional[int] = None  # None → all visible devices
     # Hierarchical multi-slice DP: shard batches over a 2-D (slice, data)
     # mesh so gradient reduction rides ICI within a slice and only

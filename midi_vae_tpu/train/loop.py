@@ -565,6 +565,33 @@ def train_one_epoch(
     num_batches = len(loader)
     world_batch = loader.batch_size
 
+    # Scan-chunked epochs: N steps per compiled dispatch over the
+    # device-resident corpus (see DeviceResidentLoader.epoch_scan).
+    scan_steps = getattr(config, "scan_steps", 1) or 1
+    if scan_steps > 1:
+        raw_step = getattr(train_step, "raw_step_fn", None)
+        if raw_step is None:
+            raise ValueError("--scan-steps needs the auto train step (drop --step-impl shard_map)")
+        if not hasattr(loader, "epoch_scan"):
+            print(
+                "--scan-steps: corpus is not device-resident (too large, multi-host, or "
+                "--data-placement host); falling back to per-batch dispatch"
+            )
+        else:
+            return _train_one_epoch_scan(
+                config=config,
+                state=state,
+                train_step=train_step,
+                loader=loader,
+                logger=logger,
+                epoch=epoch,
+                lr_schedules=lr_schedules,
+                n_samples_seen=n_samples_seen,
+                n_epoch=n_epoch,
+                print_interval=print_interval,
+                chunk=scan_steps,
+            )
+
     loss_sum = jnp.float32(0.0)  # device accumulator — no per-step sync
     last_lo = None
     t_epoch_start = time.time()
@@ -653,6 +680,91 @@ def train_one_epoch(
     total_step = int(state.step)
     del last_lo
     stats = {"loss": float(loss_sum) / num_batches}
+    return stats, state, total_step, n_samples_seen
+
+
+def _train_one_epoch_scan(
+    *,
+    config,
+    state,
+    train_step,
+    loader,
+    logger,
+    epoch,
+    lr_schedules,
+    n_samples_seen,
+    n_epoch,
+    print_interval,
+    chunk,
+):
+    """Scan-chunked variant of ``train_one_epoch``: the loader runs
+    ``chunk`` train steps per compiled dispatch and hands back a
+    [n_steps, 5] metric array per chunk (loss, recon, kld, kld_weight,
+    grad_norm). Logging keeps per-step fidelity — the same print/log
+    intervals fire from the materialized arrays after each chunk lands.
+    """
+    num_batches = len(loader)
+    world_batch = loader.batch_size
+    step0 = int(state.step)  # one sync at epoch start anchors LR logging
+    loss_sum = 0.0
+    t_epoch_start = time.time()
+    t_last_log = t_epoch_start
+    steps_since_log = 0
+    timer = PhaseTimer()
+
+    batch_idx = -1
+    timer.mark("device_step")
+    for state, ys in loader.epoch_scan(state, train_step, epoch, chunk=chunk):
+        m = np.asarray(ys)  # host sync point: the chunk's per-step metrics
+        timer.mark("logging")
+        for row in m:
+            batch_idx += 1
+            loss_f, recon_f, kld_f, w_f, gn_f = (float(v) for v in row)
+            loss_sum += loss_f
+            n_samples_seen += world_batch
+            steps_since_log += 1
+            step_now = step0 + batch_idx + 1
+
+            if epoch <= 1 and batch_idx == 0:
+                print(f"scan-chunked training: {chunk} steps/dispatch")
+                print("loss =", loss_f)
+            is_print = batch_idx <= 2 or batch_idx % print_interval == 0 or batch_idx >= num_batches - 1
+            if is_print:
+                lr_now = {name: float(s(jnp.int32(step_now - 1))) for name, s in lr_schedules.items()}
+                lr_print = next(iter(lr_now.values())) if lr_now else 0.0
+                print(
+                    f"Train Epoch:{epoch:4d}/{n_epoch}"
+                    f"  Step:{batch_idx + 1:4d}/{num_batches}"
+                    f"  Loss:[F: {loss_f:6.3f}, KL: {kld_f:6.3f}]"
+                    f"  LR: {lr_print:.5f}"
+                    f"  KL Weight: {w_f:.5f}"
+                )
+            if batch_idx % config.log_interval == 0:
+                t_now = time.time()
+                throughput = steps_since_log * world_batch / max(t_now - t_last_log, 1e-9)
+                t_last_log, steps_since_log = t_now, 0
+                lr_now = {name: float(s(jnp.int32(step_now - 1))) for name, s in lr_schedules.items()}
+                log_dict = {
+                    "training/stepwise/epoch": epoch,
+                    "training/stepwise/epoch_progress": epoch - 1 + (batch_idx + 1) / num_batches,
+                    "training/stepwise/n_samples_seen": n_samples_seen,
+                    "training/stepwise/train/throughput": throughput,
+                    "training/stepwise/train/loss": loss_f,
+                    "training/stepwise/train/loss_recon": recon_f,
+                    "training/stepwise/train/loss_kld": kld_f,
+                    "training/stepwise/train/kld_weight": w_f,
+                    "training/stepwise/train/grad_norm": gn_f,
+                }
+                for name, v in lr_now.items():
+                    log_dict[f"training/stepwise/lr-{name}"] = v
+                for phase, secs in timer.durations().items():
+                    log_dict[f"training/stepwise/duration/{phase}"] = secs
+                timer.reset()
+                logger.log(log_dict, step=step_now)
+        timer.mark("device_step")
+
+    total_step = int(state.step)
+    stats = {"loss": loss_sum / num_batches}
     return stats, state, total_step, n_samples_seen
 
 

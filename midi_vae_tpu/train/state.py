@@ -257,7 +257,12 @@ def make_train_step(
         )
         return new_state, loss_output, grad_norm
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    # the raw (unjitted) step so callers can compose it into larger compiled
+    # programs — e.g. scan-chunked epochs over a device-resident corpus
+    # (data/pipeline.py:DeviceResidentLoader.epoch_scan)
+    jitted.raw_step_fn = step_fn
+    return jitted
 
 
 def make_forward_fn(model) -> Callable:

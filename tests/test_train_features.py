@@ -194,3 +194,54 @@ def test_cli_flags_reach_config():
     argv0 = []
     config0 = args_to_config(get_parser().parse_args(argv0), argv0)
     assert config0.grad_accum == 1 and config0.ema_decay is None and config0.remat is False
+
+
+class TestScanChunkedTraining:
+    """--scan-steps N: lax.scan epochs over the device-resident corpus."""
+
+    def _config(self, tmp_path, tag, **kw):
+        from midi_vae_tpu.train.config import TrainConfig
+
+        return TrainConfig(
+            dataset_name="vae-lines-synthetic",
+            transform_type="noaug",
+            image_size=32,
+            arch="MLPVAE",
+            n_features=8,
+            hidden_dims=(64,),
+            epochs=2,
+            batch_size_per_device=16,
+            num_devices=1,
+            seed=0,
+            models_dir=str(tmp_path / tag),
+            log_images=False,
+            run_name=tag,
+            run_id=tag,
+            **{"data_placement": "device", **kw},
+        )
+
+    def test_scan_matches_per_batch_dispatch(self, tmp_path):
+        """Identical data order, keys, and step semantics: the scan-chunked
+        epoch must reproduce the per-batch path's final loss closely."""
+        from midi_vae_tpu.train.loop import run
+
+        r_scan = run(self._config(tmp_path, "scan", scan_steps=8))
+        r_base = run(self._config(tmp_path, "base"))
+        assert abs(r_scan["train"]["loss"] - r_base["train"]["loss"]) < 1e-4
+        assert r_scan["total_step"] == r_base["total_step"]
+        ce_s = r_scan["final_test"]["cross-entropy"]
+        ce_b = r_base["final_test"]["cross-entropy"]
+        assert abs(ce_s - ce_b) < 1e-3
+
+    def test_scan_requires_auto_step(self, tmp_path):
+        from midi_vae_tpu.train.loop import run
+
+        with pytest.raises(ValueError, match="scan-steps"):
+            run(self._config(tmp_path, "sm", scan_steps=4, step_impl="shard_map"))
+
+    def test_scan_falls_back_on_host_loader(self, tmp_path, capsys):
+        from midi_vae_tpu.train.loop import run
+
+        r = run(self._config(tmp_path, "fb", scan_steps=4, data_placement="host"))
+        assert r["total_step"] > 0
+        assert "falling back to per-batch dispatch" in capsys.readouterr().out
