@@ -121,6 +121,11 @@ def build_optimizer(
     for group, mult in group_mults.items():
         if group == "encoder" and freeze_encoder:
             transforms[group] = optax.set_to_zero()
+            # keep the group in the LR log at 0.0 — the reference logs one
+            # LR per param group by name even when a group is frozen
+            # (train.py:735-741); dropping it would silently change the
+            # logged group set under --freeze-encoder
+            schedules[group] = lr_schedule("constant", 0.0, total_steps)
             frozen = ("encoder",)
             continue
         sched = lr_schedule(scheduler, lr * mult, total_steps)

@@ -123,3 +123,21 @@ class TestBuildOptimizer:
     def test_unknown_optimizer_raises(self):
         with pytest.raises(ValueError):
             build_optimizer(_toy_params(), param_group_label, optimizer="Shampoo2000", total_steps=10)
+
+
+def test_frozen_encoder_group_still_logged_at_zero_lr():
+    """--freeze-encoder keeps the encoder group in the LR log at 0.0
+    (reference logs one LR per param group by name, train.py:735-741)."""
+    import jax.numpy as jnp
+
+    from midi_vae_tpu.models.vae import param_group_label
+    from midi_vae_tpu.train.optim import build_optimizer
+
+    bundle = build_optimizer(
+        None, param_group_label, optimizer="AdamW", lr=0.01,
+        scheduler="OneCycle", total_steps=10, freeze_encoder=True,
+    )
+    assert set(bundle.lr_schedules) == {"encoder", "decoder"}
+    assert float(bundle.lr_schedules["encoder"](jnp.int32(5))) == 0.0
+    assert float(bundle.lr_schedules["decoder"](jnp.int32(5))) > 0.0
+    assert bundle.frozen_groups == ("encoder",)
