@@ -194,6 +194,12 @@ NON_RESTORED_KEYS = frozenset(
         "checkpoint_backend",  # resume auto-detects the on-disk format
         "profile_dir",
         "profile_epochs",
+        # execution knobs of THIS run's host/link, not training state: a
+        # checkpoint from a device-resident scan-chunked run must resume
+        # cleanly on a host whose corpus placement/dispatch mode differs
+        "data_placement",
+        "scan_steps",
+        "prefetch",
     }
 )
 

@@ -578,6 +578,11 @@ def train_one_epoch(
                 "--data-placement host); falling back to per-batch dispatch"
             )
         else:
+            if config.log_images and epoch == 1:
+                print(
+                    "--scan-steps: reconstruction grids are skipped in scan mode "
+                    "(no per-batch host tensors); use the generate CLI for grids"
+                )
             return _train_one_epoch_scan(
                 config=config,
                 state=state,

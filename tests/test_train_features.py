@@ -245,3 +245,16 @@ class TestScanChunkedTraining:
         r = run(self._config(tmp_path, "fb", scan_steps=4, data_placement="host"))
         assert r["total_step"] > 0
         assert "falling back to per-batch dispatch" in capsys.readouterr().out
+
+    def test_scan_composes_with_grad_accum_and_ema(self, tmp_path):
+        """The scanned chunk wraps the SAME raw step, so grad-accum and EMA
+        ride along unchanged (scan-of-scan compiles and trains)."""
+        from midi_vae_tpu.train.loop import run
+
+        r = run(self._config(
+            tmp_path, "sc_ga", scan_steps=4, grad_accum=2, ema_decay=0.9,
+        ))
+        assert r["total_step"] > 0
+        import numpy as np
+
+        assert np.isfinite(r["train"]["loss"])
