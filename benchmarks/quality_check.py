@@ -37,6 +37,11 @@ VARIANTS = {
     # objective): does most of the widened first stage's quality win come
     # at less of its throughput cost? (round-3 flagship-config probe)
     "fold8m": dict(arch="FoldedVAE", fold=8, hidden_dims=(48, 64, 128, 256)),
+    # fold=16 with the widened first stage: the s2d(16) stem emits 256
+    # channels, so the narrow fold16's 32-ch first stage compresses 8x —
+    # the same bottleneck the fold8 widening removed. Measured round 3:
+    # 201.7k samples/sec/chip at a better 300-step loss than fold8m.
+    "fold16w": dict(arch="FoldedVAE", fold=16, hidden_dims=(64, 64, 128, 256)),
 }
 
 
