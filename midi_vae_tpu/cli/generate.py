@@ -48,13 +48,16 @@ def get_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def _load_model_and_state(checkpoint_path: str, use_ema: bool = True):
+def _load_model_and_state(checkpoint_path: str, use_ema: bool = True, payload=None):
     from flax import serialization
 
     from midi_vae_tpu.io.checkpoint import load_checkpoint
     from midi_vae_tpu.models.registry import build_model
 
-    payload = load_checkpoint(checkpoint_path)
+    # callers that already deserialized the checkpoint pass it through
+    # instead of paying a second full read
+    if payload is None:
+        payload = load_checkpoint(checkpoint_path)
     cfg = payload.get("config", {})
     enc = payload.get("encoder_config", {})
     image_size = int(enc.get("input_size") or cfg.get("image_size") or 32)

@@ -20,6 +20,7 @@ equivalent of the DistributedSampler pad + trim at evaluation.py:86-93.
 from __future__ import annotations
 
 import collections
+import weakref
 from typing import Iterator, NamedTuple, Optional
 
 import jax
@@ -398,6 +399,21 @@ class DeviceResidentLoader:
         self._batch_core = make_batch  # raw, for composition into scan programs
         self._make_batch = jax.jit(make_batch)
         self._scan_cache: dict = {}
+        self.corpus_nbytes = int(self._images.nbytes) + int(self._labels.nbytes)
+        _resident_loaders.add(self)
+
+    def release(self) -> None:
+        """Drop the on-device corpus and leave the HBM data budget.
+
+        For callers that are done iterating but want to upload another
+        device-resident corpus within the budget (e.g. the final
+        train-under-eval-conditions pass re-uploads the train split with
+        eval transforms). The loader is unusable afterwards.
+        """
+        self._images = None
+        self._labels = None
+        self.corpus_nbytes = 0
+        _resident_loaders.discard(self)
 
     def __len__(self) -> int:
         return self.num_batches
@@ -499,11 +515,20 @@ class DeviceResidentLoader:
 # Corpora at or under this many bytes ride device-resident under
 # placement="auto"; larger ones stream through the host loaders.
 # 2 GiB default leaves most of a 16 GB-HBM chip for the model; override
-# with MIDI_VAE_DEVICE_DATA_BUDGET_MB.
+# with MIDI_VAE_DEVICE_DATA_BUDGET_MB. The budget is CUMULATIVE across
+# live DeviceResidentLoaders (train + val + test all count against it);
+# released/garbage-collected loaders give their bytes back.
 def _device_data_budget() -> int:
     import os
 
     return int(os.environ.get("MIDI_VAE_DEVICE_DATA_BUDGET_MB", "2048")) * (1 << 20)
+
+
+_resident_loaders: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def _resident_nbytes() -> int:
+    return sum(ldr.corpus_nbytes for ldr in _resident_loaders)
 
 
 def _corpus_nbytes(dataset) -> int:
@@ -558,14 +583,16 @@ def make_loader(
             raise ValueError("--data-placement device is single-process; multi-host runs use the host loaders")
         if not multiproc:
             nbytes = _corpus_nbytes(dataset)
-            if placement == "device" or nbytes <= _device_data_budget():
+            resident = _resident_nbytes()
+            if placement == "device" or nbytes + resident <= _device_data_budget():
                 return DeviceResidentLoader(
                     _materialize(dataset), batch_size, train=train, seed=seed,
                     sharding=sharding, prefetch=prefetch,
                 )
             print(
                 f"data placement auto: corpus {nbytes / 2**20:.0f} MiB exceeds the "
-                f"{_device_data_budget() / 2**20:.0f} MiB device budget; host-fed path"
+                f"{_device_data_budget() / 2**20:.0f} MiB device budget "
+                f"({resident / 2**20:.0f} MiB already resident); host-fed path"
             )
     if getattr(dataset, "is_rrd_stream", False):
         from midi_vae_tpu.native.rrd import native_available

@@ -72,16 +72,18 @@ def pos_weight_from_base_rate(p: float) -> float:
     return float((1.0 - p) / p)
 
 
-def resolve_auto(value, dataset, what: str) -> Optional[float]:
+def resolve_auto(value, dataset, what: str, base_rate: Optional[float] = None) -> Optional[float]:
     """Resolve a config value that may be None, a float, or "auto".
 
     ``what`` selects the auto formula: "bias" → :func:`base_rate_logit`,
-    "pos_weight" → :func:`pos_weight_from_base_rate`.
+    "pos_weight" → :func:`pos_weight_from_base_rate`. Callers resolving
+    several autos pass one shared ``base_rate`` measurement so the corpus
+    sweep runs once.
     """
     if value is None:
         return None
     if value == "auto":
-        p = estimate_base_rate(dataset)
+        p = base_rate if base_rate is not None else estimate_base_rate(dataset)
         out = base_rate_logit(p) if what == "bias" else pos_weight_from_base_rate(p)
         print(f"auto {what}: corpus base rate p={p:.5f} -> {out:.4f}")
         return out

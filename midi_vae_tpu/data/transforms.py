@@ -172,8 +172,15 @@ def apply_transform(spec: TransformSpec, batch: jax.Array, key: Optional[jax.Arr
     return x
 
 
+def denormalize_with(mean, std, x: jax.Array) -> jax.Array:
+    """``x·std + mean`` with per-channel (1,1,1,C) broadcasting — the one
+    place the un-normalization layout lives (image logging and the
+    raw-target BCE in losses/elbo.py both ride it)."""
+    m = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
+    s = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
+    return x * s + m
+
+
 def denormalize(spec: TransformSpec, x: jax.Array) -> jax.Array:
     """Invert the normalization (for image logging / BCE targets in [0,1])."""
-    mean = jnp.asarray(spec.mean, jnp.float32).reshape(1, 1, 1, -1)
-    std = jnp.asarray(spec.std, jnp.float32).reshape(1, 1, 1, -1)
-    return x * std + mean
+    return denormalize_with(spec.mean, spec.std, x)

@@ -128,9 +128,11 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     from midi_vae_tpu.cli.generate import _load_model_and_state
+    from midi_vae_tpu.io.checkpoint import load_checkpoint
 
+    payload = load_checkpoint(args.checkpoint)  # one read serves model + counters
     model, params, batch_stats, cfg, image_size, _, _ = _load_model_and_state(
-        args.checkpoint, use_ema=True
+        args.checkpoint, use_ema=True, payload=payload
     )
     if type(model).__name__ != "VanillaVAE" or not getattr(model, "torch_compat", False):
         raise SystemExit(
@@ -138,9 +140,7 @@ def main(argv=None) -> None:
             f"(got {type(model).__name__}, torch_compat={getattr(model, 'torch_compat', False)}); "
             "train with --torch-compat for a torch-exportable run"
         )
-    from midi_vae_tpu.io.checkpoint import load_checkpoint
-
-    total_step = int(load_checkpoint(args.checkpoint).get("total_step", 0))
+    total_step = int(payload.get("total_step", 0))
     sd = export_reference_state_dict(
         params, batch_stats, input_dim=image_size, hidden_dims=tuple(model.hidden_dims),
         num_batches_tracked=total_step,

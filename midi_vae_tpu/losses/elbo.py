@@ -96,9 +96,9 @@ def denormalized_targets(
     probability-space targets; class-rebalancing (``pos_weight``) and the
     base-rate output bias are exact in this space.
     """
-    mean = jnp.asarray(target_denorm[0], jnp.float32).reshape(1, 1, 1, -1)
-    std = jnp.asarray(target_denorm[1], jnp.float32).reshape(1, 1, 1, -1)
-    return jnp.clip(targets * std + mean, 0.0, 1.0)
+    from midi_vae_tpu.data.transforms import denormalize_with
+
+    return jnp.clip(denormalize_with(target_denorm[0], target_denorm[1], targets), 0.0, 1.0)
 
 
 def elbo_loss(

@@ -44,7 +44,7 @@ from midi_vae_tpu.core.types import LossOutput
 from midi_vae_tpu.losses.elbo import elbo_loss
 from midi_vae_tpu.parallel.collectives import psum_mean
 from midi_vae_tpu.parallel.mesh import DATA_AXIS, SLICE_AXIS
-from midi_vae_tpu.train.state import TrainState
+from midi_vae_tpu.train.state import TrainState, accumulate_grads
 
 
 def make_spmd_train_step(
@@ -117,37 +117,11 @@ def make_spmd_train_step(
         if grad_accum == 1:
             (_, (lo, batch_stats)), grads = grad_fn(state.params, state.batch_stats, x, key)
         else:
-            b = x.shape[0]  # the LOCAL shard slice
-            if b % grad_accum:
-                raise ValueError(
-                    f"per-shard batch size {b} not divisible by grad_accum={grad_accum}"
-                )
-            xs = x.reshape(grad_accum, b // grad_accum, *x.shape[1:])
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            zero_lo = LossOutput(
-                loss=jnp.float32(0),
-                reconstruction_loss=jnp.float32(0),
-                kld_loss=jnp.float32(0),
-                kl=jnp.float32(0),
-                kld_weight=jnp.float32(0),
+            # x here is the LOCAL shard slice (shard_map body)
+            batch_stats, grads, lo = accumulate_grads(
+                grad_fn, state.params, state.batch_stats, x, key, grad_accum,
+                batch_desc="per-shard batch size",
             )
-
-            def micro(carry, inp):
-                bs, gsum, losum = carry
-                xm, idx = inp
-                (_, (mlo, bs2)), g = grad_fn(state.params, bs, xm, jax.random.fold_in(key, idx))
-                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
-                losum = jax.tree_util.tree_map(jnp.add, losum, mlo)
-                return (bs2, gsum, losum), None
-
-            (batch_stats, gsum, lo_sum), _ = jax.lax.scan(
-                micro,
-                (state.batch_stats, zero_grads, zero_lo),
-                (xs, jnp.arange(grad_accum)),
-            )
-            inv = jnp.float32(1.0 / grad_accum)
-            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
-            lo = jax.tree_util.tree_map(lambda v: v * inv, lo_sum)
 
         # The hand-written collectives: gradient all-reduce (the reference's
         # missing DDP sync) and metric reduction. Equal shard sizes make the

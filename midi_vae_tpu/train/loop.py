@@ -151,10 +151,16 @@ def run(config: TrainConfig) -> dict:
     eval_set = "Val" if distinct_val_test else "Test"
 
     # MODEL (train.py:101-115) ================================================
-    from midi_vae_tpu.data.stats import resolve_auto
+    from midi_vae_tpu.data.stats import estimate_base_rate, resolve_auto
 
-    pos_weight = resolve_auto(config.bce_pos_weight, dataset_train, "pos_weight")
-    output_bias = resolve_auto(config.output_bias_init, dataset_train, "bias")
+    # one corpus sweep serves every "auto" resolution below
+    base_rate = (
+        estimate_base_rate(dataset_train)
+        if "auto" in (config.bce_pos_weight, config.output_bias_init)
+        else None
+    )
+    pos_weight = resolve_auto(config.bce_pos_weight, dataset_train, "pos_weight", base_rate=base_rate)
+    output_bias = resolve_auto(config.output_bias_init, dataset_train, "bias", base_rate=base_rate)
     # --bce-targets raw: the loss de-normalizes targets back to [0, 1]
     target_denorm = (
         (tuple(transform_train.mean), tuple(transform_train.std))
@@ -518,6 +524,11 @@ def run(config: TrainConfig) -> dict:
 
     # Train partition under eval conditions (train.py:533-548)
     print("\nEvaluating final model on train set under test conditions (no augmentation)...")
+    # The train loader is done; release its on-device corpus first so the
+    # re-transformed copy below fits the same HBM data budget instead of
+    # doubling the train split's residency.
+    if hasattr(loader_train, "release"):
+        loader_train.release()
     dataset_train_eval = fetch_dataset(
         **dataset_args, transform_train=transform_eval, transform_eval=transform_eval
     )[0]
@@ -705,16 +716,17 @@ def _train_one_epoch_scan(
     """Scan-chunked variant of ``train_one_epoch``: the loader runs
     ``chunk`` train steps per compiled dispatch and hands back a
     [n_steps, 5] metric array per chunk (loss, recon, kld, kld_weight,
-    grad_norm). Logging keeps per-step fidelity — the same print/log
-    intervals fire from the materialized arrays after each chunk lands.
+    grad_norm). Logging keeps per-step fidelity for the loss metrics —
+    the same print/log intervals fire from the materialized arrays after
+    each chunk lands; throughput is necessarily per-chunk (host wall
+    time inside a chunk carries no information).
     """
     num_batches = len(loader)
     world_batch = loader.batch_size
     step0 = int(state.step)  # one sync at epoch start anchors LR logging
     loss_sum = 0.0
     t_epoch_start = time.time()
-    t_last_log = t_epoch_start
-    steps_since_log = 0
+    t_chunk_start = t_epoch_start
     timer = PhaseTimer()
 
     batch_idx = -1
@@ -722,12 +734,18 @@ def _train_one_epoch_scan(
     for state, ys in loader.epoch_scan(state, train_step, epoch, chunk=chunk):
         m = np.asarray(ys)  # host sync point: the chunk's per-step metrics
         timer.mark("logging")
+        # All log points inside one chunk fire microseconds apart on the
+        # host, so per-row wall-time deltas are meaningless — the honest
+        # rate is the whole chunk's samples over the whole chunk's wall
+        # time (device work + the previous chunk's logging overhead).
+        t_now = time.time()
+        throughput = len(m) * world_batch / max(t_now - t_chunk_start, 1e-9)
+        t_chunk_start = t_now
         for row in m:
             batch_idx += 1
             loss_f, recon_f, kld_f, w_f, gn_f = (float(v) for v in row)
             loss_sum += loss_f
             n_samples_seen += world_batch
-            steps_since_log += 1
             step_now = step0 + batch_idx + 1
 
             if epoch <= 1 and batch_idx == 0:
@@ -745,9 +763,6 @@ def _train_one_epoch_scan(
                     f"  KL Weight: {w_f:.5f}"
                 )
             if batch_idx % config.log_interval == 0:
-                t_now = time.time()
-                throughput = steps_since_log * world_batch / max(t_now - t_last_log, 1e-9)
-                t_last_log, steps_since_log = t_now, 0
                 lr_now = {name: float(s(jnp.int32(step_now - 1))) for name, s in lr_schedules.items()}
                 log_dict = {
                     "training/stepwise/epoch": epoch,

@@ -109,6 +109,49 @@ def ema_update(ema_params: dict, params: dict, decay: float) -> dict:
     return jax.tree_util.tree_map(lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema_params, params)
 
 
+def accumulate_grads(grad_fn, params, batch_stats, x, key, n: int, *, batch_desc: str = "batch size"):
+    """Microbatched gradient accumulation, shared by the auto and shard_map steps.
+
+    Splits ``x`` into ``n`` sequential microbatches under ``lax.scan``:
+    BatchNorm ``batch_stats`` chain through the carry, gradients and
+    LossOutput metrics sum across micros then rescale by ``1/n`` (the
+    mean over equal micros == the full-batch mean for per-sample
+    losses). The per-micro RNG key is ``fold_in(key, micro_idx)``.
+
+    ``grad_fn`` is ``value_and_grad`` of a loss with aux
+    ``(LossOutput, batch_stats)``. Returns ``(batch_stats, grads,
+    loss_output)``.
+    """
+    b = x.shape[0]
+    if b % n:
+        raise ValueError(f"{batch_desc} {b} not divisible by grad_accum={n}")
+    xs = x.reshape(n, b // n, *x.shape[1:])
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    zero_lo = LossOutput(
+        loss=jnp.float32(0),
+        reconstruction_loss=jnp.float32(0),
+        kld_loss=jnp.float32(0),
+        kl=jnp.float32(0),
+        kld_weight=jnp.float32(0),
+    )
+
+    def micro(carry, inp):
+        bs, gsum, losum = carry
+        xm, idx = inp
+        (_, (lo, bs2)), g = grad_fn(params, bs, xm, jax.random.fold_in(key, idx))
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+        losum = jax.tree_util.tree_map(jnp.add, losum, lo)
+        return (bs2, gsum, losum), None
+
+    (batch_stats, gsum, lo_sum), _ = jax.lax.scan(
+        micro, (batch_stats, zero_grads, zero_lo), (xs, jnp.arange(n))
+    )
+    inv = jnp.float32(1.0 / n)
+    grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+    loss_output = jax.tree_util.tree_map(lambda v: v * inv, lo_sum)
+    return batch_stats, grads, loss_output
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -214,35 +257,9 @@ def make_train_step(
         if grad_accum == 1:
             (_, (loss_output, batch_stats)), grads = grad_fn(state.params, state.batch_stats, x, key)
         else:
-            b = x.shape[0]
-            if b % grad_accum:
-                raise ValueError(f"batch size {b} not divisible by grad_accum={grad_accum}")
-            xs = x.reshape(grad_accum, b // grad_accum, *x.shape[1:])
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            zero_lo = LossOutput(
-                loss=jnp.float32(0),
-                reconstruction_loss=jnp.float32(0),
-                kld_loss=jnp.float32(0),
-                kl=jnp.float32(0),
-                kld_weight=jnp.float32(0),
+            batch_stats, grads, loss_output = accumulate_grads(
+                grad_fn, state.params, state.batch_stats, x, key, grad_accum
             )
-
-            def micro(carry, inp):
-                bs, gsum, losum = carry
-                xm, idx = inp
-                (_, (lo, bs2)), g = grad_fn(state.params, bs, xm, jax.random.fold_in(key, idx))
-                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
-                losum = jax.tree_util.tree_map(jnp.add, losum, lo)
-                return (bs2, gsum, losum), None
-
-            (batch_stats, gsum, lo_sum), _ = jax.lax.scan(
-                micro,
-                (state.batch_stats, zero_grads, zero_lo),
-                (xs, jnp.arange(grad_accum)),
-            )
-            inv = jnp.float32(1.0 / grad_accum)
-            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
-            loss_output = jax.tree_util.tree_map(lambda v: v * inv, lo_sum)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         grad_norm = optax.global_norm(grads)

@@ -353,6 +353,24 @@ class TestDeviceResidentLoader:
         with pytest.raises(ValueError, match="placement"):
             make_loader(ds, 8, train=True, placement="gpu")
 
+    def test_auto_budget_is_cumulative_and_released(self, monkeypatch):
+        from midi_vae_tpu.data.pipeline import DeviceLoader, DeviceResidentLoader, make_loader
+
+        monkeypatch.setenv("MIDI_VAE_DEVICE_DATA_BUDGET_MB", "1")
+        # ~0.63 MiB per corpus: one fits the 1 MiB budget, two do not
+        ds1, ds2 = self._dataset(n=160, size=64), self._dataset(n=160, size=64)
+        first = make_loader(ds1, 8, train=True, placement="auto")
+        assert isinstance(first, DeviceResidentLoader)
+        # the second corpus alone would fit, but TOTAL residency is what's budgeted
+        assert isinstance(make_loader(ds2, 8, train=False, placement="auto"), DeviceLoader)
+        # releasing the first gives its bytes back (loop.py frees the train
+        # loader before the final train-under-eval re-upload)
+        first.release()
+        assert first.corpus_nbytes == 0
+        assert isinstance(make_loader(ds2, 8, train=False, placement="auto"), DeviceResidentLoader)
+        # forced placement="device" is an explicit override, never budget-gated
+        assert isinstance(make_loader(ds1, 8, train=True, placement="device"), DeviceResidentLoader)
+
     def test_shuffles_differ_across_epochs(self):
         from midi_vae_tpu.data.pipeline import DeviceResidentLoader
 
