@@ -113,11 +113,19 @@ def cli(argv=None) -> None:
             continue
         partitions.append((name, {"test": test, "val": val, "train": train}[name]))
 
-    # one compiled eval step shared across partitions (evaluate() rebuilds
-    # only the collect_latents diagnostic variant itself)
+    # one compiled eval step shared across partitions — built once with the
+    # checkpoint's loss-target semantics (a --bce-targets raw run reports
+    # its objective-space BCE too) and, when asked, the latent collector
     from midi_vae_tpu.evaluation.evaluate import make_eval_step
 
-    shared_step = None if args.latents_out else make_eval_step(model)
+    target_denorm = (
+        (tuple(transform_eval.mean), tuple(transform_eval.std))
+        if cfg.get("bce_targets") == "raw"
+        else None
+    )
+    shared_step = make_eval_step(
+        model, collect_latents=bool(args.latents_out), target_denorm=target_denorm
+    )
 
     results = {}
     collected = {}

@@ -105,7 +105,9 @@ def _fetch_eval_batch(dataset: str, data_dir: Optional[str], image_size: int, n:
     )
     # make_loader (not DeviceLoader) so rrd: stream datasets route natively
     loader = make_loader(test, min(n, len(test)), train=False)
-    return next(iter(loader.epoch(1))).x
+    # the spec rides along so display paths denormalize with the ACTUAL
+    # normalization the batch got, not a default TransformSpec
+    return next(iter(loader.epoch(1))).x, transform_eval
 
 
 def _to_grid(images: np.ndarray, cols: int = 8) -> np.ndarray:
@@ -156,16 +158,15 @@ def cli(argv=None) -> None:
     if args.mode == "sample":
         images = sample_prior(model, params, batch_stats, key, args.num_samples)
     elif args.mode == "reconstruct":
-        x = _fetch_eval_batch(dataset, data_dir, image_size, args.num_samples, cfg)
+        x, spec = _fetch_eval_batch(dataset, data_dir, image_size, args.num_samples, cfg)
         recon = reconstruct(model, params, batch_stats, x, key)
         # interleave input | reconstruction pairs, like the wandb grids
-        from midi_vae_tpu.data.transforms import TransformSpec, denormalize
+        from midi_vae_tpu.data.transforms import denormalize
 
-        spec = TransformSpec(image_size)
         x01 = denormalize(spec, x)
         images = jnp.stack([x01, recon], axis=1).reshape(-1, *recon.shape[1:])
     elif args.mode == "interpolate":
-        x = _fetch_eval_batch(dataset, data_dir, image_size, 2, cfg)
+        x, _ = _fetch_eval_batch(dataset, data_dir, image_size, 2, cfg)
         path = interpolate(
             model, params, batch_stats, x[:1], x[1:2],
             steps=args.steps, mode="slerp" if args.slerp else "lerp",
@@ -174,7 +175,7 @@ def cli(argv=None) -> None:
     else:  # traverse: one row per latent dimension, varied across ±2.5σ
         from midi_vae_tpu.evaluation.inference import traverse
 
-        x = _fetch_eval_batch(dataset, data_dir, image_size, 1, cfg)
+        x, _ = _fetch_eval_batch(dataset, data_dir, image_size, 1, cfg)
         grid_rows = traverse(model, params, batch_stats, x, steps=args.steps)
         images = grid_rows.reshape(-1, *grid_rows.shape[2:])
 

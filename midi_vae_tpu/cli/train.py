@@ -290,7 +290,15 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
     }
     for tok in argv:
         if tok.startswith("--"):
-            dest = opt_to_dest.get(tok.split("=", 1)[0])
+            opt = tok.split("=", 1)[0]
+            dest = opt_to_dest.get(opt)
+            if dest is None and len(opt) > 2:
+                # argparse accepts unique prefix abbreviations (--epoch for
+                # --epochs); mirror its resolution so an abbreviated flag
+                # still counts as explicitly typed and beats the YAML
+                matches = {d for o, d in opt_to_dest.items() if o.startswith(opt)}
+                if len(matches) == 1:
+                    dest = matches.pop()
             if dest:
                 explicitly_set.add(dest)
 

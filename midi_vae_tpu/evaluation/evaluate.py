@@ -37,13 +37,21 @@ import numpy as np
 from midi_vae_tpu.losses.elbo import bce_from_logits
 
 
-def make_eval_step(model, collect_latents: bool = False) -> Callable:
+def make_eval_step(model, collect_latents: bool = False, target_denorm=None) -> Callable:
     """Build the jitted per-batch metric reducer.
 
     ``collect_latents=True`` builds the diagnostic variant that also
     returns the per-batch latents (an O(batch x latent) output alive per
     step); the default variant omits it so the routine per-epoch
     validation keeps nothing but the reduction scalars on device.
+
+    ``target_denorm`` (the ``(mean, std)`` pair of a ``--bce-targets
+    raw`` run) adds a second reconstruction metric, ``bce-objective``:
+    BCE against the de-normalized [0,1] targets — the function the run
+    actually trained. The parity ``cross-entropy`` (normalized targets,
+    reference semantics) is always reported so cross-variant comparisons
+    keep one shared scale; best-model selection uses the objective
+    metric when it exists (train/loop.py).
     """
 
     @jax.jit
@@ -78,6 +86,13 @@ def make_eval_step(model, collect_latents: bool = False) -> Callable:
         res = {
             "bce_sum": jnp.sum(bce),
             "mse_sum": jnp.sum(sq),
+        }
+        if target_denorm is not None:
+            from midi_vae_tpu.losses.elbo import denormalized_targets
+
+            bce_raw = bce_from_logits(out.logits, denormalized_targets(x, target_denorm)) * m
+            res["bce_raw_sum"] = jnp.sum(bce_raw)
+        res |= {
             "mae_sum": jnp.sum(ab),
             "n_elem": n_elem,
             "n_samples": jnp.sum(mask),
@@ -93,6 +108,9 @@ def make_eval_step(model, collect_latents: bool = False) -> Callable:
             res["latents"] = out.latents
         return res
 
+    # markers so evaluate() can tell what a passed-in step provides
+    eval_step.collect_latents = collect_latents
+    eval_step.target_denorm = target_denorm
     return eval_step
 
 
@@ -121,13 +139,21 @@ def evaluate(
     by necessity; the passed ``eval_step`` is ignored in that mode
     unless it was built with ``collect_latents=True``.
     """
-    if collect_latents:
-        step_fn = make_eval_step(model, collect_latents=True)
+    if collect_latents and not (eval_step is not None and getattr(eval_step, "collect_latents", False)):
+        # rebuild only when the caller didn't hand us a latent-collecting
+        # step already (keep its target_denorm setting if it carried one)
+        step_fn = make_eval_step(
+            model, collect_latents=True,
+            target_denorm=getattr(eval_step, "target_denorm", None),
+        )
     else:
         step_fn = eval_step if eval_step is not None else make_eval_step(model)
     base_key = jax.random.PRNGKey(seed)
 
-    _SUM = ("bce_sum", "mse_sum", "mae_sum", "n_elem", "n_samples", "kl_dim_sum", "mu_sum", "mu_sq_sum")
+    _SUM = (
+        "bce_sum", "bce_raw_sum", "mse_sum", "mae_sum", "n_elem", "n_samples",
+        "kl_dim_sum", "mu_sum", "mu_sq_sum",
+    )
     _MIN = ("stim_min", "recon_min")
     _MAX = ("stim_max", "recon_max")
 
@@ -143,7 +169,8 @@ def evaluate(
         else:
             # device-side merge: dispatched async, nothing crosses to host
             for k in _SUM:
-                acc[k] = acc[k] + res[k]
+                if k in res:
+                    acc[k] = acc[k] + res[k]
             for k in _MIN:
                 acc[k] = jnp.minimum(acc[k], res[k])
             for k in _MAX:
@@ -172,6 +199,9 @@ def evaluate(
         "kl": float(np.sum(totals["kl_dim_sum"]) / n),
         "active-units": int(np.sum(mu_var > 0.01)),
     }
+    if "bce_raw_sum" in totals:
+        # the trained objective of a --bce-targets raw run (see make_eval_step)
+        results["bce-objective"] = float(totals["bce_raw_sum"]) / n_elem
     if collect_latents:
         results["latents"] = np.concatenate(latents) if latents else np.zeros((0,))
 
@@ -182,7 +212,7 @@ def evaluate(
                 continue
             if "count" in k or "units" in k:
                 print(f"  {k + ' ':.<21s}{v:7d}")
-            elif "entropy" in k or k == "kl":
+            elif "entropy" in k or k in ("kl", "bce-objective"):
                 print(f"  {k + ' ':.<24s} {v:9.5f} nat")
             else:
                 print(f"  {k + ' ':.<24s} {v:6.2f} %")

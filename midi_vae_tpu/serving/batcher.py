@@ -128,11 +128,20 @@ class MicroBatcher:
         try:
             xs = [x for x, _ in pending]
             batch = np.concatenate(xs)
-            size = _bucket(len(batch))
-            if size > len(batch):  # pad to the bucket so shapes stay static
-                pad = np.zeros((size - len(batch), *batch.shape[1:]), batch.dtype)
-                batch = np.concatenate([batch, pad])
-            out = np.asarray(self.fn(batch))
+            # A single submit may exceed max_batch (coalescing only caps
+            # multi-request ticks) — run it as max_batch-sized chunks so
+            # ``fn`` only ever sees bucket sizes <= max_batch: the compile
+            # cache stays bounded and the cap is a true invariant.
+            outs = []
+            for start in range(0, len(batch), self.max_batch):
+                rows = batch[start : start + self.max_batch]
+                n = len(rows)
+                size = _bucket(n)
+                if size > n:  # pad to the bucket so shapes stay static
+                    pad = np.zeros((size - n, *rows.shape[1:]), rows.dtype)
+                    rows = np.concatenate([rows, pad])
+                outs.append(np.asarray(self.fn(rows))[:n])
+            out = outs[0] if len(outs) == 1 else np.concatenate(outs)
         except Exception as e:  # propagate (incl. shape-mismatch concat errors)
             # to every waiter; the dispatcher thread itself must survive
             for _, fut in pending:

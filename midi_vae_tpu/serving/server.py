@@ -109,11 +109,17 @@ class InferenceService:
 
     def sample(self, n: int, seed: int = 0) -> np.ndarray:
         from midi_vae_tpu.evaluation.inference import sample_prior
+        from midi_vae_tpu.serving.batcher import _bucket
 
         if not (1 <= n <= self.MAX_SAMPLES):
             raise ValueError(f"n must be in [1, {self.MAX_SAMPLES}], got {n}")
-        out = sample_prior(self.model, self.params, self.batch_stats, jax.random.PRNGKey(seed), n)
-        return np.asarray(out)
+        # sample_prior jits with n static — pad n up to a bucket size so
+        # clients cycling through distinct n values hit a bounded compile
+        # cache (same fix as the batcher's padded buckets) instead of one
+        # full decoder compile per distinct n
+        b = _bucket(n)
+        out = sample_prior(self.model, self.params, self.batch_stats, jax.random.PRNGKey(seed), b)
+        return np.asarray(out)[:n]
 
     MAX_INTERPOLATE_STEPS = 64  # bounds the [steps, H, W, C] result of one request
 
@@ -159,15 +165,27 @@ def make_handler(service: InferenceService):
                     "model": type(service.model).__name__,
                     "image_size": service.image_size,
                     "latent_dim": service.latent_dim,
+                    # both batchers' counters: an encode-dominated deployment
+                    # must not look idle on the dashboard
                     "batches_dispatched": service.reconstruct.batches_dispatched,
                     "requests_served": service.reconstruct.requests_served,
+                    "encode_batches_dispatched": service.encode.batches_dispatched,
+                    "encode_requests_served": service.encode.requests_served,
                 })
             else:
                 self._json(404, {"error": "unknown path"})
 
+        # caps mirror MAX_SAMPLES/MAX_INTERPOLATE_STEPS: one request must not
+        # allocate an unbounded device batch or buffer an unbounded body
+        MAX_REQUEST_ITEMS = 1024
+        MAX_BODY_BYTES = 256 * (1 << 20)
+
         def do_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > self.MAX_BODY_BYTES:
+                    self._json(413, {"error": f"body exceeds {self.MAX_BODY_BYTES} bytes"})
+                    return
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/sample":
                     n = int(payload.get("n", 1))
@@ -186,6 +204,10 @@ def make_handler(service: InferenceService):
                     x = np.asarray(payload["images"], np.float32)
                     if x.ndim == 3:
                         x = x[None]
+                    if len(x) > self.MAX_REQUEST_ITEMS:
+                        raise ValueError(
+                            f"at most {self.MAX_REQUEST_ITEMS} images per request, got {len(x)}"
+                        )
                     out = getattr(service, self.path[1:])(x)
                     if self.path == "/reconstruct":
                         self._json(200, {"reconstructions": out.tolist()})
@@ -194,8 +216,13 @@ def make_handler(service: InferenceService):
                         self._json(200, {"mu": out[:, :d].tolist(), "log_var": out[:, d:].tolist()})
                 else:
                     self._json(404, {"error": "unknown path"})
-            except Exception as e:  # noqa: BLE001 - report, don't crash the server
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+                # malformed input is the client's fault
                 self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 - report, don't crash the server
+                # device/compile/batcher failures are OURS: surface as 5xx so
+                # monitors see a dying server, not a bad client
+                self._json(500, {"error": str(e)})
 
     return Handler
 

@@ -201,7 +201,10 @@ def run(config: TrainConfig) -> dict:
         dataset_val, global_batch_size, train=False, sharding=x_sharding,
         prefetch=config.prefetch, placement=config.data_placement,
     )
-    loader_test = make_loader(
+    # when val IS test (no distinct split) one loader serves both roles —
+    # two loaders over the same dataset would upload the same device-resident
+    # corpus to HBM twice and double its residency against the data budget
+    loader_test = loader_val if not distinct_val_test else make_loader(
         dataset_test, global_batch_size, train=False, sharding=x_sharding,
         prefetch=config.prefetch, placement=config.data_placement,
     )
@@ -303,7 +306,8 @@ def run(config: TrainConfig) -> dict:
             grad_accum=config.grad_accum,
             ema_decay=config.ema_decay,
         )
-    eval_step = make_eval_step(model)
+    # raw-target runs also get the objective-space BCE metric in every eval
+    eval_step = make_eval_step(model, target_denorm=target_denorm)
 
     def eval_view(s):
         """Evaluation weights: the EMA shadow params when tracking is on."""
@@ -346,7 +350,7 @@ def run(config: TrainConfig) -> dict:
     # RESUME (train.py:309-329) ==============================================
     total_step = 0
     n_samples_seen = 0
-    best_stats = {"best_epoch": 0, "best_metric": float("inf")}
+    best_stats = {"best_epoch": 0, "best_metric": float("inf"), "best_metric_name": None}
     if checkpoint_payload is not None:
         print(f"Loading state from checkpoint (epoch {checkpoint_payload['epoch']})")
         from flax import serialization
@@ -360,6 +364,8 @@ def run(config: TrainConfig) -> dict:
         n_samples_seen = int(checkpoint_payload["n_samples_seen"])
         best_stats["best_epoch"] = int(checkpoint_payload.get("best_epoch", 0))
         best_stats["best_metric"] = float(checkpoint_payload.get("best_metric", float("inf")))
+        # checkpoints predating the name field tracked the parity metric
+        best_stats["best_metric_name"] = checkpoint_payload.get("best_metric_name") or "cross-entropy"
 
     # TRAIN (train.py:331-501) ===============================================
     results: dict = {}
@@ -441,9 +447,23 @@ def run(config: TrainConfig) -> dict:
         eval_stats["throughput"] = loader_val.num_samples / max(duration_val, 1e-9)
         print_epoch_summary("Evaluating", epoch, config.epochs, eval_stats, duration_val)
 
-        # Track best epoch by validation reconstruction metric
-        if eval_stats["cross-entropy"] < best_stats["best_metric"]:
-            best_stats["best_metric"] = eval_stats["cross-entropy"]
+        # Track best epoch by validation reconstruction metric — the trained
+        # objective when it differs from the parity metric (--bce-targets raw
+        # runs report both; selecting on the normalized-target cross-entropy
+        # there would rank models on a function the run never optimized)
+        select_name = "bce-objective" if "bce-objective" in eval_stats else "cross-entropy"
+        if best_stats["best_metric_name"] not in (None, select_name):
+            # resumed from a checkpoint tracked on a different metric — the
+            # scales are incomparable (parity CE is negative on sparse
+            # corpora, the objective is positive), so restart the race
+            print(
+                f"best-metric tracking switched from {best_stats['best_metric_name']!r} "
+                f"to {select_name!r}; resetting best-epoch tracking"
+            )
+            best_stats["best_metric"] = float("inf")
+        best_stats["best_metric_name"] = select_name
+        if eval_stats[select_name] < best_stats["best_metric"]:
+            best_stats["best_metric"] = eval_stats[select_name]
             best_stats["best_epoch"] = epoch
 
         # Save (train.py:442-464). msgpack writes on the leader only; the
@@ -461,6 +481,7 @@ def run(config: TrainConfig) -> dict:
                 transform_args=transform_args,
                 best_epoch=best_stats["best_epoch"],
                 best_metric=best_stats["best_metric"],
+                best_metric_name=best_stats["best_metric_name"],
                 backend=config.checkpoint_backend,
             )
             # orbax consumes the live (possibly sharded) arrays — each process
@@ -507,10 +528,12 @@ def run(config: TrainConfig) -> dict:
     if start_epoch > config.epochs:
         print("Training already completed!")
     else:
-        print(f"Training complete! (Trained epochs {start_epoch} to {config.epochs})")
+        # last_epoch, not config.epochs: a --stop-after-epochs run must not
+        # claim epochs it never ran
+        print(f"Training complete! (Trained epochs {start_epoch} to {last_epoch})")
 
     # FINAL EVALUATION (train.py:503-551) ====================================
-    print(f"\nEvaluating final model (epoch {config.epochs}) performance")
+    print(f"\nEvaluating final model (epoch {last_epoch}) performance")
     print("\nEvaluating final model on test set...")
     test_stats = evaluate(loader_test, model, eval_view(state), partition_name="Test", seed=seed, eval_step=eval_step)
     logger.log({f"eval/test/{k}": v for k, v in test_stats.items() if k != "latents"}, step=total_step)

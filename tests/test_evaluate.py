@@ -76,6 +76,48 @@ class TestEvaluate:
         r = evaluate(loader, model, S(), verbosity=0, eval_step=step)
         assert r["active-units"] == 2  # exactly the two input-dependent dims
 
+    def test_bce_objective_reported_for_raw_target_runs(self):
+        """target_denorm adds the objective-space BCE next to the parity
+        cross-entropy; under the default (0.5, 1.0) table they differ by
+        construction (targets shift by 0.5) and the objective value equals
+        BCE against the de-normalized [0,1] targets."""
+        from midi_vae_tpu.evaluation.evaluate import make_eval_step
+        from midi_vae_tpu.losses.elbo import bce_from_logits, denormalized_targets
+
+        model, state, loader, _ = _setup(n=32)
+        denorm = ((0.5,), (1.0,))
+        step = make_eval_step(model, target_denorm=denorm)
+        r = evaluate(loader, model, state, verbosity=0, eval_step=step)
+        assert "bce-objective" in r and "cross-entropy" in r
+        assert r["bce-objective"] != r["cross-entropy"]
+
+        # direct recomputation over the same unshuffled stream — same
+        # per-batch key derivation as evaluate() (BCE depends on the
+        # reparam draw, unlike the KL-only check below)
+        total, n_elem = 0.0, 0.0
+        for i, batch in enumerate(loader.epoch(1)):
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch.x, train=False,
+                rngs={"reparam": jax.random.fold_in(jax.random.PRNGKey(0), i)},
+            )
+            m = np.asarray(batch.mask).reshape(-1, 1, 1, 1)
+            bce = np.asarray(bce_from_logits(out.logits, denormalized_targets(batch.x, denorm)))
+            total += float((bce * m).sum())
+            n_elem += m.sum() * np.prod(batch.x.shape[1:])
+        np.testing.assert_allclose(r["bce-objective"], total / n_elem, rtol=1e-5)
+
+    def test_passed_latent_step_is_honored(self):
+        """A caller-built collect_latents step is used as-is (not rebuilt),
+        and keeps its target_denorm metric."""
+        from midi_vae_tpu.evaluation.evaluate import make_eval_step
+
+        model, state, loader, n = _setup(n=32, latent=6)
+        step = make_eval_step(model, collect_latents=True, target_denorm=((0.5,), (1.0,)))
+        r = evaluate(loader, model, state, verbosity=0, collect_latents=True, eval_step=step)
+        assert r["latents"].shape == (n, 6)
+        assert "bce-objective" in r
+
     def test_kl_matches_formula(self):
         """Total KL equals the ELBO KL term computed directly."""
         from midi_vae_tpu.losses import kl_gaussian

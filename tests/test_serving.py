@@ -100,6 +100,23 @@ class TestMicroBatcher:
         assert all(c <= 8 for c in calls), calls
         batcher.close()
 
+    def test_oversized_submit_chunks_to_cap(self):
+        """A single submit larger than max_batch is served in max_batch-sized
+        chunks: fn never sees more than max_batch rows (bounded compile
+        cache) and the caller still gets the full stitched result."""
+        calls = []
+
+        def fn(x):
+            calls.append(len(x))
+            return x * 2
+
+        batcher = MicroBatcher(fn, max_batch=8, max_wait_ms=1.0)
+        x = np.arange(20 * 2, dtype=np.float32).reshape(20, 2)
+        out = batcher.submit(x).result(timeout=5)
+        np.testing.assert_array_equal(out, x * 2)
+        assert all(c <= 8 for c in calls), calls
+        batcher.close()
+
     def test_closed_batcher_rejects(self):
         batcher = MicroBatcher(lambda x: x, max_wait_ms=1.0)
         batcher.close()
@@ -213,6 +230,27 @@ class TestServer:
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(req, timeout=10)
         assert exc_info.value.code == 400
+
+    def test_oversized_reconstruct_request_rejected(self, server):
+        """/reconstruct caps the per-request image count like /sample caps n —
+        one request must not allocate an unbounded device batch."""
+        x = np.zeros((1025, 4, 4, 1), np.float32)  # count is checked before shape
+        req = urllib.request.Request(
+            f"{server}/reconstruct", data=json.dumps({"images": x.tolist()}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 400
+        assert "at most" in json.loads(exc_info.value.read())["error"]
+
+    def test_healthz_reports_encode_counters(self, server):
+        x = np.random.default_rng(7).uniform(0, 1, (1, 32, 32, 1)).astype(np.float32)
+        _post(f"{server}/encode", {"images": x.tolist()})
+        with urllib.request.urlopen(f"{server}/healthz", timeout=10) as resp:
+            health = json.loads(resp.read())
+        assert health["encode_requests_served"] >= 1
+        assert health["encode_batches_dispatched"] >= 1
 
 
 class TestInterpolateEndpoint:

@@ -183,6 +183,20 @@ class TestCLI:
         assert config.protoval_split_rate == 0.25
         assert config.log_var_clamp is None and config.step_impl == "auto"
 
+    def test_abbreviated_flag_beats_yaml(self, tmp_path):
+        """argparse accepts unique prefix abbreviations (--epoch for
+        --epochs); an abbreviated explicit flag must override the YAML even
+        when its value equals the built-in default."""
+        yaml_path = tmp_path / "cfg.yaml"
+        yaml_path.write_text("epochs: 50\n")
+        argv = ["--config", str(yaml_path), "--epoch", "5"]  # 5 == built-in default
+        config = args_to_config(get_parser().parse_args(argv), argv)
+        assert config.epochs == 5
+        # unabbreviated control and the YAML-wins-over-default case
+        argv = ["--config", str(yaml_path)]
+        config = args_to_config(get_parser().parse_args(argv), argv)
+        assert config.epochs == 50
+
     def test_shard_map_step_trains_end_to_end(self, tmp_path):
         """The explicit SPMD step drives a full run() on the virtual mesh."""
         from midi_vae_tpu.train.loop import run
