@@ -64,6 +64,10 @@ FOLD = int(os.environ.get("MIDI_VAE_BENCH_FOLD", "8"))
 HIDDEN = tuple(
     int(h) for h in os.environ.get("MIDI_VAE_BENCH_HIDDEN", "48,64,128,256").split(",")
 )
+# conv-block normalization: batch (reference parity, the flagship default) |
+# group | none. Measured (benchmarks/norm_bench.json): none is +12.6%,
+# group is -1.6% — see RESULTS.md "normalization" for the quality gate
+NORM = os.environ.get("MIDI_VAE_BENCH_NORM", "batch")
 
 
 def setup(
@@ -77,6 +81,7 @@ def setup(
     remat=False,
     grad_accum=1,
     hidden_dims=(32, 64, 128, 256),
+    norm="batch",
 ):
     """Build (model, state, train_step, mesh, shardings) for one config."""
     from midi_vae_tpu.losses.schedules import kl_weight_schedule
@@ -101,6 +106,7 @@ def setup(
         head=head,
         fold=fold,
         remat=remat,
+        norm=norm,
     )
     bundle = build_optimizer(
         None, param_group_label, optimizer="AdamW", lr=1e-3, scheduler="OneCycle", total_steps=10000
@@ -226,7 +232,7 @@ def main():
         stem, head, hidden = "conv", "deconv", HIDDEN
     ctx = setup(
         batch=BATCH, bf16=BF16, fused=FUSED, stem=stem, head=head, arch=ARCH, fold=FOLD,
-        hidden_dims=hidden,
+        hidden_dims=hidden, norm=NORM,
     )
     per_chip, final_loss, measured = measure_train(ctx)
     # median of 3 windows: the first window after compile is routinely much

@@ -42,6 +42,17 @@ VARIANTS = {
     # the same bottleneck the fold8 widening removed. Measured round 3:
     # 201.7k samples/sec/chip at a better 300-step loss than fold8m.
     "fold16w": dict(arch="FoldedVAE", fold=16, hidden_dims=(64, 64, 128, 256)),
+    # the flagship with GroupNorm in place of BatchNorm: the round-3
+    # backward trace attributes ~2.3 ms/step of f32 convert+reduce fusions
+    # largely to train-mode BN's two full activation passes; GN normalizes
+    # within-sample (no running stats, no cross-replica coupling) — this
+    # row is the quality gate for adopting it
+    "fold8m_gn": dict(arch="FoldedVAE", fold=8, hidden_dims=(48, 64, 128, 256), norm="group"),
+    # the flagship with NO normalization: the fastest variant on the norm
+    # sweep (+12.6% over BatchNorm — benchmarks/norm_bench.json); this row
+    # is its quality gate (conv stacks + AdamW often train fine un-normed
+    # at this depth, but it must be measured, not assumed)
+    "fold8m_nn": dict(arch="FoldedVAE", fold=8, hidden_dims=(48, 64, 128, 256), norm="none"),
 }
 
 

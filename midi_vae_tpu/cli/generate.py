@@ -76,6 +76,7 @@ def _load_model_and_state(checkpoint_path: str, use_ema: bool = True, payload=No
         head=cfg.get("head", "deconv"),
         fold=int(cfg.get("fold", 4)),
         torch_compat=bool(cfg.get("torch_compat", False)),
+        norm=cfg.get("norm") or "batch",
     )
     sample = jnp.zeros((2, image_size, image_size, channels), jnp.float32)
     variables = model.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, sample)

@@ -65,6 +65,13 @@ def get_parser() -> argparse.ArgumentParser:
                             "activation tensors that dominate step time; see RESULTS.md).")
     group.add_argument("--fold", type=int, default=4,
                        help="FoldedVAE input fold factor (power of two). Default: %(default)s")
+    group.add_argument("--norm", type=str, default="batch", choices=("batch", "group", "none"),
+                       help="Conv-block normalization: BatchNorm2d semantics (reference parity), "
+                            "GroupNorm (no running stats, no cross-replica coupling — the variant "
+                            "to try if BN's per-block psum shows up in a multi-host profile), or "
+                            "none (measured +12.6%% throughput but UNSAFE: saturates into the "
+                            "silence attractor — RESULTS.md 'Normalization cost'). "
+                            "Default: %(default)s")
     group.add_argument("--remat", action="store_true",
                        help="Rematerialize conv-stack activations in the backward pass "
                             "(jax.checkpoint) — ~N× lower peak activation memory for ~1 extra "
@@ -314,6 +321,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         stem=args.stem,
         head=args.head,
         fold=args.fold,
+        norm=args.norm,
         remat=args.remat,
         torch_compat=args.torch_compat,
         pretrained=args.pretrained,

@@ -76,6 +76,7 @@ def beta_tc_elbo_loss(
     log_var_clamp=None,
     pos_weight: Optional[float] = None,
     target_denorm=None,
+    gather_axes: Optional[Tuple[str, ...]] = None,
 ) -> LossOutput:
     """BCE reconstruction + α·MI + β·TC + γ·DWKL.
 
@@ -83,17 +84,35 @@ def beta_tc_elbo_loss(
     KL annealing composes with the TC decomposition. Reported fields
     keep the ELBO conventions: ``kl`` is the full decomposed KL,
     ``kld_loss`` its negation (models.py:224 reporting parity).
+
+    ``gather_axes`` makes the estimator SPMD-correct inside a shard_map
+    body: the [B, B, D] pairwise density matrix must span the GLOBAL
+    batch, so the per-shard ``z``/``mu``/``log_var`` ([B/n, D] — tiny)
+    are all-gathered over the named mesh axes before the decomposition.
+    The reconstruction term stays local (its psum-mean is the global
+    mean over equal shards), while each shard computes the identical
+    global KL block; ``all_gather``'s transpose (a scatter-sum) routes
+    each shard's KL cotangents back to the shard that produced the
+    latents, so psum-averaged gradients equal the auto path's exactly
+    (equivalence-tested in tests/test_spmd.py). The decomposition is
+    permutation-invariant over the batch index — gather order across
+    axes cannot change the value.
     """
     lv = output.encoded.log_var
     if log_var_clamp is not None:
         lv = jnp.clip(lv, log_var_clamp[0], log_var_clamp[1])
+    z, mu = output.latents, output.encoded.mu
+    if gather_axes is not None:
+        z, mu, lv = (
+            jax.lax.all_gather(t, gather_axes, axis=0, tiled=True) for t in (z, mu, lv)
+        )
     targets = output.input
     if target_denorm is not None:
         from midi_vae_tpu.losses.elbo import denormalized_targets
 
         targets = denormalized_targets(targets, target_denorm)
     recon = bce_from_logits(output.logits, targets, pos_weight).mean()
-    mi, tc, dwkl = tc_decomposition(output.latents, output.encoded.mu, lv, dataset_size)
+    mi, tc, dwkl = tc_decomposition(z, mu, lv, dataset_size)
     w = jnp.asarray(1.0 if kld_weight is None else kld_weight, recon.dtype)
     kl_block = alpha * mi + tc_beta * tc + gamma * dwkl
     loss = recon + w * kl_block

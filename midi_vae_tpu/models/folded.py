@@ -76,6 +76,7 @@ class FoldedEncoder(nn.Module):
     fold: int = 4
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -85,7 +86,8 @@ class FoldedEncoder(nn.Module):
             raise ValueError(f"fold={self.fold} exceeds the 2^{len(self.hidden_dims)} stage downsample")
         for i, h in enumerate(self.hidden_dims):
             x = ConvBlock(
-                h, dtype=self.dtype, bn_axis_name=self.bn_axis_name, stride=2 if i < n_down else 1
+                h, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                stride=2 if i < n_down else 1, norm=self.norm,
             )(x, train)
         return x
 
@@ -95,6 +97,7 @@ class FoldedDecoder(nn.Module):
     fold: int = 4
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -103,9 +106,13 @@ class FoldedDecoder(nn.Module):
         n_flat = len(blocks) - n_up
         for i, h in enumerate(blocks):
             if i < n_flat:
-                x = ConvBlock(h, dtype=self.dtype, bn_axis_name=self.bn_axis_name, stride=1)(x, train)
+                x = ConvBlock(
+                    h, dtype=self.dtype, bn_axis_name=self.bn_axis_name, stride=1, norm=self.norm
+                )(x, train)
             else:
-                x = DeconvBlock(h, dtype=self.dtype, bn_axis_name=self.bn_axis_name)(x, train)
+                x = DeconvBlock(
+                    h, dtype=self.dtype, bn_axis_name=self.bn_axis_name, norm=self.norm
+                )(x, train)
         return x
 
 
@@ -118,10 +125,13 @@ class FoldedHead(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     output_logit_bias: Optional[float] = None
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = ConvBlock(self.features, dtype=self.dtype, bn_axis_name=self.bn_axis_name, stride=1)(x, train)
+        x = ConvBlock(
+            self.features, dtype=self.dtype, bn_axis_name=self.bn_axis_name, stride=1, norm=self.norm
+        )(x, train)
         x = nn.Conv(
             self.fold * self.fold * self.out_channels,
             kernel_size=(3, 3),
@@ -164,7 +174,8 @@ class FoldedVAE(VanillaVAE):
         dec_cls = nn.remat(FoldedDecoder, static_argnums=(2,)) if self.remat else FoldedDecoder
         head_cls = nn.remat(FoldedHead, static_argnums=(2,)) if self.remat else FoldedHead
         self.encoder = enc_cls(
-            self.hidden_dims, fold=self.fold, dtype=self.dtype, bn_axis_name=self.bn_axis_name
+            self.hidden_dims, fold=self.fold, dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name, norm=self.norm,
         )
         self.fc_mu = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
         self.fc_var = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
@@ -172,7 +183,8 @@ class FoldedVAE(VanillaVAE):
             self.flattened_size, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype
         )
         self.decoder = dec_cls(
-            rev, fold=self.fold, dtype=self.dtype, bn_axis_name=self.bn_axis_name
+            rev, fold=self.fold, dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name, norm=self.norm,
         )
         self.final_layer = head_cls(
             rev[-1],
@@ -181,4 +193,5 @@ class FoldedVAE(VanillaVAE):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             output_logit_bias=self.output_logit_bias,
+            norm=self.norm,
         )

@@ -41,6 +41,7 @@ def build_model(
     verbose: bool = False,
     remat: bool = False,
     output_logit_bias=None,
+    norm: str = "batch",
 ):
     """Construct a model by architecture name (case-insensitive).
 
@@ -75,4 +76,10 @@ def build_model(
         kwargs["remat"] = True
     if output_logit_bias is not None:
         kwargs["output_logit_bias"] = float(output_logit_bias)
+    if norm != "batch":
+        if key == "mlpvae":
+            raise ValueError("--norm applies to conv architectures; MLPVAE has no norm layers")
+        if torch_compat:
+            raise ValueError("torch_compat requires norm='batch' (reference BatchNorm2d parity)")
+        kwargs["norm"] = norm
     return ctor(**kwargs)

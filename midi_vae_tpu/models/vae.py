@@ -94,6 +94,46 @@ def _logit_bias_init(value: Optional[float]):
     return nn.initializers.zeros if value is None else nn.initializers.constant(value)
 
 
+def _gn_groups(channels: int, target: int = 32) -> int:
+    """Largest group count ≤ ``target`` that divides ``channels``."""
+    g = min(target, channels)
+    while channels % g:
+        g -= 1
+    return g
+
+
+def _apply_norm(
+    x: jax.Array, *, norm: str, dtype: Any, bn_axis_name: Optional[str], train: bool
+) -> jax.Array:
+    """The conv blocks' normalization sublayer, by name.
+
+    ``"batch"`` is the reference-parity default (BatchNorm2d semantics,
+    models.py:46). ``"group"`` (GroupNorm, no running statistics, no
+    cross-replica dependence) and ``"none"`` exist as measured
+    alternatives. Measured on the flagship step (benchmarks/
+    norm_bench.json): BatchNorm costs 12.6% of wall throughput vs no
+    norm (193.0k → 217.2k samples/sec/chip), while GroupNorm is
+    slightly SLOWER than BatchNorm (189.8k) — its per-sample
+    normalization fuses worse than BN's batch-wide stats on this
+    program. Called from the blocks' ``@nn.compact`` methods, so the
+    created submodule auto-names exactly as the previous inline
+    ``nn.BatchNorm`` did — existing checkpoints load unchanged.
+    """
+    if norm == "batch":
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,  # torch BatchNorm2d momentum=0.1 ⇒ flax momentum = 1 - 0.1
+            epsilon=1e-5,
+            axis_name=bn_axis_name if train else None,
+            dtype=dtype,
+        )(x)
+    if norm == "group":
+        return nn.GroupNorm(num_groups=_gn_groups(x.shape[-1]), epsilon=1e-5, dtype=dtype)(x)
+    if norm == "none":
+        return x
+    raise ValueError(f"unknown norm: {norm!r} (batch|group|none)")
+
+
 class TorchConvTranspose(nn.Module):
     """Bit-exact torch ``ConvTranspose2d(k3, s2, p1, output_padding=1)``.
 
@@ -137,6 +177,7 @@ class ConvBlock(nn.Module):
     bn_axis_name: Optional[str] = None
     torch_compat: bool = False
     stride: int = 2
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -149,13 +190,9 @@ class ConvBlock(nn.Module):
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,  # torch BatchNorm2d momentum=0.1 ⇒ flax momentum = 1 - 0.1
-            epsilon=1e-5,
-            axis_name=self.bn_axis_name if train else None,
-            dtype=self.dtype,
-        )(x)
+        x = _apply_norm(
+            x, norm=self.norm, dtype=self.dtype, bn_axis_name=self.bn_axis_name, train=train
+        )
         return nn.leaky_relu(x, negative_slope=0.01)
 
 
@@ -172,6 +209,7 @@ class DeconvBlock(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     torch_compat: bool = False
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -188,13 +226,9 @@ class DeconvBlock(nn.Module):
                 bias_init=nn.initializers.zeros,
                 dtype=self.dtype,
             )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            axis_name=self.bn_axis_name if train else None,
-            dtype=self.dtype,
-        )(x)
+        x = _apply_norm(
+            x, norm=self.norm, dtype=self.dtype, bn_axis_name=self.bn_axis_name, train=train
+        )
         return nn.leaky_relu(x, negative_slope=0.01)
 
 
@@ -214,6 +248,7 @@ class S2DStem(nn.Module):
     features: int
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -231,13 +266,9 @@ class S2DStem(nn.Module):
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            axis_name=self.bn_axis_name if train else None,
-            dtype=self.dtype,
-        )(x)
+        x = _apply_norm(
+            x, norm=self.norm, dtype=self.dtype, bn_axis_name=self.bn_axis_name, train=train
+        )
         return nn.leaky_relu(x, negative_slope=0.01)
 
 
@@ -249,15 +280,19 @@ class Encoder(nn.Module):
     bn_axis_name: Optional[str] = None
     torch_compat: bool = False
     stem: str = "conv"  # "conv" (reference parity) | "s2d" (space-to-depth)
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         for i, h in enumerate(self.hidden_dims):
             if i == 0 and self.stem == "s2d":
-                x = S2DStem(h, dtype=self.dtype, bn_axis_name=self.bn_axis_name)(x, train)
+                x = S2DStem(
+                    h, dtype=self.dtype, bn_axis_name=self.bn_axis_name, norm=self.norm
+                )(x, train)
             else:
                 x = ConvBlock(
-                    h, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
+                    h, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                    torch_compat=self.torch_compat, norm=self.norm,
                 )(x, train)
         return x
 
@@ -269,12 +304,14 @@ class Decoder(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     torch_compat: bool = False
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         for h in self.hidden_dims[1:]:
             x = DeconvBlock(
-                h, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
+                h, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                torch_compat=self.torch_compat, norm=self.norm,
             )(x, train)
         return x
 
@@ -292,11 +329,13 @@ class FinalLayer(nn.Module):
     bn_axis_name: Optional[str] = None
     torch_compat: bool = False
     output_logit_bias: Optional[float] = None
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         x = DeconvBlock(
-            self.features, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
+            self.features, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+            torch_compat=self.torch_compat, norm=self.norm,
         )(x, train)
         return nn.Conv(
             self.out_channels,
@@ -329,6 +368,7 @@ class D2SHead(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     output_logit_bias: Optional[float] = None
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -341,13 +381,9 @@ class D2SHead(nn.Module):
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            axis_name=self.bn_axis_name if train else None,
-            dtype=self.dtype,
-        )(x)
+        x = _apply_norm(
+            x, norm=self.norm, dtype=self.dtype, bn_axis_name=self.bn_axis_name, train=train
+        )
         x = nn.leaky_relu(x, negative_slope=0.01)
         x = nn.Conv(
             4 * self.out_channels,
@@ -393,6 +429,10 @@ class VanillaVAE(nn.Module):
     # Decoder head: "deconv" (reference parity) or "d2s" (depth-to-space —
     # kills the full-resolution activation tensors, see D2SHead).
     head: str = "deconv"
+    # Conv-block normalization: "batch" (reference parity, BatchNorm2d
+    # semantics), "group" (GroupNorm — no running stats, no cross-replica
+    # coupling), or "none". See _apply_norm for the TPU cost rationale.
+    norm: str = "batch"
     # Verbose forward range tracing (reference models.py:126-173) via
     # jax.debug.print — jit-safe, zero cost when off.
     verbose: bool = False
@@ -427,6 +467,8 @@ class VanillaVAE(nn.Module):
         rev = tuple(reversed(self.hidden_dims))
         if self.torch_compat and (self.stem != "conv" or self.head != "deconv"):
             raise ValueError("torch_compat requires the reference stem and head")
+        if self.torch_compat and self.norm != "batch":
+            raise ValueError("torch_compat requires norm='batch' (reference BatchNorm2d parity)")
         # nn.remat argnums count the module instance as 0, so the `train`
         # bool of __call__(self, x, train) is static argnum 2.
         enc_cls = nn.remat(Encoder, static_argnums=(2,)) if self.remat else Encoder
@@ -439,6 +481,7 @@ class VanillaVAE(nn.Module):
             bn_axis_name=self.bn_axis_name,
             torch_compat=self.torch_compat,
             stem=self.stem,
+            norm=self.norm,
         )
         self.fc_mu = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
         self.fc_var = nn.Dense(self.latent_dim, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype)
@@ -446,7 +489,8 @@ class VanillaVAE(nn.Module):
             self.flattened_size, kernel_init=_xavier, bias_init=nn.initializers.zeros, dtype=self.dtype
         )
         self.decoder = dec_cls(
-            rev, dtype=self.dtype, bn_axis_name=self.bn_axis_name, torch_compat=self.torch_compat
+            rev, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+            torch_compat=self.torch_compat, norm=self.norm,
         )
         if self.head == "d2s":
             self.final_layer = d2s_cls(
@@ -455,6 +499,7 @@ class VanillaVAE(nn.Module):
                 dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name,
                 output_logit_bias=self.output_logit_bias,
+                norm=self.norm,
             )
         else:
             self.final_layer = fin_cls(
@@ -464,6 +509,7 @@ class VanillaVAE(nn.Module):
                 bn_axis_name=self.bn_axis_name,
                 torch_compat=self.torch_compat,
                 output_logit_bias=self.output_logit_bias,
+                norm=self.norm,
             )
 
     def encode(self, x: jax.Array, train: bool = False) -> EncoderOutput:

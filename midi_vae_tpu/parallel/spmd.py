@@ -23,6 +23,14 @@ Semantic differences from the auto path, both deliberate:
 - **Free-bits floors apply per shard** (the floor compares against the
   local-batch per-dim KL mean, like per-shard BN above; the auto path
   floors the global-batch mean).
+
+Every objective the auto path offers runs here too, through the shared
+selector (``train/state.py:make_loss``): the fused Pallas ELBO operates
+on each shard's local batch (its mean psums to the global mean), and
+β-TC-VAE all-gathers the tiny per-shard latent triple so the total-
+correlation estimator spans the GLOBAL batch — gradient-equivalent to
+the auto path via the gather's transpose (losses/tcvae.py
+``gather_axes``; equivalence-tested in tests/test_spmd.py).
 - **Reparameterization noise is decorrelated per shard** by folding
   ``lax.axis_index("data")`` into the step key *inside* the program —
   the SPMD-safe home for per-shard randomness that round 1's host-side
@@ -41,7 +49,6 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from midi_vae_tpu.core.types import LossOutput
-from midi_vae_tpu.losses.elbo import elbo_loss
 from midi_vae_tpu.parallel.collectives import psum_mean
 from midi_vae_tpu.parallel.mesh import DATA_AXIS, SLICE_AXIS
 from midi_vae_tpu.train.state import TrainState, accumulate_grads
@@ -60,6 +67,10 @@ def make_spmd_train_step(
     donate: bool = True,
     grad_accum: int = 1,
     ema_decay: Optional[float] = None,
+    fused_loss: bool = False,
+    loss_type: str = "elbo",
+    tc_beta: float = 6.0,
+    dataset_size: int = 1,
 ) -> Callable:
     """Build the explicit-SPMD train step: (state, x, key) → (state, LossOutput, grad_norm).
 
@@ -87,6 +98,25 @@ def make_spmd_train_step(
             f"explicit SPMD step needs a 1-D ('{DATA_AXIS}',) or 2-D "
             f"('{SLICE_AXIS}', '{DATA_AXIS}') mesh, got axes {mesh.axis_names}"
         )
+    # One loss selector shared with the auto path (train/state.py:make_loss),
+    # so every objective variant — fused Pallas BCE, β-TC-VAE, free-bits,
+    # pos-weight, raw targets — behaves identically on both step
+    # implementations. β-TC gets the mesh axes: its total-correlation
+    # estimator all-gathers the per-shard latents so the pairwise density
+    # matrix spans the GLOBAL batch (see losses/tcvae.py gather_axes).
+    from midi_vae_tpu.train.state import make_loss
+
+    _loss = make_loss(
+        loss_type=loss_type,
+        fused_loss=fused_loss,
+        log_var_clamp=log_var_clamp,
+        free_bits=free_bits,
+        pos_weight=pos_weight,
+        target_denorm=target_denorm,
+        tc_beta=tc_beta,
+        dataset_size=dataset_size,
+        tc_gather_axes=axes if loss_type == "beta-tc" else None,
+    )
 
     def local_step(state: TrainState, x: jax.Array, epoch_key: jax.Array):
         key = jax.random.fold_in(epoch_key, state.step)
@@ -103,14 +133,7 @@ def make_spmd_train_step(
                 rngs={"reparam": k},
                 mutable=["batch_stats"],
             )
-            lo = elbo_loss(
-                out,
-                kld_weight=kl_schedule(state.step),
-                log_var_clamp=log_var_clamp,
-                free_bits=free_bits,
-                pos_weight=pos_weight,
-                target_denorm=target_denorm,
-            )
+            lo = _loss(out, kl_schedule(state.step))
             return lo.loss, (lo, mutated["batch_stats"])
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

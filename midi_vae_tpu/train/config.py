@@ -32,6 +32,7 @@ class TrainConfig:
     stem: str = "conv"  # conv (reference parity) | s2d (space-to-depth MXU stem)
     head: str = "deconv"  # deconv (reference parity) | d2s (depth-to-space head)
     fold: int = 4  # FoldedVAE input fold factor (power of two)
+    norm: str = "batch"  # batch (reference parity) | group | none (models/vae.py _apply_norm)
     remat: bool = False  # recompute conv-stack activations in backward (larger batches)
     # Reference's exact padding arithmetic + flatten order: forward is
     # bit-compatible with the torch reference, enabling weight import

@@ -183,6 +183,7 @@ def run(config: TrainConfig) -> dict:
         remat=config.remat,
         torch_compat=config.torch_compat,
         output_logit_bias=output_bias,
+        norm=config.norm,
     )
 
     seed = config.seed if config.seed is not None else int(time.time()) % 100000
@@ -274,8 +275,6 @@ def run(config: TrainConfig) -> dict:
     state = replicate(state, mesh)
 
     if config.step_impl == "shard_map":
-        if config.fused or config.loss_type != "elbo":
-            raise ValueError("--step-impl shard_map supports the plain ELBO path only")
         from midi_vae_tpu.parallel.spmd import make_spmd_train_step
 
         train_step = make_spmd_train_step(
@@ -289,6 +288,10 @@ def run(config: TrainConfig) -> dict:
             target_denorm=target_denorm,
             grad_accum=config.grad_accum,
             ema_decay=config.ema_decay,
+            fused_loss=config.fused,
+            loss_type=config.loss_type,
+            tc_beta=config.tc_beta,
+            dataset_size=len(dataset_train),
         )
     else:
         train_step = make_train_step(

@@ -152,6 +152,81 @@ def accumulate_grads(grad_fn, params, batch_stats, x, key, n: int, *, batch_desc
     return batch_stats, grads, loss_output
 
 
+def make_loss(
+    *,
+    loss_type: str = "elbo",
+    fused_loss: bool = False,
+    log_var_clamp: Optional[Tuple[float, float]] = None,
+    free_bits: Optional[float] = None,
+    pos_weight: Optional[float] = None,
+    target_denorm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None,
+    tc_beta: float = 6.0,
+    dataset_size: int = 1,
+    tc_gather_axes: Optional[Tuple[str, ...]] = None,
+) -> Callable:
+    """Build the training objective: ``(ModelOutput, kld_weight) → LossOutput``.
+
+    One selector shared by the auto-partitioned step (below) and the
+    explicit shard_map step (``parallel/spmd.py``), so the two paths
+    cannot drift. Validates option compatibility once, here.
+
+    ``tc_gather_axes`` is the shard_map hook for β-TC-VAE: the total-
+    correlation estimator needs the pairwise density matrix over the
+    GLOBAL batch (losses/tcvae.py), so inside a shard_map body the
+    per-shard latents must be all-gathered over the mesh axes first.
+    The auto path leaves it None (jit already sees the global batch).
+    """
+    if loss_type not in ("elbo", "beta-tc"):
+        raise ValueError(f"unknown loss_type: {loss_type}")
+    if loss_type == "beta-tc" and fused_loss:
+        raise ValueError("fused Pallas loss implements the plain ELBO only; drop --fused for beta-tc")
+    if free_bits is not None and (fused_loss or loss_type != "elbo"):
+        raise ValueError("--free-bits is implemented on the plain (non-fused) ELBO path")
+    if pos_weight is not None and fused_loss:
+        raise ValueError("the fused Pallas BCE implements the unweighted reference formula; drop --fused for --bce-pos-weight")
+    if target_denorm is not None and fused_loss:
+        raise ValueError("the fused Pallas BCE consumes normalized targets; drop --fused for --bce-targets raw")
+
+    def _loss(out, w) -> LossOutput:
+        if loss_type == "beta-tc":
+            from midi_vae_tpu.losses.tcvae import beta_tc_elbo_loss
+
+            return beta_tc_elbo_loss(
+                out,
+                tc_beta=tc_beta,
+                dataset_size=dataset_size,
+                kld_weight=w,
+                log_var_clamp=log_var_clamp,
+                pos_weight=pos_weight,
+                target_denorm=target_denorm,
+                gather_axes=tc_gather_axes,
+            )
+        if not fused_loss:
+            return elbo_loss(
+                out,
+                kld_weight=w,
+                log_var_clamp=log_var_clamp,
+                free_bits=free_bits,
+                pos_weight=pos_weight,
+                target_denorm=target_denorm,
+            )
+        from midi_vae_tpu.ops.fused_elbo import fused_elbo_terms
+
+        lv = out.encoded.log_var
+        if log_var_clamp is not None:
+            lv = jnp.clip(lv, log_var_clamp[0], log_var_clamp[1])
+        loss, recon, kl = fused_elbo_terms(out.logits, out.input, out.encoded.mu, lv, w)
+        return LossOutput(
+            loss=loss,
+            reconstruction_loss=jax.lax.stop_gradient(recon),
+            kld_loss=jax.lax.stop_gradient(-kl),
+            kl=jax.lax.stop_gradient(kl),
+            kld_weight=jnp.asarray(w, loss.dtype),
+        )
+
+    return _loss
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -190,18 +265,18 @@ def make_train_step(
     ``ema_decay`` maintains an exponential moving average of the
     parameters in ``state.ema_params`` (evaluation/serving weights).
     """
-    if loss_type not in ("elbo", "beta-tc"):
-        raise ValueError(f"unknown loss_type: {loss_type}")
-    if loss_type == "beta-tc" and fused_loss:
-        raise ValueError("fused Pallas loss implements the plain ELBO only; drop --fused for beta-tc")
-    if free_bits is not None and (fused_loss or loss_type != "elbo"):
-        raise ValueError("--free-bits is implemented on the plain (non-fused) ELBO path")
-    if pos_weight is not None and fused_loss:
-        raise ValueError("the fused Pallas BCE implements the unweighted reference formula; drop --fused for --bce-pos-weight")
-    if target_denorm is not None and fused_loss:
-        raise ValueError("the fused Pallas BCE consumes normalized targets; drop --fused for --bce-targets raw")
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    _loss = make_loss(
+        loss_type=loss_type,
+        fused_loss=fused_loss,
+        log_var_clamp=log_var_clamp,
+        free_bits=free_bits,
+        pos_weight=pos_weight,
+        target_denorm=target_denorm,
+        tc_beta=tc_beta,
+        dataset_size=dataset_size,
+    )
 
     def step_fn(state: TrainState, x: jax.Array, epoch_key: jax.Array):
         key = jax.random.fold_in(epoch_key, state.step)
@@ -216,42 +291,6 @@ def make_train_step(
             )
             lo = _loss(out, kl_schedule(state.step))
             return lo.loss, (lo, mutated["batch_stats"])
-
-        def _loss(out, w) -> LossOutput:
-            if loss_type == "beta-tc":
-                from midi_vae_tpu.losses.tcvae import beta_tc_elbo_loss
-
-                return beta_tc_elbo_loss(
-                    out,
-                    tc_beta=tc_beta,
-                    dataset_size=dataset_size,
-                    kld_weight=w,
-                    log_var_clamp=log_var_clamp,
-                    pos_weight=pos_weight,
-                    target_denorm=target_denorm,
-                )
-            if not fused_loss:
-                return elbo_loss(
-                    out,
-                    kld_weight=w,
-                    log_var_clamp=log_var_clamp,
-                    free_bits=free_bits,
-                    pos_weight=pos_weight,
-                    target_denorm=target_denorm,
-                )
-            from midi_vae_tpu.ops.fused_elbo import fused_elbo_terms
-
-            lv = out.encoded.log_var
-            if log_var_clamp is not None:
-                lv = jnp.clip(lv, log_var_clamp[0], log_var_clamp[1])
-            loss, recon, kl = fused_elbo_terms(out.logits, out.input, out.encoded.mu, lv, w)
-            return LossOutput(
-                loss=loss,
-                reconstruction_loss=jax.lax.stop_gradient(recon),
-                kld_loss=jax.lax.stop_gradient(-kl),
-                kl=jax.lax.stop_gradient(kl),
-                kld_weight=jnp.asarray(w, loss.dtype),
-            )
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         if grad_accum == 1:

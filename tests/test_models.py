@@ -295,3 +295,59 @@ def test_output_bias_init_sets_initial_output_rate(arch_kwargs):
     v0 = model0.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, x)
     out0 = model0.apply(v0, x, train=False, rngs={"reparam": jax.random.PRNGKey(2)})
     assert abs(float(out0.output.mean()) - 0.5) < 0.2
+
+
+@pytest.mark.parametrize("arch", ["VanillaVAE", "FoldedVAE"])
+@pytest.mark.parametrize("norm", ["group", "none"])
+def test_norm_variants_train_and_eval(arch, norm):
+    """--norm group|none: trains a step, has no batch_stats collection, and
+    the checkpoint-era BatchNorm default is preserved (norm='batch')."""
+    import optax
+
+    from midi_vae_tpu.train.state import create_train_state, make_train_step
+
+    model = build_model(
+        arch, in_channels=1, latent_dim=8, input_dim=32, hidden_dims=(16, 32), norm=norm
+    )
+    x = jnp.zeros((4, 32, 32, 1), jnp.float32)
+    tx = optax.adamw(1e-3)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), x)
+    assert not state.batch_stats, f"{norm} must create no batch_stats collection"
+    step = make_train_step(model, tx, kl_schedule=lambda s: 2.5e-4)
+    state2, lo, _ = step(state, x, jax.random.PRNGKey(1))
+    assert np.isfinite(float(lo.loss))
+    # eval-mode forward works without running stats
+    out = model.apply(
+        {"params": state2.params}, x, train=False, rngs={"reparam": jax.random.PRNGKey(2)}
+    )
+    assert out.output.shape == (4, 32, 32, 1)
+
+
+def test_norm_batch_default_keeps_checkpoint_layout():
+    """norm='batch' must produce the identical variable tree as before the
+    option existed, so every existing checkpoint still loads."""
+    model, variables = make_model()
+    assert "batch_stats" in variables
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    names = {jax.tree_util.keystr(p) for p, _ in flat}
+    # the BatchNorm sublayers keep their auto-assigned names
+    assert any("BatchNorm_0" in n for n in names)
+
+
+def test_norm_rejections():
+    with pytest.raises(ValueError, match="MLPVAE"):
+        build_model("MLPVAE", in_channels=1, latent_dim=8, input_dim=32, norm="group")
+    with pytest.raises(ValueError, match="torch_compat"):
+        build_model(
+            "VanillaVAE", in_channels=1, latent_dim=8, input_dim=32,
+            torch_compat=True, norm="group",
+        )
+
+
+def test_gn_groups_divides_channels():
+    from midi_vae_tpu.models.vae import _gn_groups
+
+    for c in (1, 3, 16, 48, 64, 100, 256):
+        g = _gn_groups(c)
+        assert c % g == 0 and 1 <= g <= min(32, c)
+    assert _gn_groups(48) == 24  # largest divisor <= 32

@@ -183,6 +183,41 @@ class TestCLI:
         assert config.protoval_split_rate == 0.25
         assert config.log_var_clamp is None and config.step_impl == "auto"
 
+    def test_every_enum_and_switch_flag_reaches_config(self):
+        """Every parser option with declared choices or store_true whose
+        dest names a TrainConfig field must pass through args_to_config —
+        catches the 'flag parsed but never wired into the config' class
+        of bug (the --norm wiring regression)."""
+        import argparse
+        import dataclasses
+
+        fields = {f.name for f in dataclasses.fields(TrainConfig)}
+        parser = get_parser()
+        defaults = parser.parse_args([])
+        covered = 0
+        for action in parser._actions:
+            d = action.dest
+            if d not in fields or not action.option_strings:
+                continue
+            default = getattr(defaults, d)
+            if action.choices:
+                alts = [c for c in action.choices if c != default]
+                if not alts:
+                    continue
+                argv = [action.option_strings[0], str(alts[0])]
+                expected = alts[0]
+            elif isinstance(action, argparse._StoreTrueAction) and not default:
+                argv = [action.option_strings[0]]
+                expected = True
+            else:
+                continue
+            config = args_to_config(parser.parse_args(argv), argv)
+            assert getattr(config, d) == expected, (
+                f"{action.option_strings[0]} parsed but not wired into TrainConfig.{d}"
+            )
+            covered += 1
+        assert covered >= 10  # the scan actually exercised the flag surface
+
     def test_abbreviated_flag_beats_yaml(self, tmp_path):
         """argparse accepts unique prefix abbreviations (--epoch for
         --epochs); an abbreviated explicit flag must override the YAML even
