@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -133,6 +134,42 @@ def test_generate_restores_arch_variants(tmp_path):
     assert model.stem == "s2d" and model.head == "d2s"
     assert "S2DStem_0" in params["encoder"]
     out = str(tmp_path / "s.png")
+    cli(["--checkpoint", config.checkpoint_path, "--mode", "sample", "-n", "2", "--out", out])
+    assert os.path.isfile(out)
+
+
+def test_generate_restores_norm_variant(tmp_path):
+    """A checkpoint trained with --norm group (no batch_stats collection)
+    must rebuild the same GroupNorm tree at generation time."""
+    from midi_vae_tpu.cli.generate import _load_model_and_state, cli
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        n_features=8,
+        hidden_dims=(8, 16),
+        norm="group",
+        epochs=1,
+        batch_size_per_device=16,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "models"),
+        log_images=False,
+        run_name="normtest",
+        run_id="norm123",
+    )
+    run(config)
+    model, params, batch_stats, cfg, _, _, _ = _load_model_and_state(config.checkpoint_path)
+    assert cfg["norm"] == "group"
+    assert not batch_stats, "GroupNorm checkpoint must carry no batch_stats"
+    flat_keys = {
+        jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(params["encoder"])
+    }
+    assert any("GroupNorm" in k for k in flat_keys)
+    out = str(tmp_path / "g.png")
     cli(["--checkpoint", config.checkpoint_path, "--mode", "sample", "-n", "2", "--out", out])
     assert os.path.isfile(out)
 
