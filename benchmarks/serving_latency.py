@@ -76,27 +76,37 @@ def warm_buckets(fn, max_batch):
         fn(np.zeros((b, IMAGE_SIZE, IMAGE_SIZE, 1), np.float32))
 
 
-def run_level_http(url: str, concurrency: int, requests_per_thread: int, req_rows: int = 1):
+def run_level_http(url: str, concurrency: int, requests_per_thread: int, req_rows: int = 1,
+                   wire: str = "json"):
     """Same shape as run_level, but each request is a real HTTP POST to the
-    live /reconstruct endpoint (JSON body, JSON response)."""
+    live /reconstruct endpoint. ``wire="json"`` measures the nested-list
+    JSON body/response; ``wire="npy"`` the binary production path
+    (Content-Type: application/x-npy both ways)."""
     import json as _json
     import urllib.request
+
+    from midi_vae_tpu.serving.server import NPY_CONTENT_TYPE, npy_dumps, npy_loads
 
     latencies = []
     lock = threading.Lock()
     x = np.random.default_rng(0).random((req_rows, IMAGE_SIZE, IMAGE_SIZE, 1), np.float32)
-    body = _json.dumps({"images": x.tolist()}).encode()
+    if wire == "npy":
+        body, headers = npy_dumps(x), {"Content-Type": NPY_CONTENT_TYPE}
+    else:
+        body, headers = _json.dumps({"images": x.tolist()}).encode(), {"Content-Type": "application/json"}
 
     def worker():
         local = []
         for _ in range(requests_per_thread):
             t0 = time.perf_counter()
-            req = urllib.request.Request(
-                url + "/reconstruct", data=body, headers={"Content-Type": "application/json"}
-            )
+            req = urllib.request.Request(url + "/reconstruct", data=body, headers=headers)
             with urllib.request.urlopen(req, timeout=120) as resp:
-                out = _json.loads(resp.read())
-            assert len(out["reconstructions"]) == req_rows
+                if wire == "npy":
+                    out = npy_loads(resp.read())
+                    assert out.shape[0] == req_rows
+                else:
+                    out = _json.loads(resp.read())
+                    assert len(out["reconstructions"]) == req_rows
             local.append(time.perf_counter() - t0)
         with lock:
             latencies.extend(local)
@@ -171,6 +181,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--http", action="store_true",
                     help="also measure through a live HTTP endpoint (full wire path)")
+    ap.add_argument("--wire", nargs="+", default=["json"], choices=["json", "npy"],
+                    help="wire format(s) for --http: JSON nested lists and/or the "
+                         "binary npy production path")
     args = ap.parse_args()
 
     if args.cpu:
@@ -203,10 +216,11 @@ def main():
         t.start()
         url = f"http://127.0.0.1:{httpd.server_address[1]}"
         print(f"live endpoint: {url}", flush=True)
-        for level in args.levels:
-            r = run_level_http(url, level, args.requests, req_rows=args.rows)
-            http_results.append(r)
-            print(json.dumps({"http": True, **r}), flush=True)
+        for wire in args.wire:
+            for level in args.levels:
+                r = run_level_http(url, level, args.requests, req_rows=args.rows, wire=wire)
+                http_results.append({"wire": wire, **r})
+                print(json.dumps({"http": True, "wire": wire, **r}), flush=True)
         httpd.shutdown()
     service.close()
 

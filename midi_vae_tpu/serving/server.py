@@ -16,6 +16,17 @@ Run: ``python -m midi_vae_tpu.serving.server --checkpoint CKPT --port 8000``
 Reconstruct/encode go through the micro-batcher (concurrent requests
 coalesce into one device program); sampling runs direct (already
 batched by ``n``).
+
+**Binary wire format** (production path): JSON tensor bodies dominate
+the wire latency at 128px (measured — RESULTS.md "Serving latency"), so
+``/reconstruct`` and ``/encode`` also accept a raw ``.npy`` body
+(``Content-Type: application/x-npy`` or ``application/octet-stream``,
+float32 [N,H,W,C] or [H,W,C]) and every endpoint returns ``.npy``
+(``Content-Type: application/x-npy``) when the request is binary or
+sends ``Accept: application/x-npy``. The npy ``/encode`` response is one
+[N, 2·latent_dim] array — ``mu ‖ log_var`` halves. npy parsing uses
+``allow_pickle=False`` (no object arrays from untrusted bytes). Errors
+are always JSON.
 """
 
 from __future__ import annotations
@@ -31,6 +42,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from midi_vae_tpu.serving.batcher import MicroBatcher
+
+NPY_CONTENT_TYPE = "application/x-npy"
+_BINARY_CONTENT_TYPES = (NPY_CONTENT_TYPE, "application/octet-stream")
+
+
+def npy_dumps(arr: np.ndarray) -> bytes:
+    """Serialize an array to ``.npy`` bytes (the binary wire format)."""
+    import io
+
+    buf = io.BytesIO()
+    np.lib.format.write_array(buf, np.ascontiguousarray(arr), allow_pickle=False)
+    return buf.getvalue()
+
+
+def npy_loads(body: bytes) -> np.ndarray:
+    """Parse ``.npy`` bytes. ``allow_pickle=False``: untrusted request
+    bodies must never deserialize arbitrary objects."""
+    import io
+
+    return np.lib.format.read_array(io.BytesIO(body), allow_pickle=False)
 
 
 class InferenceService:
@@ -158,6 +189,14 @@ def make_handler(service: InferenceService):
             self.end_headers()
             self.wfile.write(body)
 
+        def _npy(self, code: int, arr: np.ndarray):
+            body = npy_dumps(np.asarray(arr, np.float32))
+            self.send_response(code)
+            self.send_header("Content-Type", NPY_CONTENT_TYPE)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {
@@ -186,22 +225,45 @@ def make_handler(service: InferenceService):
                 if length > self.MAX_BODY_BYTES:
                     self._json(413, {"error": f"body exceeds {self.MAX_BODY_BYTES} bytes"})
                     return
-                payload = json.loads(self.rfile.read(length) or b"{}")
+                raw = self.rfile.read(length)
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
+                binary_req = ctype in _BINARY_CONTENT_TYPES
+                # binary in → binary out; JSON clients opt in via Accept
+                wants_npy = binary_req or NPY_CONTENT_TYPE in (self.headers.get("Accept") or "")
+                payload = {} if binary_req else json.loads(raw or b"{}")
                 if self.path == "/sample":
+                    if binary_req:
+                        raise ValueError("/sample takes JSON parameters ({'n', 'seed'}), not a tensor body")
                     n = int(payload.get("n", 1))
                     out = service.sample(n, int(payload.get("seed", 0)))
-                    self._json(200, {"samples": out.tolist()})
+                    if wants_npy:
+                        self._npy(200, out)
+                    else:
+                        self._json(200, {"samples": out.tolist()})
                 elif self.path == "/interpolate":
-                    a = np.asarray(payload["a"], np.float32)
-                    b = np.asarray(payload["b"], np.float32)
-                    out = service.interpolate(
-                        a, b,
-                        steps=int(payload.get("steps", 8)),
-                        mode="slerp" if payload.get("slerp") else "lerp",
-                    )
-                    self._json(200, {"path": out.tolist()})
+                    if binary_req:
+                        # one npy [2, H, W, C] array carries both endpoints;
+                        # steps/slerp ride the query-free defaults (JSON for those)
+                        ends = np.asarray(npy_loads(raw), np.float32)
+                        if ends.ndim != 4 or len(ends) != 2:
+                            raise ValueError(f"binary /interpolate expects one [2,H,W,C] array, got {ends.shape}")
+                        a, b = ends[0], ends[1]
+                        steps, mode = 8, "lerp"
+                    else:
+                        a = np.asarray(payload["a"], np.float32)
+                        b = np.asarray(payload["b"], np.float32)
+                        steps = int(payload.get("steps", 8))
+                        mode = "slerp" if payload.get("slerp") else "lerp"
+                    out = service.interpolate(a, b, steps=steps, mode=mode)
+                    if wants_npy:
+                        self._npy(200, out)
+                    else:
+                        self._json(200, {"path": out.tolist()})
                 elif self.path in ("/reconstruct", "/encode"):
-                    x = np.asarray(payload["images"], np.float32)
+                    if binary_req:
+                        x = np.asarray(npy_loads(raw), np.float32)
+                    else:
+                        x = np.asarray(payload["images"], np.float32)
                     if x.ndim == 3:
                         x = x[None]
                     if len(x) > self.MAX_REQUEST_ITEMS:
@@ -210,13 +272,20 @@ def make_handler(service: InferenceService):
                         )
                     out = getattr(service, self.path[1:])(x)
                     if self.path == "/reconstruct":
-                        self._json(200, {"reconstructions": out.tolist()})
+                        if wants_npy:
+                            self._npy(200, out)
+                        else:
+                            self._json(200, {"reconstructions": out.tolist()})
+                    elif wants_npy:
+                        # [N, 2*latent_dim]: mu ‖ log_var halves (see module docstring)
+                        self._npy(200, out)
                     else:
                         d = service.latent_dim
                         self._json(200, {"mu": out[:, :d].tolist(), "log_var": out[:, d:].tolist()})
                 else:
                     self._json(404, {"error": "unknown path"})
-            except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+            # EOFError: truncated npy bodies (read_array hits end-of-buffer)
+            except (ValueError, KeyError, TypeError, EOFError, json.JSONDecodeError) as e:
                 # malformed input is the client's fault
                 self._json(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 - report, don't crash the server

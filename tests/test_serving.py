@@ -295,3 +295,109 @@ class TestInterpolateEndpoint:
         out = _post(f"{server}/interpolate",
                     {"a": a.tolist(), "b": b.tolist(), "steps": 4, "slerp": True})
         assert np.asarray(out["path"]).shape == (4, 32, 32, 1)
+
+
+def _post_npy(url, arr, timeout=30):
+    from midi_vae_tpu.serving.server import NPY_CONTENT_TYPE, npy_dumps, npy_loads
+
+    req = urllib.request.Request(url, data=npy_dumps(arr), headers={"Content-Type": NPY_CONTENT_TYPE})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        assert resp.headers.get("Content-Type") == NPY_CONTENT_TYPE
+        return npy_loads(resp.read())
+
+
+class TestBinaryWireFormat:
+    """The npy production wire path: binary in → binary out, value-equal
+    to the JSON path (one handler, one batcher, two serializations)."""
+
+    def test_reconstruct_npy_matches_json(self, server):
+        x = np.random.default_rng(11).uniform(0, 1, (2, 32, 32, 1)).astype(np.float32)
+        rec_npy = _post_npy(f"{server}/reconstruct", x)
+        rec_json = np.asarray(
+            _post(f"{server}/reconstruct", {"images": x.tolist()})["reconstructions"],
+            np.float32,
+        )
+        assert rec_npy.dtype == np.float32 and rec_npy.shape == x.shape
+        # JSON round-trips through repr(float) — allow that quantization only
+        np.testing.assert_allclose(rec_npy, rec_json, rtol=0, atol=1e-6)
+
+    def test_encode_npy_is_mu_logvar_halves(self, server):
+        x = np.random.default_rng(12).uniform(0, 1, (3, 32, 32, 1)).astype(np.float32)
+        out = _post_npy(f"{server}/encode", x)
+        assert out.shape == (3, 16)  # [N, 2*latent_dim]
+        enc = _post(f"{server}/encode", {"images": x.tolist()})
+        np.testing.assert_allclose(out[:, :8], np.asarray(enc["mu"], np.float32), atol=1e-6)
+        np.testing.assert_allclose(out[:, 8:], np.asarray(enc["log_var"], np.float32), atol=1e-6)
+
+    def test_json_client_opts_into_npy_response_via_accept(self, server):
+        from midi_vae_tpu.serving.server import NPY_CONTENT_TYPE, npy_loads
+
+        req = urllib.request.Request(
+            f"{server}/sample",
+            data=json.dumps({"n": 2, "seed": 5}).encode(),
+            headers={"Content-Type": "application/json", "Accept": NPY_CONTENT_TYPE},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.headers.get("Content-Type") == NPY_CONTENT_TYPE
+            out = npy_loads(resp.read())
+        assert out.shape == (2, 32, 32, 1)
+
+    def test_interpolate_npy_endpoints(self, server):
+        rng = np.random.default_rng(13)
+        ends = rng.uniform(0, 1, (2, 32, 32, 1)).astype(np.float32)
+        out = _post_npy(f"{server}/interpolate", ends)
+        assert out.shape == (8, 32, 32, 1)  # default steps
+
+    def test_single_image_rank3_npy_accepted(self, server):
+        x = np.random.default_rng(14).uniform(0, 1, (32, 32, 1)).astype(np.float32)
+        out = _post_npy(f"{server}/reconstruct", x)
+        assert out.shape == (1, 32, 32, 1)
+
+    def test_truncated_npy_body_is_400(self, server):
+        from midi_vae_tpu.serving.server import NPY_CONTENT_TYPE, npy_dumps
+
+        x = np.zeros((1, 32, 32, 1), np.float32)
+        body = npy_dumps(x)[:-64]  # cut the tail: valid header, short data
+        req = urllib.request.Request(
+            f"{server}/reconstruct", data=body, headers={"Content-Type": NPY_CONTENT_TYPE}
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc_info.value.code == 400
+
+    def test_garbage_npy_body_is_400(self, server):
+        from midi_vae_tpu.serving.server import NPY_CONTENT_TYPE
+
+        req = urllib.request.Request(
+            f"{server}/reconstruct", data=b"not an npy file at all",
+            headers={"Content-Type": NPY_CONTENT_TYPE},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc_info.value.code == 400
+
+    def test_binary_sample_body_rejected(self, server):
+        """/sample takes JSON params; a tensor body is a clear 400."""
+        from midi_vae_tpu.serving.server import NPY_CONTENT_TYPE, npy_dumps
+
+        req = urllib.request.Request(
+            f"{server}/sample", data=npy_dumps(np.zeros((1,), np.float32)),
+            headers={"Content-Type": NPY_CONTENT_TYPE},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc_info.value.code == 400
+
+    def test_errors_stay_json_for_binary_requests(self, server):
+        """Error bodies are always JSON, even on the binary path."""
+        from midi_vae_tpu.serving.server import NPY_CONTENT_TYPE, npy_dumps
+
+        x = np.zeros((1025, 4, 4, 1), np.float32)
+        req = urllib.request.Request(
+            f"{server}/reconstruct", data=npy_dumps(x), headers={"Content-Type": NPY_CONTENT_TYPE}
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 400
+        err = json.loads(exc_info.value.read())
+        assert "at most" in err["error"]
