@@ -24,6 +24,13 @@ Semantic differences from the auto path, both deliberate:
   local-batch per-dim KL mean, like per-shard BN above; the auto path
   floors the global-batch mean).
 
+With ``--norm group`` the BN difference disappears entirely — GroupNorm
+normalizes within-sample, so the explicit step is gradient-EXACT vs the
+auto path for conv architectures too (equivalence-tested in
+tests/test_spmd.py::test_spmd_conv_groupnorm_matches_auto_path); that
+makes ``--norm group --step-impl shard_map`` the fully hand-verifiable
+multi-host configuration.
+
 Every objective the auto path offers runs here too, through the shared
 selector (``train/state.py:make_loss``): the fused Pallas ELBO operates
 on each shard's local batch (its mean psums to the global mean), and

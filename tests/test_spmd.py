@@ -227,6 +227,38 @@ def test_spmd_grad_accum_matches_auto_path(eight_devices):
     assert int(sm.step) == 3  # ONE optimizer update per batch
 
 
+def test_spmd_conv_groupnorm_matches_auto_path(eight_devices):
+    """--norm group removes the ONE conv-model semantic difference between
+    the step implementations (per-shard BatchNorm statistics): GroupNorm
+    normalizes within-sample, so the explicit shard_map step is gradient-
+    EXACT vs the auto path for conv architectures too. Same noise
+    neutralization as the MLP test (pinned log_var, SGD)."""
+    from midi_vae_tpu.models.folded import FoldedVAE
+
+    mesh = make_mesh(8)
+    model = FoldedVAE(
+        in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(8, 16), fold=2, norm="group"
+    )
+    bundle, state0, x = _setup(model, mesh, optimizer="SGD")
+    assert not state0.batch_stats  # GroupNorm: nothing to sync across shards
+    params = jax.tree_util.tree_map(lambda p: p, state0.params)
+    params["fc_var"]["kernel"] = jnp.zeros_like(params["fc_var"]["kernel"])
+    params["fc_var"]["bias"] = jnp.full_like(params["fc_var"]["bias"], -60.0)
+    state0 = state0.replace(params=params)
+
+    auto_step = make_train_step(model, bundle.tx, KL, log_var_clamp=CLAMP, donate=False)
+    spmd_step = make_spmd_train_step(model, bundle.tx, KL, mesh, log_var_clamp=CLAMP, donate=False)
+
+    sa, sm = state0, state0
+    for _ in range(3):
+        sa, lo_a, gn_a = auto_step(sa, x, jax.random.PRNGKey(7))
+        sm, lo_m, gn_m = spmd_step(sm, x, jax.random.PRNGKey(7))
+        np.testing.assert_allclose(float(lo_a.loss), float(lo_m.loss), rtol=1e-5)
+        np.testing.assert_allclose(float(gn_a), float(gn_m), rtol=1e-4)
+    for pa, pm in zip(jax.tree_util.tree_leaves(sa.params), jax.tree_util.tree_leaves(sm.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pm), rtol=1e-5, atol=1e-7)
+
+
 def test_spmd_fused_loss_matches_auto_path(eight_devices):
     """--fused under --step-impl shard_map == the single-device fused
     path: the Pallas ELBO operates on each shard's local batch and its
