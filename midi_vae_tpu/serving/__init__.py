@@ -10,3 +10,5 @@ for the HTTP front end.
 """
 
 from midi_vae_tpu.serving.batcher import MicroBatcher  # noqa: F401
+from midi_vae_tpu.serving.client import ServingClient, ServingError  # noqa: F401
+from midi_vae_tpu.serving.wire import NPY_CONTENT_TYPE, npy_dumps, npy_loads  # noqa: F401

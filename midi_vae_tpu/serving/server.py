@@ -42,26 +42,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from midi_vae_tpu.serving.batcher import MicroBatcher
-
-NPY_CONTENT_TYPE = "application/x-npy"
-_BINARY_CONTENT_TYPES = (NPY_CONTENT_TYPE, "application/octet-stream")
-
-
-def npy_dumps(arr: np.ndarray) -> bytes:
-    """Serialize an array to ``.npy`` bytes (the binary wire format)."""
-    import io
-
-    buf = io.BytesIO()
-    np.lib.format.write_array(buf, np.ascontiguousarray(arr), allow_pickle=False)
-    return buf.getvalue()
-
-
-def npy_loads(body: bytes) -> np.ndarray:
-    """Parse ``.npy`` bytes. ``allow_pickle=False``: untrusted request
-    bodies must never deserialize arbitrary objects."""
-    import io
-
-    return np.lib.format.read_array(io.BytesIO(body), allow_pickle=False)
+from midi_vae_tpu.serving.wire import (  # noqa: F401 - re-exported for callers
+    BINARY_CONTENT_TYPES as _BINARY_CONTENT_TYPES,
+)
+from midi_vae_tpu.serving.wire import NPY_CONTENT_TYPE, npy_dumps, npy_loads
 
 
 class InferenceService:

@@ -297,6 +297,59 @@ class TestInterpolateEndpoint:
         assert np.asarray(out["path"]).shape == (4, 32, 32, 1)
 
 
+class TestServingClient:
+    """In-tree client (serving/client.py): both wires, value-equal results,
+    typed errors. The client module must not import jax (usable from a
+    lightweight client process)."""
+
+    def test_client_module_is_jax_free(self):
+        import ast
+        import midi_vae_tpu.serving.client as client_mod
+        import midi_vae_tpu.serving.wire as wire_mod
+
+        for mod in (client_mod, wire_mod):
+            tree = ast.parse(open(mod.__file__).read())
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    assert not any(a.name.split(".")[0] == "jax" for a in node.names)
+                elif isinstance(node, ast.ImportFrom):
+                    root = (node.module or "").split(".")
+                    assert root[0] != "jax"
+                    # in-package imports must stay within the jax-free set
+                    if root[0] == "midi_vae_tpu":
+                        assert root[-1] in ("wire",), f"{mod.__name__} imports {node.module}"
+
+    def test_reconstruct_both_wires_match(self, server):
+        from midi_vae_tpu.serving.client import ServingClient
+
+        x = np.random.default_rng(21).uniform(0, 1, (2, 32, 32, 1)).astype(np.float32)
+        r_npy = ServingClient(server, wire="npy").reconstruct(x)
+        r_json = ServingClient(server, wire="json").reconstruct(x)
+        assert r_npy.shape == x.shape
+        np.testing.assert_allclose(r_npy, r_json, atol=1e-6)
+
+    def test_encode_sample_interpolate(self, server):
+        from midi_vae_tpu.serving.client import ServingClient
+
+        c = ServingClient(server)  # npy wire default
+        x = np.random.default_rng(22).uniform(0, 1, (3, 32, 32, 1)).astype(np.float32)
+        mu, log_var = c.encode(x)
+        assert mu.shape == (3, 8) and log_var.shape == (3, 8)
+        s = c.sample(4, seed=1)
+        assert s.shape == (4, 32, 32, 1)
+        path = c.interpolate(x[0], x[1], steps=5, slerp=True)
+        assert path.shape == (5, 32, 32, 1)
+        assert c.healthz()["status"] == "ok"
+
+    def test_server_error_raises_typed(self, server):
+        from midi_vae_tpu.serving.client import ServingClient, ServingError
+
+        with pytest.raises(ServingError) as exc_info:
+            ServingClient(server).sample(10**6)
+        assert exc_info.value.status == 400
+        assert "n must be" in exc_info.value.message
+
+
 def _post_npy(url, arr, timeout=30):
     from midi_vae_tpu.serving.server import NPY_CONTENT_TYPE, npy_dumps, npy_loads
 
