@@ -11,10 +11,8 @@ the API tour.
 """
 
 import argparse
-import json
 import os
 import sys
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -81,17 +79,20 @@ def main():
                   "--data-dir", args.workdir, "--steps", "8", "--slerp", "--out", interp])
     print(f"[4] interpolation path: {interp}")
 
-    # 5. serve the checkpoint over HTTP and hit it once
+    # 5. serve the checkpoint over HTTP and hit it with the in-tree client
+    # (binary npy wire — the production path; wire="json" for debugging)
+    from midi_vae_tpu.serving.client import ServingClient
     from midi_vae_tpu.serving.server import serve
 
     httpd = serve(config.checkpoint_path, port=0)
-    base = f"http://127.0.0.1:{httpd.server_address[1]}"
-    req = urllib.request.Request(base + "/sample", data=json.dumps({"n": 2}).encode())
-    n_served = len(json.loads(urllib.request.urlopen(req).read())["samples"])
-    health = json.loads(urllib.request.urlopen(base + "/healthz").read())
+    client = ServingClient(f"http://127.0.0.1:{httpd.server_address[1]}")
+    served = client.sample(2, seed=0)
+    recon = client.reconstruct(served)
+    health = client.healthz()
     httpd.shutdown()
     httpd.service.close()
-    print(f"[5] served {n_served} samples over HTTP; health: {health}")
+    print(f"[5] served {len(served)} samples + {len(recon)} reconstructions "
+          f"over the npy wire; health: {health}")
 
 
 if __name__ == "__main__":
