@@ -61,9 +61,9 @@ FOLD = int(os.environ.get("MIDI_VAE_BENCH_FOLD", "8"))
 # objective (BCE −3.67) that beats both the narrow fold8 (−2.25) AND the
 # reference layout (−2.45). bench.py measures exactly the config the
 # docs tell users to train.
-HIDDEN = tuple(
-    int(h) for h in os.environ.get("MIDI_VAE_BENCH_HIDDEN", "48,64,128,256").split(",")
-)
+# (parsed in main(); the default depends on ARCH — the reference-parity
+# VanillaVAE keeps the reference's (32, 64, 128, 256))
+HIDDEN_ENV = os.environ.get("MIDI_VAE_BENCH_HIDDEN")
 # conv-block normalization: batch (reference parity, the flagship default) |
 # group | none. Measured (benchmarks/norm_bench.json): none is +12.6%,
 # group is -1.6% — see RESULTS.md "normalization" for the quality gate
@@ -224,12 +224,10 @@ def main():
     # FoldedVAE has its own layout — stem/head knobs only apply to VanillaVAE;
     # the reference-parity arch keeps the reference's (32, 64, 128, 256)
     if ARCH.lower() == "vanillavae":
-        stem, head = STEM, HEAD
-        hidden = tuple(
-            int(h) for h in os.environ.get("MIDI_VAE_BENCH_HIDDEN", "32,64,128,256").split(",")
-        )
+        stem, head, default_hidden = STEM, HEAD, "32,64,128,256"
     else:
-        stem, head, hidden = "conv", "deconv", HIDDEN
+        stem, head, default_hidden = "conv", "deconv", "48,64,128,256"
+    hidden = tuple(int(h) for h in (HIDDEN_ENV or default_hidden).split(","))
     ctx = setup(
         batch=BATCH, bf16=BF16, fused=FUSED, stem=stem, head=head, arch=ARCH, fold=FOLD,
         hidden_dims=hidden, norm=NORM,

@@ -133,6 +133,7 @@ class MicroBatcher:
             # ``fn`` only ever sees bucket sizes <= max_batch: the compile
             # cache stays bounded and the cap is a true invariant.
             outs = []
+            n_chunks = 0
             for start in range(0, len(batch), self.max_batch):
                 rows = batch[start : start + self.max_batch]
                 n = len(rows)
@@ -141,14 +142,17 @@ class MicroBatcher:
                     pad = np.zeros((size - n, *rows.shape[1:]), rows.dtype)
                     rows = np.concatenate([rows, pad])
                 outs.append(np.asarray(self.fn(rows))[:n])
+                n_chunks += 1
             out = outs[0] if len(outs) == 1 else np.concatenate(outs)
         except Exception as e:  # propagate (incl. shape-mismatch concat errors)
             # to every waiter; the dispatcher thread itself must survive
             for _, fut in pending:
                 fut.set_exception(e)
             return
-        # counters first: a caller woken by result() must see them updated
-        self.batches_dispatched += 1
+        # counters first: a caller woken by result() must see them updated.
+        # one count per device batch (an oversized submit dispatches several
+        # chunks), so /healthz occupancy math stays honest
+        self.batches_dispatched += n_chunks
         self.requests_served += len(pending)
         offset = 0
         for x, fut in pending:

@@ -108,9 +108,12 @@ class ServingClient:
         self, a: np.ndarray, b: np.ndarray, *, steps: int = 8, slerp: bool = False
     ) -> np.ndarray:
         """[H,W,C] endpoints → [steps,H,W,C] latent-space path."""
-        # the binary /interpolate body has fixed steps/slerp defaults, so the
-        # parameterized call always posts JSON; Accept still selects the
-        # npy response when the client is on the binary wire
+        if self.wire == "npy":
+            # one [2,H,W,C] npy body carries both endpoints; the scalar
+            # parameters ride the query string
+            ends = np.stack([np.asarray(a, np.float32), np.asarray(b, np.float32)])
+            path = f"/interpolate?steps={int(steps)}&slerp={int(bool(slerp))}"
+            return self._request(path, npy_dumps(ends), {"Content-Type": NPY_CONTENT_TYPE})
         params = {
             "a": np.asarray(a, np.float32).tolist(),
             "b": np.asarray(b, np.float32).tolist(),

@@ -35,6 +35,7 @@ import argparse
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
 from typing import Optional
 
 import jax
@@ -205,6 +206,8 @@ def make_handler(service: InferenceService):
 
         def do_POST(self):
             try:
+                split = urlsplit(self.path)
+                route, query = split.path, parse_qs(split.query)
                 length = int(self.headers.get("Content-Length", "0"))
                 if length > self.MAX_BODY_BYTES:
                     self._json(413, {"error": f"body exceeds {self.MAX_BODY_BYTES} bytes"})
@@ -215,7 +218,7 @@ def make_handler(service: InferenceService):
                 # binary in → binary out; JSON clients opt in via Accept
                 wants_npy = binary_req or NPY_CONTENT_TYPE in (self.headers.get("Accept") or "")
                 payload = {} if binary_req else json.loads(raw or b"{}")
-                if self.path == "/sample":
+                if route == "/sample":
                     if binary_req:
                         raise ValueError("/sample takes JSON parameters ({'n', 'seed'}), not a tensor body")
                     n = int(payload.get("n", 1))
@@ -224,15 +227,18 @@ def make_handler(service: InferenceService):
                         self._npy(200, out)
                     else:
                         self._json(200, {"samples": out.tolist()})
-                elif self.path == "/interpolate":
+                elif route == "/interpolate":
                     if binary_req:
                         # one npy [2, H, W, C] array carries both endpoints;
-                        # steps/slerp ride the query-free defaults (JSON for those)
+                        # steps/slerp ride the query string (a tensor body
+                        # has nowhere to put scalar parameters)
                         ends = np.asarray(npy_loads(raw), np.float32)
                         if ends.ndim != 4 or len(ends) != 2:
                             raise ValueError(f"binary /interpolate expects one [2,H,W,C] array, got {ends.shape}")
                         a, b = ends[0], ends[1]
-                        steps, mode = 8, "lerp"
+                        steps = int(query.get("steps", ["8"])[0])
+                        slerp_q = query.get("slerp", ["0"])[0].lower()
+                        mode = "slerp" if slerp_q in ("1", "true", "yes") else "lerp"
                     else:
                         a = np.asarray(payload["a"], np.float32)
                         b = np.asarray(payload["b"], np.float32)
@@ -243,7 +249,7 @@ def make_handler(service: InferenceService):
                         self._npy(200, out)
                     else:
                         self._json(200, {"path": out.tolist()})
-                elif self.path in ("/reconstruct", "/encode"):
+                elif route in ("/reconstruct", "/encode"):
                     if binary_req:
                         x = np.asarray(npy_loads(raw), np.float32)
                     else:
@@ -254,8 +260,8 @@ def make_handler(service: InferenceService):
                         raise ValueError(
                             f"at most {self.MAX_REQUEST_ITEMS} images per request, got {len(x)}"
                         )
-                    out = getattr(service, self.path[1:])(x)
-                    if self.path == "/reconstruct":
+                    out = getattr(service, route[1:])(x)
+                    if route == "/reconstruct":
                         if wants_npy:
                             self._npy(200, out)
                         else:

@@ -18,7 +18,9 @@ Reference bugs deliberately not replicated (SURVEY §7):
 from __future__ import annotations
 
 import os
+import sys
 import time
+import traceback
 from datetime import datetime
 from typing import Optional
 
@@ -375,12 +377,14 @@ def run(config: TrainConfig) -> dict:
     last_epoch = config.epochs
     if config.stop_after_epochs is not None:
         last_epoch = min(last_epoch, start_epoch + config.stop_after_epochs - 1)
-    # The msgpack writer thread is non-daemon: if an exception unwinds out
-    # of the epoch loop, interpreter shutdown still joins the in-flight
-    # write, so every handed-off checkpoint lands on disk (tmp+rename keeps
-    # the latest file atomic even under SIGTERM mid-write). The orbax
-    # variant delegates to Orbax's own AsyncCheckpointer, which handles the
-    # multi-host barrier internally (io/orbax_io.py:OrbaxAsyncWriter).
+    # Every handed-off checkpoint lands on disk even if an exception
+    # unwinds out of the epoch loop: the msgpack writer thread is
+    # non-daemon (interpreter shutdown joins the in-flight write;
+    # tmp+rename keeps the latest file atomic even under SIGTERM
+    # mid-write), and the orbax variant — whose .staging→path promotion
+    # happens on the main thread — is finalized by the try/finally below.
+    # Orbax's own AsyncCheckpointer handles the multi-host barrier
+    # internally (io/orbax_io.py:OrbaxAsyncWriter).
     if config.async_checkpoint and config.checkpoint_backend == "orbax":
         from midi_vae_tpu.io.orbax_io import OrbaxAsyncWriter
 
@@ -388,145 +392,159 @@ def run(config: TrainConfig) -> dict:
     else:
         async_writer = AsyncCheckpointWriter() if config.async_checkpoint else None
     profiling = False
-    for epoch in range(start_epoch, last_epoch + 1):
-        t_start_epoch = time.time()
-        # Profiler trace for the leading epochs (SURVEY §5: jax.profiler
-        # replaces the reference's torch.cuda.Event phase timing)
-        if config.profile_dir and epoch < start_epoch + config.profile_epochs:
-            if not profiling:
-                jax.profiler.start_trace(config.profile_dir)
-                profiling = True
-        elif profiling:
-            jax.profiler.stop_trace()
-            profiling = False
-            print(f"Wrote profiler trace to {config.profile_dir}")
-        # Resume-stable per-epoch randomness (train.py:345-369 semantics).
-        # ONE global key on every process: the jitted step treats this
-        # unsharded argument as replicated, so it must be identical across
-        # hosts (multi-controller SPMD contract). Per-sample decorrelation
-        # needs no per-process fold — the reparam noise is drawn over the
-        # GLOBAL batch shape from this single key (models/vae.py:276), so
-        # every sample already gets an independent stream regardless of
-        # which host fed it.
-        ekey = derive_epoch_key(seed, epoch)
+    try:
+        for epoch in range(start_epoch, last_epoch + 1):
+            t_start_epoch = time.time()
+            # Profiler trace for the leading epochs (SURVEY §5: jax.profiler
+            # replaces the reference's torch.cuda.Event phase timing)
+            if config.profile_dir and epoch < start_epoch + config.profile_epochs:
+                if not profiling:
+                    jax.profiler.start_trace(config.profile_dir)
+                    profiling = True
+            elif profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"Wrote profiler trace to {config.profile_dir}")
+            # Resume-stable per-epoch randomness (train.py:345-369 semantics).
+            # ONE global key on every process: the jitted step treats this
+            # unsharded argument as replicated, so it must be identical across
+            # hosts (multi-controller SPMD contract). Per-sample decorrelation
+            # needs no per-process fold — the reparam noise is drawn over the
+            # GLOBAL batch shape from this single key (models/vae.py:276), so
+            # every sample already gets an independent stream regardless of
+            # which host fed it.
+            ekey = derive_epoch_key(seed, epoch)
 
-        n_before = n_samples_seen
-        train_stats, state, total_step, n_samples_seen = train_one_epoch(
-            config=config,
-            model=model,
-            state=state,
-            train_step=train_step,
-            loader=loader_train,
-            logger=logger,
-            epoch=epoch,
-            epoch_key=ekey,
-            lr_schedules=bundle.lr_schedules,
-            n_samples_seen=n_samples_seen,
-        )
-        t_end_train = time.time()
-        duration_train = t_end_train - t_start_epoch
-        n_epoch_samples = n_samples_seen - n_before
-        train_stats["throughput"] = n_epoch_samples / max(duration_train, 1e-9)
-
-        print_epoch_summary(
-            "Training",
-            epoch,
-            config.epochs,
-            {
-                "total_step": total_step,
-                "steps": len(loader_train),
-                "samples": n_epoch_samples,
-                **train_stats,
-            },
-            duration_train,
-        )
-
-        # Validate (train.py:416-440)
-        t_start_val = time.time()
-        eval_stats = evaluate(
-            loader_val, model, eval_view(state), partition_name=eval_set, seed=seed, eval_step=eval_step
-        )
-        duration_val = time.time() - t_start_val
-        eval_stats["throughput"] = loader_val.num_samples / max(duration_val, 1e-9)
-        print_epoch_summary("Evaluating", epoch, config.epochs, eval_stats, duration_val)
-
-        # Track best epoch by validation reconstruction metric — the trained
-        # objective when it differs from the parity metric (--bce-targets raw
-        # runs report both; selecting on the normalized-target cross-entropy
-        # there would rank models on a function the run never optimized)
-        select_name = "bce-objective" if "bce-objective" in eval_stats else "cross-entropy"
-        if best_stats["best_metric_name"] not in (None, select_name):
-            # resumed from a checkpoint tracked on a different metric — the
-            # scales are incomparable (parity CE is negative on sparse
-            # corpora, the objective is positive), so restart the race
-            print(
-                f"best-metric tracking switched from {best_stats['best_metric_name']!r} "
-                f"to {select_name!r}; resetting best-epoch tracking"
-            )
-            best_stats["best_metric"] = float("inf")
-        best_stats["best_metric_name"] = select_name
-        if eval_stats[select_name] < best_stats["best_metric"]:
-            best_stats["best_metric"] = eval_stats[select_name]
-            best_stats["best_epoch"] = epoch
-
-        # Save (train.py:442-464). msgpack writes on the leader only; the
-        # orbax save is an ALL-hosts collective (it barriers internally), so
-        # every process must enter it — the leader-only parts (meta sidecar,
-        # swap, best copy) are gated inside orbax_io / below.
-        t_start_save = time.time()
-        if config.checkpoint_path and (is_leader or config.checkpoint_backend == "orbax"):
-            save_kwargs = dict(
-                config=config.to_dict(),
+            n_before = n_samples_seen
+            train_stats, state, total_step, n_samples_seen = train_one_epoch(
+                config=config,
+                model=model,
+                state=state,
+                train_step=train_step,
+                loader=loader_train,
+                logger=logger,
                 epoch=epoch,
-                total_step=total_step,
+                epoch_key=ekey,
+                lr_schedules=bundle.lr_schedules,
                 n_samples_seen=n_samples_seen,
-                encoder_config=encoder_config,
-                transform_args=transform_args,
-                best_epoch=best_stats["best_epoch"],
-                best_metric=best_stats["best_metric"],
-                best_metric_name=best_stats["best_metric_name"],
-                backend=config.checkpoint_backend,
             )
-            # orbax consumes the live (possibly sharded) arrays — each process
-            # writes only its own shards; msgpack serializes host copies
-            host_state = state if config.checkpoint_backend == "orbax" else jax.device_get(state)
-            if async_writer is not None:
-                async_writer.save(config.checkpoint_path, host_state, **save_kwargs)
-            else:
-                save_checkpoint(config.checkpoint_path, host_state, **save_kwargs)
-            if config.save_best_model and best_stats["best_epoch"] == epoch and is_leader:
+            t_end_train = time.time()
+            duration_train = t_end_train - t_start_epoch
+            n_epoch_samples = n_samples_seen - n_before
+            train_stats["throughput"] = n_epoch_samples / max(duration_train, 1e-9)
+
+            print_epoch_summary(
+                "Training",
+                epoch,
+                config.epochs,
+                {
+                    "total_step": total_step,
+                    "steps": len(loader_train),
+                    "samples": n_epoch_samples,
+                    **train_stats,
+                },
+                duration_train,
+            )
+
+            # Validate (train.py:416-440)
+            t_start_val = time.time()
+            eval_stats = evaluate(
+                loader_val, model, eval_view(state), partition_name=eval_set, seed=seed, eval_step=eval_step
+            )
+            duration_val = time.time() - t_start_val
+            eval_stats["throughput"] = loader_val.num_samples / max(duration_val, 1e-9)
+            print_epoch_summary("Evaluating", epoch, config.epochs, eval_stats, duration_val)
+
+            # Track best epoch by validation reconstruction metric — the trained
+            # objective when it differs from the parity metric (--bce-targets raw
+            # runs report both; selecting on the normalized-target cross-entropy
+            # there would rank models on a function the run never optimized)
+            select_name = "bce-objective" if "bce-objective" in eval_stats else "cross-entropy"
+            if best_stats["best_metric_name"] not in (None, select_name):
+                # resumed from a checkpoint tracked on a different metric — the
+                # scales are incomparable (parity CE is negative on sparse
+                # corpora, the objective is positive), so restart the race
+                print(
+                    f"best-metric tracking switched from {best_stats['best_metric_name']!r} "
+                    f"to {select_name!r}; resetting best-epoch tracking"
+                )
+                best_stats["best_metric"] = float("inf")
+            best_stats["best_metric_name"] = select_name
+            if eval_stats[select_name] < best_stats["best_metric"]:
+                best_stats["best_metric"] = eval_stats[select_name]
+                best_stats["best_epoch"] = epoch
+
+            # Save (train.py:442-464). msgpack writes on the leader only; the
+            # orbax save is an ALL-hosts collective (it barriers internally), so
+            # every process must enter it — the leader-only parts (meta sidecar,
+            # swap, best copy) are gated inside orbax_io / below.
+            t_start_save = time.time()
+            if config.checkpoint_path and (is_leader or config.checkpoint_backend == "orbax"):
+                save_kwargs = dict(
+                    config=config.to_dict(),
+                    epoch=epoch,
+                    total_step=total_step,
+                    n_samples_seen=n_samples_seen,
+                    encoder_config=encoder_config,
+                    transform_args=transform_args,
+                    best_epoch=best_stats["best_epoch"],
+                    best_metric=best_stats["best_metric"],
+                    best_metric_name=best_stats["best_metric_name"],
+                    backend=config.checkpoint_backend,
+                )
+                # orbax consumes the live (possibly sharded) arrays — each process
+                # writes only its own shards; msgpack serializes host copies
+                host_state = state if config.checkpoint_backend == "orbax" else jax.device_get(state)
                 if async_writer is not None:
-                    async_writer.wait()  # best copies the completed latest file
-                best_path = copy_best(config.checkpoint_path)
-                print(f"Copied best model to {best_path}")
-        duration_save = time.time() - t_start_save
+                    async_writer.save(config.checkpoint_path, host_state, **save_kwargs)
+                else:
+                    save_checkpoint(config.checkpoint_path, host_state, **save_kwargs)
+                if config.save_best_model and best_stats["best_epoch"] == epoch and is_leader:
+                    if async_writer is not None:
+                        async_writer.wait()  # best copies the completed latest file
+                    best_path = copy_best(config.checkpoint_path)
+                    print(f"Copied best model to {best_path}")
+            duration_save = time.time() - t_start_save
 
-        # Epochwise logging (train.py:469-496)
-        pre = "training/epochwise"
-        logger.log(
-            {
-                "training/stepwise/epoch": epoch,
-                "training/stepwise/n_samples_seen": n_samples_seen,
-                f"{pre}/epoch": epoch,
-                **{f"{pre}/train/{k}": v for k, v in train_stats.items()},
-                **{f"{pre}/{eval_set}/{k}": v for k, v in eval_stats.items() if k != "latents"},
-                f"{pre}/duration/train": duration_train,
-                f"{pre}/duration/val": duration_val,
-                f"{pre}/duration/saving": duration_save,
-                f"{pre}/duration/overall": time.time() - t_start_epoch,
-            },
-            step=total_step,
-        )
-        results["train"] = train_stats
-        results[eval_set.lower()] = eval_stats
+            # Epochwise logging (train.py:469-496)
+            pre = "training/epochwise"
+            logger.log(
+                {
+                    "training/stepwise/epoch": epoch,
+                    "training/stepwise/n_samples_seen": n_samples_seen,
+                    f"{pre}/epoch": epoch,
+                    **{f"{pre}/train/{k}": v for k, v in train_stats.items()},
+                    **{f"{pre}/{eval_set}/{k}": v for k, v in eval_stats.items() if k != "latents"},
+                    f"{pre}/duration/train": duration_train,
+                    f"{pre}/duration/val": duration_val,
+                    f"{pre}/duration/saving": duration_save,
+                    f"{pre}/duration/overall": time.time() - t_start_epoch,
+                },
+                step=total_step,
+            )
+            results["train"] = train_stats
+            results[eval_set.lower()] = eval_stats
 
-    if profiling:
-        jax.profiler.stop_trace()
-        print(f"Wrote profiler trace to {config.profile_dir}")
-    if async_writer is not None:
-        async_writer.wait()  # the final checkpoint must be on disk before eval/return
-        if hasattr(async_writer, "close"):
-            async_writer.close()
+    finally:
+        # An exception unwinding out of the epoch loop (OOM, data error,
+        # KeyboardInterrupt) must still finalize the in-flight async save:
+        # the orbax variant otherwise strands a fully-committed checkpoint
+        # in .staging, which _resolve() never loads and the next run's
+        # save() deletes. When already unwinding, a finalizer failure is
+        # reported but must not mask the primary error.
+        unwinding = sys.exc_info()[0] is not None
+        try:
+            if profiling:
+                jax.profiler.stop_trace()
+                print(f"Wrote profiler trace to {config.profile_dir}")
+            if async_writer is not None:
+                async_writer.wait()  # the final checkpoint must be on disk before eval/return
+                if hasattr(async_writer, "close"):
+                    async_writer.close()
+        except Exception:
+            if not unwinding:
+                raise
+            traceback.print_exc()
 
     if start_epoch > config.epochs:
         print("Training already completed!")

@@ -327,3 +327,51 @@ class TestOrbaxAsyncWriter:
         results2 = run(config2)
         assert load_checkpoint(config.checkpoint_path)["epoch"] == 3
         assert results2["total_step"] > results["total_step"]
+
+    def test_abnormal_exit_still_promotes_staged_save(self, tmp_path, eight_devices, monkeypatch):
+        """An exception unwinding out of the epoch loop must still finalize
+        the in-flight async orbax save: epoch 1's checkpoint would otherwise
+        be stranded in .staging — never loaded by resume, deleted by the
+        next run's save()."""
+        pytest.importorskip("orbax.checkpoint")
+        import midi_vae_tpu.train.loop as loop_mod
+        from midi_vae_tpu.io.checkpoint import load_checkpoint
+        from midi_vae_tpu.train.config import TrainConfig
+        from midi_vae_tpu.train.loop import run
+
+        config = TrainConfig(
+            dataset_name="vae-lines-synthetic",
+            transform_type="noaug",
+            image_size=32,
+            arch="MLPVAE",
+            n_features=8,
+            hidden_dims=(64,),
+            epochs=2,
+            batch_size_per_device=4,
+            num_devices=8,
+            seed=0,
+            models_dir=str(tmp_path / "m"),
+            log_images=False,
+            async_checkpoint=True,
+            checkpoint_backend="orbax",
+        )
+        real_evaluate = loop_mod.evaluate
+        calls = {"n": 0}
+
+        def failing_evaluate(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 2:  # epoch 2's validation: epoch 1's save is in flight
+                raise RuntimeError("injected mid-training failure")
+            return real_evaluate(*args, **kwargs)
+
+        monkeypatch.setattr(loop_mod, "evaluate", failing_evaluate)
+        with pytest.raises(RuntimeError, match="injected"):
+            run(config)
+        # the epoch-1 checkpoint was promoted out of .staging on the way out
+        assert not os.path.exists(config.checkpoint_path + ".staging")
+        payload = load_checkpoint(config.checkpoint_path)
+        assert payload["epoch"] == 1
+        # and a fresh process resumes from it
+        monkeypatch.setattr(loop_mod, "evaluate", real_evaluate)
+        run(TrainConfig.from_dict(config.to_dict()))
+        assert load_checkpoint(config.checkpoint_path)["epoch"] == 2

@@ -115,6 +115,9 @@ class TestMicroBatcher:
         out = batcher.submit(x).result(timeout=5)
         np.testing.assert_array_equal(out, x * 2)
         assert all(c <= 8 for c in calls), calls
+        # the /healthz occupancy math counts DEVICE batches: one per chunk,
+        # not one per dispatch tick (20 rows @ cap 8 → 3 chunks)
+        assert batcher.batches_dispatched == len(calls) == 3
         batcher.close()
 
     def test_closed_batcher_rejects(self):
@@ -349,6 +352,39 @@ class TestServingClient:
         assert exc_info.value.status == 400
         assert "n must be" in exc_info.value.message
 
+    def test_interpolate_binary_wire_carries_params(self, server):
+        """The npy-wire interpolate posts a [2,H,W,C] binary body with
+        steps/slerp on the query string — and matches the JSON wire."""
+        from midi_vae_tpu.serving.client import ServingClient
+
+        rng = np.random.default_rng(23)
+        a = rng.uniform(0, 1, (32, 32, 1)).astype(np.float32)
+        b = rng.uniform(0, 1, (32, 32, 1)).astype(np.float32)
+        p_npy = ServingClient(server, wire="npy").interpolate(a, b, steps=5, slerp=True)
+        p_json = ServingClient(server, wire="json").interpolate(a, b, steps=5, slerp=True)
+        assert p_npy.shape == (5, 32, 32, 1)
+        np.testing.assert_allclose(p_npy, p_json, atol=1e-6)
+
+
+class TestWireValidation:
+    """npy_loads validates the untrusted header before materializing."""
+
+    def test_declared_size_must_match_payload(self):
+        from midi_vae_tpu.serving.wire import npy_dumps, npy_loads
+
+        body = npy_dumps(np.zeros((4, 4), np.float32))
+        with pytest.raises(ValueError, match="declares"):
+            npy_loads(body[:-8])  # short payload
+        with pytest.raises(ValueError, match="declares"):
+            npy_loads(body + b"\x00" * 8)  # trailing junk
+        np.testing.assert_array_equal(npy_loads(body), np.zeros((4, 4), np.float32))
+
+    def test_malformed_header_is_value_error(self):
+        from midi_vae_tpu.serving.wire import npy_loads
+
+        with pytest.raises(ValueError, match="malformed npy"):
+            npy_loads(b"\x93NUMPY\x01\x00garbage-after-magic")
+
 
 def _post_npy(url, arr, timeout=30):
     from midi_vae_tpu.serving.server import NPY_CONTENT_TYPE, npy_dumps, npy_loads
@@ -440,6 +476,28 @@ class TestBinaryWireFormat:
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(req, timeout=10)
         assert exc_info.value.code == 400
+
+    def test_huge_header_npy_rejected_before_allocation(self, server):
+        """A tiny body whose npy header claims a multi-gigabyte shape must
+        be rejected from the HEADER (400), never materialized: read_array
+        allocates the header's self-declared size up front, so without
+        validation a 128-byte request could OOM the serving process."""
+        import io
+
+        from midi_vae_tpu.serving.server import NPY_CONTENT_TYPE
+
+        buf = io.BytesIO()
+        np.lib.format.write_array_header_1_0(
+            buf, {"descr": "<f4", "fortran_order": False, "shape": (200000, 128, 128, 1)}
+        )
+        body = buf.getvalue() + b"\x00" * 16  # 12.5 GB declared, ~16 bytes carried
+        req = urllib.request.Request(
+            f"{server}/reconstruct", data=body, headers={"Content-Type": NPY_CONTENT_TYPE}
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc_info.value.code == 400
+        assert "declares" in json.loads(exc_info.value.read())["error"]
 
     def test_errors_stay_json_for_binary_requests(self, server):
         """Error bodies are always JSON, even on the binary path."""
