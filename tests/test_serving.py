@@ -385,6 +385,36 @@ class TestWireValidation:
         with pytest.raises(ValueError, match="malformed npy"):
             npy_loads(b"\x93NUMPY\x01\x00garbage-after-magic")
 
+    def test_fuzz_never_escapes_value_error(self):
+        """Untrusted-body contract: ANY byte string either parses to an
+        ndarray or raises ValueError — never a different exception, never
+        a large allocation. Deterministic fuzz: random bytes, random bytes
+        behind a valid magic, and random mutations of a valid body."""
+        from midi_vae_tpu.serving.wire import npy_dumps, npy_loads
+
+        rng = np.random.default_rng(1234)
+        valid = npy_dumps(rng.uniform(size=(8, 8)).astype(np.float32))
+        bodies = [b"", b"\x93NUMPY", valid[: len(valid) // 2]]
+        for _ in range(200):
+            n = int(rng.integers(0, 256))
+            bodies.append(rng.bytes(n))
+            bodies.append(b"\x93NUMPY" + rng.bytes(n))
+            mutated = bytearray(valid)
+            for pos in rng.integers(0, len(valid), size=4):
+                mutated[int(pos)] = int(rng.integers(0, 256))
+            bodies.append(bytes(mutated))
+        parsed = 0
+        for body in bodies:
+            try:
+                out = npy_loads(body)
+            except ValueError:
+                continue
+            assert isinstance(out, np.ndarray)
+            parsed += 1
+        # some 4-byte mutations leave the header/data intact — that's fine;
+        # the point is nothing ever escaped as a non-ValueError
+        assert parsed < len(bodies)
+
 
 def _post_npy(url, arr, timeout=30):
     from midi_vae_tpu.serving.server import NPY_CONTENT_TYPE, npy_dumps, npy_loads
