@@ -234,13 +234,24 @@ def load_midi_folder(
     if not sources:
         raise FileNotFoundError(f"No .mid files found under {root}")
 
-    all_windows, all_labels = [], []
+    all_windows, all_labels, skipped = [], [], []
     for fpath, label in sources:
-        windows = notes_to_windows(
-            parse_midi(fpath), pitches=pitches, steps=steps, seconds_per_step=seconds_per_step
-        )
+        # one corrupt file must not kill a corpus build: both parsers
+        # raise ValueError on malformed bytes (midi/smf.py contract)
+        try:
+            windows = notes_to_windows(
+                parse_midi(fpath), pitches=pitches, steps=steps, seconds_per_step=seconds_per_step
+            )
+        except ValueError as e:
+            skipped.append(fpath)
+            print(f"skipping unparseable MIDI file {fpath}: {e}")
+            continue
         all_windows.append(windows)
         all_labels.append(np.full(len(windows), label, np.int64))
+    if not all_windows:
+        raise ValueError(f"none of the {len(sources)} .mid files under {root} could be parsed")
+    if skipped:
+        print(f"MIDI corpus {root}: skipped {len(skipped)}/{len(sources)} unparseable files")
     images_arr = np.concatenate(all_windows)
     labels_arr = np.concatenate(all_labels)
     if use_cache:

@@ -91,27 +91,57 @@ def notes_to_windows(
     """Rasterize a parsed file into non-overlapping uint8 windows
     [W, pitches, steps, 1] (velocity 0..127 → 0..255, 0 = silence).
 
-    This is the corpus-cache path (host, numpy): the whole timeline is
-    painted once, sliced into ``steps``-column windows, and windows with
-    fewer than ``min_notes_per_window`` onsets are dropped (all-silence
-    windows teach the VAE nothing).
+    This is the corpus-cache path (host, numpy). Only the KEPT windows
+    are ever allocated: with the default ``min_notes_per_window >= 1``
+    that is at most one window per note, so memory is bounded by the
+    note count — a corrupt or adversarial file declaring a huge
+    delta-time cannot make ingest allocate a timeline-sized buffer
+    (the previous dense implementation painted the whole timeline:
+    one 4-byte varlen at ppq=1 could demand a multi-GB roll).
+    ``min_notes_per_window=0`` keeps every window up to the last note's
+    end and is budget-capped for the same reason.
     """
     if len(notes) == 0:
         return np.zeros((0, pitches, steps, 1), np.uint8)
-    start_col = np.floor(notes.onset / seconds_per_step).astype(np.int64)
-    end_col = np.ceil((notes.onset + np.maximum(notes.duration, 1e-9)) / seconds_per_step).astype(np.int64)
+    onset = np.asarray(notes.onset, np.float64)
+    duration = np.asarray(notes.duration, np.float64)
+    if not (np.isfinite(onset).all() and np.isfinite(duration).all()) or bool((onset < 0).any()):
+        raise ValueError("note onsets/durations must be finite and onsets non-negative")
+    start_col = np.floor(onset / seconds_per_step).astype(np.int64)
+    end_col = np.ceil((onset + np.maximum(duration, 1e-9)) / seconds_per_step).astype(np.int64)
     end_col = np.maximum(end_col, start_col + 1)
-    total = int(-(-int(end_col.max()) // steps) * steps)
-
-    roll = np.zeros((pitches, total), np.uint8)
     vel = np.clip((notes.velocity.astype(np.float64) / 127.0) * 255.0, 0, 255).astype(np.uint8)
-    for s, e, p, v in zip(start_col, end_col, np.clip(notes.pitch, 0, pitches - 1), vel):
-        row = roll[p, s:e]
-        np.maximum(row, v, out=row)
+    pit = np.clip(notes.pitch, 0, pitches - 1)
 
-    windows = roll.reshape(pitches, total // steps, steps).transpose(1, 0, 2)[..., None]
-    onsets_per_window = np.bincount(start_col // steps, minlength=total // steps)
-    return np.ascontiguousarray(windows[onsets_per_window >= min_notes_per_window])
+    if min_notes_per_window <= 0:
+        n_kept = -(-int(end_col.max()) // steps)
+    else:
+        ids, counts = np.unique(start_col // steps, return_counts=True)
+        kept = ids[counts >= min_notes_per_window]
+        n_kept = len(kept)
+    # budget check BEFORE any window-count-sized allocation (min=0's arange
+    # included): the window count derives from tick values an adversarial
+    # file controls independently of its byte size
+    if n_kept * pitches * steps > 1 << 31:
+        raise ValueError(
+            f"rasterization would allocate {n_kept} windows of {pitches}x{steps} (>2 GiB); "
+            "the file's timeline is implausibly long for its note count"
+        )
+    if min_notes_per_window <= 0:
+        kept = np.arange(n_kept, dtype=np.int64)
+
+    out = np.zeros((len(kept), pitches, steps, 1), np.uint8)
+    # each note paints its clipped span into every kept window it overlaps
+    lo = np.searchsorted(kept, start_col // steps, side="left")
+    hi = np.searchsorted(kept, (end_col - 1) // steps, side="right")
+    for s, e, p, v, a, b in zip(start_col, end_col, pit, vel, lo, hi):
+        for k in range(a, b):
+            ws = int(kept[k]) * steps
+            cs, ce = max(int(s) - ws, 0), min(int(e) - ws, steps)
+            if cs < ce:
+                row = out[k, p, cs:ce, 0]
+                np.maximum(row, v, out=row)
+    return out
 
 
 # ------------------------------------------------------------- augmentation

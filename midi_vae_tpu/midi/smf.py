@@ -26,6 +26,7 @@ import numpy as np
 
 DEFAULT_TEMPO_US = 500000  # 120 bpm, MIDI spec default
 MAX_PITCH = 128
+MAX_VARLEN_BYTES = 4  # SMF spec: variable-length quantities fit 4 bytes
 
 
 @dataclasses.dataclass
@@ -47,14 +48,20 @@ class NoteArrays:
         return float(np.max(self.onset + self.duration))
 
 
-def _read_varlen(data: bytes, pos: int) -> Tuple[int, int]:
+def _read_varlen(data: bytes, pos: int, end: int) -> Tuple[int, int]:
+    """Bounded variable-length quantity: reads stop at ``end`` and at the
+    spec's 4-byte cap, so a crafted stream of continuation bytes can
+    neither run past the track nor grow the value without bound."""
     value = 0
-    while True:
+    for _ in range(MAX_VARLEN_BYTES):
+        if pos >= end:
+            raise ValueError("truncated variable-length quantity")
         b = data[pos]
         pos += 1
         value = (value << 7) | (b & 0x7F)
         if not b & 0x80:
             return value, pos
+    raise ValueError("variable-length quantity exceeds 4 bytes")
 
 
 def _write_varlen(value: int) -> bytes:
@@ -70,10 +77,31 @@ def read_smf(path: str) -> NoteArrays:
     """Parse an SMF format 0/1 file into note arrays (onsets in seconds)."""
     with open(path, "rb") as f:
         data = f.read()
-    if data[:4] != b"MThd":
-        raise ValueError(f"not a MIDI file (bad header): {path}")
+    try:
+        return parse_smf_bytes(data)
+    except ValueError as e:
+        raise ValueError(f"{e}: {path}") from None
+
+
+def parse_smf_bytes(data: bytes) -> NoteArrays:
+    """Parse SMF bytes into note arrays.
+
+    Untrusted-input contract (shared with the C++ parser, which returns
+    NULL → ValueError for the same byte streams): any malformed input
+    raises ValueError — truncation, header/track overruns, >4-byte
+    varlen quantities, data bytes with the high bit set, running status
+    before any status byte, SMPTE division with zero ticks/frame. Every
+    read is bounded by its chunk, so no input can index past a track or
+    allocate beyond the note events it actually carries.
+    """
+    if len(data) < 14 or data[:4] != b"MThd":
+        raise ValueError("not a MIDI file (bad header)")
     hlen, fmt, ntrks, division = struct.unpack(">IHHH", data[4:14])
+    if hlen < 6:
+        raise ValueError(f"bad MThd length {hlen}")
     pos = 8 + hlen
+    if pos > len(data):
+        raise ValueError("MThd chunk extends past end of file")
 
     # Pass 1: gather (tick, tempo) changes and raw (tick, kind, pitch, vel)
     # note events across every track, then merge on ticks.
@@ -82,16 +110,22 @@ def read_smf(path: str) -> NoteArrays:
 
     for _ in range(ntrks):
         if data[pos : pos + 4] != b"MTrk":
-            raise ValueError(f"bad track chunk at byte {pos}: {path}")
+            raise ValueError(f"bad track chunk at byte {pos}")
+        if pos + 8 > len(data):
+            raise ValueError("truncated track header")
         (tlen,) = struct.unpack(">I", data[pos + 4 : pos + 8])
         tpos, tend = pos + 8, pos + 8 + tlen
+        if tend > len(data):
+            raise ValueError("track chunk extends past end of file")
         pos = tend
 
         tick = 0
         running = 0
         while tpos < tend:
-            delta, tpos = _read_varlen(data, tpos)
+            delta, tpos = _read_varlen(data, tpos, tend)
             tick += delta
+            if tpos >= tend:
+                raise ValueError("truncated event (no status byte)")
             status = data[tpos]
             if status & 0x80:
                 tpos += 1
@@ -102,7 +136,11 @@ def read_smf(path: str) -> NoteArrays:
 
             kind = status & 0xF0
             if kind in (0x90, 0x80):  # note on / note off
+                if tpos + 2 > tend:
+                    raise ValueError("truncated note event")
                 pitch, vel = data[tpos], data[tpos + 1]
+                if (pitch | vel) & 0x80:
+                    raise ValueError("note data byte out of range (desynchronized stream)")
                 tpos += 2
                 on = kind == 0x90 and vel > 0
                 raw.append((tick, 1 if on else 0, pitch, vel))
@@ -111,23 +149,34 @@ def read_smf(path: str) -> NoteArrays:
             elif kind in (0xC0, 0xD0):  # one data byte
                 tpos += 1
             elif status == 0xFF:  # meta
+                if tpos >= tend:
+                    raise ValueError("truncated meta event")
                 meta = data[tpos]
-                length, tpos = _read_varlen(data, tpos + 1)
+                length, tpos = _read_varlen(data, tpos + 1, tend)
                 if meta == 0x51 and length == 3:
+                    if tpos + 3 > tend:
+                        raise ValueError("truncated tempo event")
                     tempo = int.from_bytes(data[tpos : tpos + 3], "big")
                     tempo_changes.append((tick, tempo))
                 tpos += length
-            elif status in (0xF0, 0xF7):  # sysex
-                length, tpos = _read_varlen(data, tpos + 1)
+            elif status in (0xF0, 0xF7):  # sysex: F0 <varlen length> <bytes>
+                # the length follows the status byte directly (no type byte
+                # — a former off-by-one here skipped a byte and desynced
+                # against the C++ parser on any file carrying sysex)
+                length, tpos = _read_varlen(data, tpos, tend)
                 tpos += length
             else:
-                raise ValueError(f"unhandled status byte 0x{status:02x} in {path}")
+                raise ValueError(f"unhandled status byte 0x{status:02x}")
+        if tpos > tend:
+            raise ValueError("event data overruns its track chunk")
 
     # Tick → seconds conversion (piecewise-linear over the tempo map).
     tempo_changes.sort()
     if division & 0x8000:  # SMPTE: ticks are already wall-clock
         fps = 256 - (division >> 8)  # two's complement of the negative byte
         tpf = division & 0xFF
+        if tpf == 0:
+            raise ValueError("SMPTE division with zero ticks per frame")
 
         def tick_to_sec(t: int) -> float:
             return t / (fps * tpf)

@@ -79,12 +79,18 @@ struct Cursor {
     return v;
   }
   long varlen() {
+    // SMF spec caps variable-length quantities at 4 bytes; enforcing it
+    // both rejects malformed streams and keeps the shift defined (an
+    // unbounded loop of continuation bytes would shift into the sign bit)
     long v = 0;
-    for (;;) {
+    for (int i = 0; i < 4; ++i) {
       uint8_t b = u8();
+      if (!ok) return 0;
       v = (v << 7) | (b & 0x7F);
-      if (!(b & 0x80) || !ok) return v;
+      if (!(b & 0x80)) return v;
     }
+    ok = false;
+    return 0;
   }
   void skip(long n) {
     if (end - p < n) {
@@ -104,6 +110,9 @@ bool parse_buffer(const uint8_t* data, size_t size, Parsed* out) {
   c.u16be();  // format
   uint16_t ntrks = c.u16be();
   uint16_t division = c.u16be();
+  if (hlen < 6) return false;  // negative skip would walk the cursor backward
+  if ((division & 0x8000) && (division & 0xFF) == 0)
+    return false;  // SMPTE with zero ticks/frame: tick→seconds would divide by zero
   c.skip(static_cast<long>(hlen) - 6);
 
   std::vector<std::pair<long, long>> tempo_changes;  // (tick, us/quarter)
@@ -132,6 +141,10 @@ bool parse_buffer(const uint8_t* data, size_t size, Parsed* out) {
       uint8_t kind = status & 0xF0;
       if (kind == 0x90 || kind == 0x80) {
         int pitch = t.u8(), vel = t.u8();
+        // data bytes are 7-bit; a high bit here means the stream is
+        // desynchronized (and an unchecked pitch would index out of the
+        // 128-row piano roll downstream)
+        if ((pitch | vel) & 0x80) return false;
         bool on = kind == 0x90 && vel > 0;
         raw.push_back({tick, on ? 1 : 0, pitch, vel});
       } else if (kind == 0xA0 || kind == 0xB0 || kind == 0xE0) {

@@ -331,6 +331,26 @@ class TestMidiDatasets:
         np.testing.assert_array_equal(np.asarray(ds2.images), np.asarray(ds.images))
         np.testing.assert_array_equal(ds2.labels, ds.labels)
 
+    def test_corrupt_file_skipped_not_fatal(self, tmp_path, capsys):
+        """One unparseable .mid in a corpus is skipped with a warning; an
+        all-corrupt corpus is a clear error (data/sources.py ingest loop)."""
+        from midi_vae_tpu.data.sources import load_midi_folder
+
+        corpus = str(tmp_path / "corpus")
+        generate_midi_dataset(4, corpus, seed=2)
+        bad_dir = next(d for d in sorted((tmp_path / "corpus").iterdir()) if d.is_dir())
+        (bad_dir / "zz_corrupt.mid").write_bytes(b"MThd\x00\x00\x00\x06garbage-not-midi")
+        ds = load_midi_folder(corpus, use_cache=False)
+        assert len(ds.images) > 0
+        out = capsys.readouterr().out
+        assert "skipped 1/5" in out
+
+        all_bad = tmp_path / "allbad"
+        all_bad.mkdir()
+        (all_bad / "a.mid").write_bytes(b"\x00" * 32)
+        with pytest.raises(ValueError, match="none of the 1"):
+            load_midi_folder(str(all_bad), use_cache=False)
+
     def test_fetch_midi_synthetic_end_to_end(self):
         from midi_vae_tpu.data.fetch import fetch_dataset
         from midi_vae_tpu.data.transforms import get_transform
@@ -464,6 +484,237 @@ class TestParserRobustness:
                 assert len(out) >= 0  # parsed: result must be well-formed
             except ValueError:
                 pass
+
+
+class TestPythonParserRobustness:
+    """The pure-Python oracle honors the same untrusted-input contract as
+    the C++ parser: ANY malformed byte stream raises ValueError — never
+    IndexError/struct.error/ZeroDivisionError, never an unbounded value."""
+
+    def _write(self, tmp_path, body, ppq=480, ntrks=1):
+        import struct
+
+        p = tmp_path / "x.mid"
+        p.write_bytes(
+            b"MThd" + struct.pack(">IHHH", 6, 0, ntrks, ppq) + b"MTrk" + struct.pack(">I", len(body)) + bytes(body)
+        )
+        return str(p)
+
+    def test_truncations_raise_value_error_only(self, tmp_path):
+        notes = _random_notes(n=30)
+        full = tmp_path / "full.mid"
+        write_smf(notes, str(full))
+        data = full.read_bytes()
+        for cut in range(0, len(data)):
+            p = tmp_path / "cut.mid"
+            p.write_bytes(data[:cut])
+            try:
+                read_smf(str(p))
+            except ValueError:
+                pass  # clean rejection is the contract
+
+    def test_random_mutations_raise_value_error_only(self, tmp_path):
+        rng = np.random.default_rng(3)
+        notes = _random_notes(n=30)
+        full = tmp_path / "full.mid"
+        write_smf(notes, str(full))
+        data = bytearray(full.read_bytes())
+        for trial in range(120):
+            mutated = bytearray(data)
+            for _ in range(rng.integers(1, 8)):
+                mutated[rng.integers(0, len(mutated))] = rng.integers(0, 256)
+            p = tmp_path / "mut.mid"
+            p.write_bytes(bytes(mutated))
+            try:
+                out = read_smf(str(p))
+                assert len(out) >= 0
+            except ValueError:
+                pass
+
+    def test_overlong_varlen_rejected(self, tmp_path):
+        from midi_vae_tpu.midi.smf import _write_varlen
+
+        body = bytes([0x81, 0x80, 0x80, 0x80, 0x00]) + bytes([0x90, 60, 100])  # 5-byte varlen
+        body += _write_varlen(0) + bytes([0xFF, 0x2F, 0x00])
+        with pytest.raises(ValueError, match="exceeds 4 bytes"):
+            read_smf(self._write(tmp_path, body))
+
+    def test_high_bit_note_data_rejected(self, tmp_path):
+        from midi_vae_tpu.midi.smf import _write_varlen
+
+        body = _write_varlen(0) + bytes([0x90, 0x85, 100])  # pitch 133: desynced stream
+        body += _write_varlen(0) + bytes([0xFF, 0x2F, 0x00])
+        with pytest.raises(ValueError, match="out of range"):
+            read_smf(self._write(tmp_path, body))
+
+    def test_bad_mthd_length_rejected(self, tmp_path):
+        import struct
+
+        p = tmp_path / "h.mid"
+        p.write_bytes(b"MThd" + struct.pack(">IHHH", 2, 0, 0, 480) + b"\x00" * 8)
+        with pytest.raises(ValueError, match="MThd"):
+            read_smf(str(p))
+
+    def test_smpte_zero_ticks_per_frame_rejected(self, tmp_path):
+        import struct
+
+        from midi_vae_tpu.midi.smf import _write_varlen
+
+        division = ((256 - 25) << 8) | 0  # SMPTE, 0 ticks/frame: div-by-zero trap
+        body = _write_varlen(0) + bytes([0x90, 60, 100])
+        body += _write_varlen(10) + bytes([0x80, 60, 0])
+        body += _write_varlen(0) + bytes([0xFF, 0x2F, 0x00])
+        p = tmp_path / "s.mid"
+        p.write_bytes(b"MThd" + struct.pack(">IHHH", 6, 0, 1, division) + b"MTrk" + struct.pack(">I", len(body)) + bytes(body))
+        with pytest.raises(ValueError, match="SMPTE"):
+            read_smf(str(p))
+        if native_midiparse_available():
+            with pytest.raises(ValueError):
+                parse_midi_native(str(p))
+
+
+@pytest.mark.skipif(not native_midiparse_available(), reason="no native toolchain")
+class TestParserParity:
+    """Accept/reject AND value parity between the Python oracle and the
+    C++ parser on adversarial inputs (a 5000-trial offline fuzz of this
+    property found zero disagreements; these are the regression trials)."""
+
+    @staticmethod
+    def _both(path):
+        try:
+            py = read_smf(path)
+        except ValueError:
+            py = None
+        try:
+            nat = parse_midi_native(path)
+        except ValueError:
+            nat = None
+        return py, nat
+
+    def test_mutation_fuzz_agreement(self, tmp_path):
+        rng = np.random.default_rng(17)
+        full = tmp_path / "full.mid"
+        write_smf(_random_notes(n=40), str(full), tempo_map=[(0.0, 500000), (5.0, 250000)])
+        data = bytearray(full.read_bytes())
+        p = tmp_path / "m.mid"
+        for trial in range(150):
+            mutated = bytearray(data)
+            for _ in range(rng.integers(1, 8)):
+                mutated[rng.integers(0, len(mutated))] = rng.integers(0, 256)
+            if trial % 5 == 0:
+                mutated = mutated[: rng.integers(0, len(mutated))]
+            p.write_bytes(bytes(mutated))
+            py, nat = self._both(str(p))
+            assert (py is None) == (nat is None), f"accept/reject disagreement at trial {trial}"
+            if py is not None:
+                np.testing.assert_allclose(nat.onset, py.onset, atol=1e-12)
+                np.testing.assert_allclose(nat.duration, py.duration, atol=1e-12)
+                np.testing.assert_array_equal(nat.pitch, py.pitch)
+                np.testing.assert_array_equal(nat.velocity, py.velocity)
+
+    def test_sysex_events_parse_identically(self, tmp_path):
+        """Sysex length follows F0/F7 directly (a former Python off-by-one
+        read it one byte late and desynced against the C++ parser)."""
+        import struct
+
+        from midi_vae_tpu.midi.smf import _write_varlen
+
+        rng = np.random.default_rng(5)
+        payload = bytes(rng.integers(0, 256, 13).astype(np.uint8))
+        body = _write_varlen(0) + bytes([0x90, 60, 100])
+        body += _write_varlen(10) + bytes([0xF0]) + _write_varlen(len(payload)) + payload
+        body += _write_varlen(10) + bytes([0x80, 60, 0])
+        body += _write_varlen(0) + bytes([0xF7]) + _write_varlen(3) + b"\x01\x02\x03"
+        body += _write_varlen(5) + bytes([0x90, 64, 90])
+        body += _write_varlen(5) + bytes([64, 0])  # running status after sysex
+        body += _write_varlen(0) + bytes([0xFF, 0x2F, 0x00])
+        p = tmp_path / "sx.mid"
+        p.write_bytes(b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480) + b"MTrk" + struct.pack(">I", len(body)) + bytes(body))
+        py = read_smf(str(p))
+        nat = parse_midi_native(str(p))
+        assert len(py) == 2
+        np.testing.assert_allclose(nat.onset, py.onset, atol=1e-12)
+        np.testing.assert_array_equal(nat.pitch, py.pitch)
+
+
+class TestRasterizeMemoryBounds:
+    """notes_to_windows allocates only kept windows: a file whose ticks
+    declare an enormous timeline must not demand a timeline-sized buffer."""
+
+    def _huge_delta_file(self, tmp_path):
+        import struct
+
+        from midi_vae_tpu.midi.smf import _write_varlen
+
+        # ppq=1: one max 4-byte varlen (0x0FFFFFFF ticks) sustains a note
+        # for ~134M beats → ~2.7e9 columns at the default resolution. The
+        # old dense rasterizer would try to allocate ~340 GB here.
+        body = _write_varlen(0) + bytes([0x90, 60, 100])
+        body += _write_varlen(0x0FFFFFFF) + bytes([0x80, 60, 0])
+        body += _write_varlen(0) + bytes([0xFF, 0x2F, 0x00])
+        p = tmp_path / "huge.mid"
+        p.write_bytes(b"MThd" + struct.pack(">IHHH", 6, 0, 1, 1) + b"MTrk" + struct.pack(">I", len(body)) + bytes(body))
+        return str(p)
+
+    def test_huge_timeline_stays_small(self, tmp_path):
+        from midi_vae_tpu.midi.rasterize import notes_to_windows
+
+        notes = read_smf(self._huge_delta_file(tmp_path))
+        w = notes_to_windows(notes, steps=128)
+        assert w.shape == (1, 128, 128, 1)  # one onset → one kept window
+        assert (w[0, 60] > 0).all()  # the sustain fills the kept window
+
+    def test_keep_all_windows_is_budget_capped(self, tmp_path):
+        from midi_vae_tpu.midi.rasterize import notes_to_windows
+
+        notes = read_smf(self._huge_delta_file(tmp_path))
+        with pytest.raises(ValueError, match="2 GiB"):
+            notes_to_windows(notes, steps=128, min_notes_per_window=0)
+
+    def test_nonfinite_notes_rejected(self):
+        from midi_vae_tpu.midi.rasterize import notes_to_windows
+
+        bad = NoteArrays(
+            onset=np.array([0.0, np.inf]),
+            duration=np.array([1.0, 1.0]),
+            pitch=np.array([60, 61], np.int32),
+            velocity=np.array([100, 100], np.int32),
+        )
+        with pytest.raises(ValueError, match="finite"):
+            notes_to_windows(bad)
+
+    def test_sparse_matches_dense_reference(self):
+        """The windowed painter is bitwise-equal to the old full-timeline
+        implementation on ordinary corpora (all min_notes_per_window)."""
+        from midi_vae_tpu.midi.rasterize import notes_to_windows
+
+        def dense_reference(notes, pitches=128, steps=128, spc=0.05, min_notes=1):
+            start = np.floor(notes.onset / spc).astype(np.int64)
+            end = np.ceil((notes.onset + np.maximum(notes.duration, 1e-9)) / spc).astype(np.int64)
+            end = np.maximum(end, start + 1)
+            total = int(-(-int(end.max()) // steps) * steps)
+            roll = np.zeros((pitches, total), np.uint8)
+            vel = np.clip((notes.velocity.astype(np.float64) / 127.0) * 255.0, 0, 255).astype(np.uint8)
+            for s, e, p, v in zip(start, end, np.clip(notes.pitch, 0, pitches - 1), vel):
+                row = roll[p, s:e]
+                np.maximum(row, v, out=row)
+            wins = roll.reshape(pitches, total // steps, steps).transpose(1, 0, 2)[..., None]
+            counts = np.bincount(start // steps, minlength=total // steps)
+            return np.ascontiguousarray(wins[counts >= min_notes])
+
+        for seed in range(4):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(5, 120))
+            notes = NoteArrays(
+                onset=np.sort(rng.uniform(0, 60, n)),
+                duration=rng.uniform(0.01, 8.0, n),  # long sustains cross windows
+                pitch=rng.integers(0, 128, n).astype(np.int32),
+                velocity=rng.integers(1, 128, n).astype(np.int32),
+            )
+            for min_notes in (0, 1, 2):
+                got = notes_to_windows(notes, steps=64, min_notes_per_window=min_notes)
+                want = dense_reference(notes, steps=64, min_notes=min_notes)
+                np.testing.assert_array_equal(got, want, err_msg=f"seed={seed} min={min_notes}")
 
 
 class TestSMPTEDivision:
