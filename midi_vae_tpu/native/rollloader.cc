@@ -254,8 +254,16 @@ void* rrd_open(const char* path) {
   ds->h = header[2];
   ds->w = header[3];
   ds->c = header[4];
-  const size_t image_bytes = ds->n * ds->sample_bytes();
-  if (static_cast<size_t>(st.st_size) < 40 + image_bytes + ds->n * sizeof(int64_t)) {
+  // overflow-safe size validation: crafted header dims whose product wraps
+  // 64 bits would pass a naive check and SIGBUS on first row read
+  size_t sample = 0, image_bytes = 0, label_bytes = 0, need = 40;
+  bool overflow = __builtin_mul_overflow(ds->h, ds->w, &sample) ||
+                  __builtin_mul_overflow(sample, ds->c, &sample) ||
+                  __builtin_mul_overflow(ds->n, sample, &image_bytes) ||
+                  __builtin_mul_overflow(ds->n, sizeof(int64_t), &label_bytes) ||
+                  __builtin_add_overflow(need, image_bytes, &need) ||
+                  __builtin_add_overflow(need, label_bytes, &need);
+  if (overflow || static_cast<size_t>(st.st_size) < need) {
     munmap(base, st.st_size);
     ::close(fd);
     delete ds;

@@ -73,7 +73,16 @@ def read_rrd(path: str, mmap: bool = True):
     if len(header) != 5 or header[0] != _MAGIC:
         raise ValueError(f"not an RRD file: {path}")
     n, h, w, c = (int(v) for v in header[1:])
-    image_bytes = n * h * w * c
+    image_bytes = n * h * w * c  # python ints: no overflow
+    # a truncated/corrupt cache must fail loudly here — np.fromfile would
+    # otherwise return SHORT labels silently and desync images from labels
+    need = _HEADER_BYTES + image_bytes + n * 8
+    actual = os.path.getsize(path)
+    if actual < need:
+        raise ValueError(
+            f"corrupt RRD file {path}: header declares {need} bytes, file has {actual} "
+            "(delete the cache and rebuild)"
+        )
     if mmap:
         images = np.memmap(path, dtype=np.uint8, mode="r", offset=_HEADER_BYTES, shape=(n, h, w, c))
     else:

@@ -38,6 +38,41 @@ def test_open_corrupt_raises(tmp_path):
         NativeDataset(path)
 
 
+def test_truncated_rrd_rejected_by_both_readers(rrd_file, tmp_path):
+    """A truncated cache must fail loudly: the C++ side validates declared
+    vs actual bytes (it would SIGBUS on row reads otherwise) and the numpy
+    reader raises instead of returning silently short labels."""
+    from midi_vae_tpu.native.rrd import read_rrd
+
+    path, _, _ = rrd_file
+    data = open(path, "rb").read()
+    cut = str(tmp_path / "cut.rrd")
+    with open(cut, "wb") as f:
+        f.write(data[: len(data) - 64])
+    with pytest.raises(FileNotFoundError):
+        NativeDataset(cut)
+    with pytest.raises(ValueError, match="declares"):
+        read_rrd(cut)
+    with pytest.raises(ValueError, match="declares"):
+        read_rrd(cut, mmap=False)
+
+
+def test_overflowing_header_dims_rejected(tmp_path):
+    """Crafted dims whose byte-size product wraps 64 bits must not pass
+    the size check (n*h*w*c ≡ small mod 2^64 → SIGBUS on first read)."""
+    from midi_vae_tpu.native.rrd import _MAGIC, read_rrd
+
+    path = str(tmp_path / "wrap.rrd")
+    header = np.asarray([_MAGIC, 1 << 32, 1 << 16, 1 << 16, 1], dtype=np.uint64)
+    with open(path, "wb") as f:
+        f.write(header.tobytes())
+        f.write(b"\x00" * 4096)
+    with pytest.raises(FileNotFoundError):
+        NativeDataset(path)
+    with pytest.raises(ValueError):
+        read_rrd(path)
+
+
 def test_unshuffled_epoch_roundtrips_data(rrd_file):
     path, images, labels = rrd_file
     ds = NativeDataset(path)
