@@ -100,6 +100,14 @@ def get_parser() -> argparse.ArgumentParser:
     group.add_argument("--kl-schedule", type=str, default="constant",
                        help="KL weight schedule: constant|multiplicative|linear|cyclical")
     group.add_argument("--kl-warmup-steps", type=int, default=1000)
+    group.add_argument("--kl-cycle-steps", type=int, default=1000,
+                       help="cyclical schedule: full period in steps")
+    group.add_argument("--kl-ramp-fraction", type=float, default=0.5,
+                       help="cyclical schedule: fraction of each period spent ramping 0->target")
+    group.add_argument("--kl-growth", type=float, default=1.005,
+                       help="multiplicative schedule: per-step growth factor (models.py:218-219)")
+    group.add_argument("--kl-cap", type=float, default=1.0,
+                       help="multiplicative schedule: weight ceiling")
     group.add_argument("--log-var-clamp", type=float, nargs=2, default=None, metavar=("MIN", "MAX"),
                        help="Clamp encoder log-variance to [MIN, MAX] in the loss (the option the"
                             " reference left commented out, models.py:210-212).")
@@ -331,6 +339,10 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         kld_weight=args.kld_weight,
         kl_schedule=args.kl_schedule,
         kl_warmup_steps=args.kl_warmup_steps,
+        kl_cycle_steps=args.kl_cycle_steps,
+        kl_ramp_fraction=args.kl_ramp_fraction,
+        kl_growth=args.kl_growth,
+        kl_cap=args.kl_cap,
         log_var_clamp=tuple(args.log_var_clamp) if args.log_var_clamp else None,
         free_bits=args.free_bits,
         bce_pos_weight=args.bce_pos_weight,

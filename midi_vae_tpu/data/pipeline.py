@@ -457,8 +457,10 @@ class DeviceResidentLoader:
         device-resident corpus, no host involvement inside the chunk."""
         import functools
 
-        key_id = id(raw_step)
-        if key_id not in self._scan_cache:
+        # keyed by the function OBJECT (not id()): an id-keyed cache without
+        # a reference would hand a recycled id the stale program compiled
+        # for a previous, freed train step — silent wrong-optimizer training
+        if raw_step not in self._scan_cache:
             core = self._batch_core
 
             @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
@@ -478,8 +480,8 @@ class DeviceResidentLoader:
 
                 return jax.lax.scan(body, state, start + jnp.arange(n_steps))
 
-            self._scan_cache[key_id] = run_chunk
-        return self._scan_cache[key_id]
+            self._scan_cache[raw_step] = run_chunk
+        return self._scan_cache[raw_step]
 
     def epoch_scan(self, state, raw_step, epoch: int, chunk: int = 64):
         """One TRAIN epoch as scan-chunked compiled programs.

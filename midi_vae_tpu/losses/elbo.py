@@ -55,6 +55,11 @@ def bce_from_logits(
     two classes' gradient mass (RESULTS.md "posterior collapse on sparse
     MIDI" — the reconstruction-side fix). ``None``/1.0 = reference parity.
     """
+    # loss math runs in f32 regardless of the model compute dtype: bf16
+    # logits would quantize the loss and its cotangents to ~3 significant
+    # digits (the fused Pallas path casts the same way, ops/fused_elbo.py)
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
     log_p = jnp.maximum(-jax.nn.softplus(-logits), _LOG_CLAMP)
     log_1mp = jnp.maximum(-jax.nn.softplus(logits), _LOG_CLAMP)
     pw = 1.0 if pos_weight is None else pos_weight
@@ -62,7 +67,14 @@ def bce_from_logits(
 
 
 def kl_gaussian(mu: jax.Array, log_var: jax.Array) -> jax.Array:
-    """KL(N(mu, σ²) || N(0, I)): sum over latent dim, mean over batch (models.py:214)."""
+    """KL(N(mu, σ²) || N(0, I)): sum over latent dim, mean over batch (models.py:214).
+
+    Computed in f32: under bf16 compute the encoder heads emit bf16
+    mu/log_var, and a bf16 KL (plus its d/dmu = w·mu/B cotangent) carries
+    only ~3 significant digits — the fused path already casts (ops/
+    fused_elbo.py:51-52), and the two paths must match numerically.
+    """
+    mu, log_var = mu.astype(jnp.float32), log_var.astype(jnp.float32)
     return -0.5 * jnp.mean(jnp.sum(1.0 + log_var - mu**2 - jnp.exp(log_var), axis=-1))
 
 
@@ -78,6 +90,7 @@ def kl_gaussian_free_bits(mu: jax.Array, log_var: jax.Array, free_bits: float) -
     shuts every latent dimension; see RESULTS.md "posterior collapse on
     sparse MIDI"). No reference equivalent.
     """
+    mu, log_var = mu.astype(jnp.float32), log_var.astype(jnp.float32)  # f32 like kl_gaussian
     kl_dim = -0.5 * jnp.mean(1.0 + log_var - mu**2 - jnp.exp(log_var), axis=0)  # [latent]
     return jnp.sum(jnp.maximum(kl_dim, free_bits))
 

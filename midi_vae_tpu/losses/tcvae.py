@@ -50,6 +50,9 @@ def tc_decomposition(
     log(N·M); the estimator is biased for small batches but consistent.
     """
     B = z.shape[0]
+    # f32 throughout: the [B,B,D] density matrix and its logsumexp would
+    # otherwise run in the model compute dtype (bf16 carries ~3 digits)
+    z, mu, log_var = (a.astype(jnp.float32) for a in (z, mu, log_var))
     # [B, B, D]: log q(z_i[d] | x_j) for every pair (i, j)
     mat = _gaussian_log_density(z[:, None, :], mu[None, :, :], log_var[None, :, :])
     log_norm = jnp.log(jnp.float32(B * dataset_size))

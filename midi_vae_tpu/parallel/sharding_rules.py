@@ -55,7 +55,7 @@ def shard_state(state, mesh: Mesh, param_specs):
     sharded_params = jax.tree_util.tree_map(
         lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)), state.params, param_specs
     )
-    rest = jax.device_put(
-        state.replace(params=state.params), replicated(mesh)
-    )
+    # replicate the REST only: putting the params tree here too would upload
+    # a full per-device copy of the largest tensors just to discard it
+    rest = jax.device_put(state.replace(params={}), replicated(mesh))
     return rest.replace(params=sharded_params)

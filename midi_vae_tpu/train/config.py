@@ -51,6 +51,10 @@ class TrainConfig:
     kld_weight: float = 1.0
     kl_schedule: str = "constant"  # constant | multiplicative | linear | cyclical
     kl_warmup_steps: int = 1000
+    kl_cycle_steps: int = 1000  # cyclical: full period in steps
+    kl_ramp_fraction: float = 0.5  # cyclical: fraction of the period spent ramping
+    kl_growth: float = 1.005  # multiplicative: per-step growth (models.py:218-219)
+    kl_cap: float = 1.0  # multiplicative: ceiling
     loss_type: str = "elbo"  # elbo | beta-tc (losses/tcvae.py)
     tc_beta: float = 6.0  # TC penalty for loss_type=beta-tc
     log_var_clamp: Optional[Tuple[float, float]] = None

@@ -228,7 +228,13 @@ def run(config: TrainConfig) -> dict:
         freeze_encoder=config.freeze_encoder,
     )
     kl_sched = kl_weight_schedule(
-        config.kl_schedule, config.kld_weight, warmup_steps=config.kl_warmup_steps
+        config.kl_schedule,
+        config.kld_weight,
+        warmup_steps=config.kl_warmup_steps,
+        period=config.kl_cycle_steps,
+        ramp_fraction=config.kl_ramp_fraction,
+        growth=config.kl_growth,
+        cap=config.kl_cap,
     )
 
     # STATE ===================================================================
@@ -591,6 +597,14 @@ def run(config: TrainConfig) -> dict:
     results["n_samples_seen"] = n_samples_seen
     results["best_epoch"] = best_stats["best_epoch"]
     results["duration_total"] = time.time() - t_run_start
+    # free loader resources: NativeDeviceLoader owns C++ threads + an mmap,
+    # DeviceResidentLoader pins corpus HBM — a long-lived process driving
+    # several run() calls (sweeps, tests) must not accumulate them
+    for ldr in (loader_train, loader_val, loader_test, loader_train_eval):
+        if hasattr(ldr, "close"):
+            ldr.close()
+        elif hasattr(ldr, "release"):
+            ldr.release()
     logger.close()
     return results
 
@@ -685,7 +699,7 @@ def train_one_epoch(
 
         if epoch <= 1 and batch_idx == 0:
             print("stimuli.shape =", tuple(batch.x.shape))
-            print("logits.shape  =", tuple(lo.loss.shape) or "scalar")
+            print("loss.shape    =", tuple(lo.loss.shape) or "scalar")
             print("loss =", float(lo.loss))
 
         if is_print or is_log:

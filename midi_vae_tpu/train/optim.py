@@ -64,9 +64,13 @@ def _base_optimizer(
         if weight_decay:
             opt = optax.chain(optax.add_decayed_weights(weight_decay), opt)
     elif key == "sgd":
-        opt = optax.inject_hyperparams(optax.sgd)(
-            learning_rate=learning_rate, momentum=b1 if b1 is not None else 0.9
-        )
+        # torch.optim.SGD defaults to momentum=0 (plain SGD) — a silent 0.9
+        # here would change optimization dynamics vs a torch baseline;
+        # momentum applies only while the OneCycle momentum cycle drives b1
+        if b1 is not None:
+            opt = optax.inject_hyperparams(optax.sgd)(learning_rate=learning_rate, momentum=b1)
+        else:
+            opt = optax.inject_hyperparams(optax.sgd)(learning_rate=learning_rate)
         if weight_decay:
             opt = optax.chain(optax.add_decayed_weights(weight_decay), opt)
     elif key == "rmsprop":

@@ -104,6 +104,29 @@ def test_elbo_gradients_flow():
     np.testing.assert_allclose(np.asarray(g), 0.2 / 32, rtol=1e-5)
 
 
+def test_loss_math_runs_in_f32_under_bf16_compute():
+    """bf16 model outputs must not quantize the loss: the unfused path
+    casts to f32 like the fused Pallas kernels do (a bf16 KL carries ~3
+    significant digits and measurably diverged from the fused path)."""
+    rng = np.random.default_rng(0)
+    logits32 = rng.normal(0, 3, (8, 16, 16, 1)).astype(np.float32)
+    targets = rng.uniform(0, 1, (8, 16, 16, 1)).astype(np.float32)
+    mu32 = rng.normal(0, 1, (8, 10)).astype(np.float32)
+    lv32 = rng.normal(0, 1, (8, 10)).astype(np.float32)
+
+    def loss_of(dtype):
+        out = make_output(
+            jnp.asarray(logits32, dtype), targets, jnp.asarray(mu32, dtype), jnp.asarray(lv32, dtype)
+        )
+        return elbo_loss(out, kld_weight=0.5)
+
+    lo16, lo32 = loss_of(jnp.bfloat16), loss_of(jnp.float32)
+    assert lo16.loss.dtype == jnp.float32
+    # the only error left is the bf16 rounding of the INPUTS, not the math
+    np.testing.assert_allclose(float(lo16.loss), float(lo32.loss), rtol=2e-2)
+    np.testing.assert_allclose(float(lo16.kl), float(lo32.kl), rtol=2e-2)
+
+
 class TestKLSchedules:
     def test_constant(self):
         s = kl_weight_schedule("constant", 0.3)

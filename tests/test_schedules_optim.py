@@ -124,6 +124,28 @@ class TestBuildOptimizer:
         with pytest.raises(ValueError):
             build_optimizer(_toy_params(), param_group_label, optimizer="Shampoo2000", total_steps=10)
 
+    def test_sgd_without_momentum_cycle_is_plain_sgd(self):
+        """torch.optim.SGD defaults to momentum=0; with the OneCycle
+        momentum cycle off, two identical-gradient steps must produce
+        identical updates (heavy-ball 0.9 would grow the second one)."""
+        params = _toy_params()
+        bundle = build_optimizer(
+            params,
+            param_group_label,
+            optimizer="SGD",
+            lr=1.0,
+            scheduler="constant",
+            total_steps=10,
+            cycle_momentum=False,
+        )
+        opt_state = bundle.tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        up1, opt_state = bundle.tx.update(grads, opt_state, params)
+        up2, _ = bundle.tx.update(grads, opt_state, params)
+        np.testing.assert_allclose(
+            np.asarray(up1["decoder"]["kernel"]), np.asarray(up2["decoder"]["kernel"]), rtol=1e-6
+        )
+
 
 def test_frozen_encoder_group_still_logged_at_zero_lr():
     """--freeze-encoder keeps the encoder group in the LR log at 0.0

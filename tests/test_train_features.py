@@ -196,6 +196,49 @@ def test_cli_flags_reach_config():
     assert config0.grad_accum == 1 and config0.ema_decay is None and config0.remat is False
 
 
+def test_kl_schedule_knobs_reach_the_schedule(tmp_path, monkeypatch):
+    """--kl-cycle-steps/--kl-ramp-fraction/--kl-growth/--kl-cap must flow
+    from TrainConfig into kl_weight_schedule (they were silently pinned to
+    the schedule defaults before, making 'cyclical' uncontrollable)."""
+    import midi_vae_tpu.train.loop as loop_mod
+    from midi_vae_tpu.losses.schedules import kl_weight_schedule
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    seen = {}
+
+    def spy(kind, weight, **kw):
+        seen.update(kind=kind, weight=weight, **kw)
+        return kl_weight_schedule(kind, weight, **kw)
+
+    monkeypatch.setattr(loop_mod, "kl_weight_schedule", spy)
+    run(
+        TrainConfig(
+            dataset_name="vae-lines-synthetic",
+            transform_type="noaug",
+            image_size=32,
+            arch="MLPVAE",
+            n_features=8,
+            hidden_dims=(64,),
+            epochs=1,
+            batch_size_per_device=16,
+            num_devices=1,
+            seed=0,
+            models_dir=str(tmp_path / "kl"),
+            log_images=False,
+            kl_schedule="cyclical",
+            kld_weight=0.25,
+            kl_cycle_steps=7,
+            kl_ramp_fraction=0.25,
+            kl_growth=1.01,
+            kl_cap=0.5,
+        )
+    )
+    assert seen["kind"] == "cyclical" and seen["weight"] == 0.25
+    assert seen["period"] == 7 and seen["ramp_fraction"] == 0.25
+    assert seen["growth"] == 1.01 and seen["cap"] == 0.5
+
+
 class TestScanChunkedTraining:
     """--scan-steps N: lax.scan epochs over the device-resident corpus."""
 
