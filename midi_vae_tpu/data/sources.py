@@ -101,9 +101,12 @@ def open_rrd_stream(path: str) -> RRDStreamDataset:
 
 
 def rrd_shape(path: str):
-    """(n, h, w, c) of an RRD file from its header."""
-    header = np.fromfile(path, dtype=np.uint64, count=5)
-    return tuple(int(v) for v in header[1:5])
+    """(n, h, w, c) of an RRD file from its (validated) header."""
+    from midi_vae_tpu.native.rrd import read_rrd
+
+    # read_rrd validates magic + declared-vs-actual size; mmap keeps it cheap
+    images, _ = read_rrd(path, mmap=True)
+    return images.shape
 
 
 # ---------------------------------------------------------------- ImageFolder
@@ -205,19 +208,24 @@ def load_midi_folder(
     spc_tag = f"{seconds_per_step:g}".replace(".", "p")
     cache = os.path.join(root, f"_midi_cache_{pitches}x{steps}@{spc_tag}.rrd")
     class_dirs = sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+    # the class-tree decision must be identical on the cache-hit and build
+    # paths: a non-MIDI subdir next to flat .mid files previously made the
+    # cached load report that subdir as class 0 while the cache's labels
+    # were built flat (all 0, class "midi")
+    classified = bool(class_dirs) and any(
+        f.lower().endswith(MIDI_EXTENSIONS) for d in class_dirs for f in os.listdir(os.path.join(root, d))
+    )
     if use_cache and os.path.isfile(cache):
         images, labels = read_rrd(cache)
         return ArrayDataset(
             images=np.asarray(images),
             labels=labels,
             name=os.path.basename(root),
-            class_names=class_dirs or ["midi"],
+            class_names=class_dirs if classified else ["midi"],
         )
     sources: List[Tuple[str, int]] = []  # (file path, label)
     class_names: List[str]
-    if class_dirs and any(
-        f.lower().endswith(MIDI_EXTENSIONS) for d in class_dirs for f in os.listdir(os.path.join(root, d))
-    ):
+    if classified:
         class_names = class_dirs
         for idx, cls in enumerate(class_dirs):
             cdir = os.path.join(root, cls)
@@ -366,7 +374,10 @@ def download_mnist(root: str) -> None:
         last_err = None
         for base in _MNIST_URLS:
             try:
-                urllib.request.urlretrieve(base + fname, dest)
+                # tmp+rename like download_svhn: an interrupted transfer must
+                # not leave a truncated file that later runs treat as complete
+                urllib.request.urlretrieve(base + fname, dest + ".tmp")
+                os.rename(dest + ".tmp", dest)
                 break
             except OSError as e:  # pragma: no cover - network-dependent
                 last_err = e

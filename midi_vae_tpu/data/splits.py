@@ -43,6 +43,11 @@ def create_train_val_split(
     import sklearn.model_selection
 
     n_splits = round(1.0 / split_rate)
+    if n_splits < 2:
+        raise ValueError(
+            f"protoval split rate {split_rate} implies {n_splits} K-fold split(s); "
+            "K-fold needs >= 2 (use a split rate <= 2/3)"
+        )
     if (1.0 / n_splits) != split_rate:
         warnings.warn(
             "The requested train/val split rate is not possible when using"

@@ -19,7 +19,10 @@ Deviations from the reference, deliberate:
   once per run; here every line draws its own width in [1, 5].
 - duplicate filtering drops duplicates but tops the set back up so
   exactly ``num_images`` are returned (the reference silently returns
-  fewer, data_generators.py:80-84).
+  fewer, data_generators.py:80-84). When the UNIQUE-image space itself
+  is smaller than ``num_images`` (tiny canvas, few line positions), the
+  attempt budget runs out and a warning reports the shortfall — unlike
+  the reference, which stays silent.
 """
 
 from __future__ import annotations
@@ -90,6 +93,17 @@ def generate_line_images(
             seen.add(fingerprint)
         images.append(img)
         labels.append(num_lines)
+    if len(images) < num_images:
+        import warnings
+
+        warnings.warn(
+            f"generate_line_images: unique-image space exhausted at {len(images)}/"
+            f"{num_images} after {attempts} attempts; returning the smaller set",
+            UserWarning,
+            stacklevel=2,
+        )
+    if not images:  # num_images == 0: np.stack rejects an empty list
+        return np.zeros((0, height, width), np.uint8), np.zeros(0, np.int64)
     return np.stack(images), np.asarray(labels, dtype=np.int64)
 
 

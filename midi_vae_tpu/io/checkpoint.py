@@ -169,13 +169,27 @@ def copy_best(checkpoint_path: str, best_path: Optional[str] = None) -> str:
     if os.path.isdir(checkpoint_path):
         if best_path is None:
             best_path = os.path.join(os.path.dirname(checkpoint_path), ORBAX_BEST_MODEL)
+        # same crash model as save_checkpoint: stage the full copy, then
+        # swap — rmtree-before-copytree left NO best model at all if the
+        # process died inside the copy window
+        staging = best_path + ".staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        shutil.copytree(checkpoint_path, staging)
+        old = best_path + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         if os.path.isdir(best_path):
-            shutil.rmtree(best_path)
-        shutil.copytree(checkpoint_path, best_path)
+            os.rename(best_path, old)
+        os.rename(staging, best_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         return best_path
     if best_path is None:
         best_path = os.path.join(os.path.dirname(checkpoint_path), BEST_MODEL)
-    shutil.copyfile(checkpoint_path, best_path)
+    # tmp+rename: a preemption mid-copy must not leave a truncated best file
+    shutil.copyfile(checkpoint_path, best_path + ".tmp")
+    os.replace(best_path + ".tmp", best_path)
     return best_path
 
 

@@ -117,7 +117,11 @@ class MetricLogger:
         uploaded = {k: v for k, v in (config or {}).items() if k not in EXCLUDED_WANDB_CONFIG_KEYS}
         kwargs = dict(entity=entity, project=project, name=run_name, config=uploaded, tags=list(tags))
         if resume_id:
-            self._wandb = wandb.init(resume=resume_id, **kwargs)
+            # modern API: the run id rides `id=`, `resume="must"` asserts the
+            # run exists (the legacy `resume=<id>` form is deprecated and
+            # starts a FRESH run on current wandb versions, silently breaking
+            # preemption resume)
+            self._wandb = wandb.init(id=resume_id, resume="must", **kwargs)
         else:
             self._wandb = wandb.init(id=run_id, **kwargs)
             if id_file:

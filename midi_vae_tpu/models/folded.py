@@ -166,6 +166,11 @@ class FoldedVAE(VanillaVAE):
     def setup(self):
         if self.torch_compat or self.stem != "conv" or self.head != "deconv":
             raise ValueError("FoldedVAE has its own layout; stem/head/torch_compat do not apply")
+        if self.fold < 2:
+            # the head's depth-to-space provides the final ×fold upsample;
+            # at fold=1 the decoder would come out one stage short of
+            # decoded_size (use VanillaVAE for the unfolded layout)
+            raise ValueError(f"FoldedVAE needs fold >= 2, got {self.fold}")
         if self.input_dim % self.fold:
             raise ValueError(f"input_dim={self.input_dim} not divisible by fold={self.fold}")
         rev = tuple(reversed(self.hidden_dims))

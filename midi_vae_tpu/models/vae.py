@@ -606,7 +606,11 @@ def param_group_label(path: tuple, _leaf=None) -> str:
     ``decoder_input`` onward trains with the decoder group.
     """
     top = str(getattr(path[0], "key", path[0]))
-    if top in ("encoder", "fc_mu", "fc_var"):
+    # prefix match, not equality: flax auto-names list-valued setup
+    # attributes "encoder_0", "encoder_1", ... (MLPVAE's dense stacks),
+    # and an exact match silently filed those under the decoder group —
+    # --freeze-encoder / --lr-encoder-mult applied to the wrong layers
+    if top == "encoder" or top.startswith("encoder_") or top in ("fc_mu", "fc_var"):
         return "encoder"
     return "decoder"
 

@@ -79,6 +79,14 @@ def test_copy_best(tmp_path):
     best = copy_best(path)
     assert os.path.basename(best) == "best_model.msgpack"
     assert load_checkpoint(best)["epoch"] == 4
+    # atomic overwrite: a second copy replaces the best in place, and no
+    # staging/tmp residue survives (preemption mid-copy must never leave
+    # a truncated or missing best file)
+    save_checkpoint(path, _state(), epoch=7)
+    copy_best(path)
+    assert load_checkpoint(best)["epoch"] == 7
+    leftovers = [f for f in os.listdir(tmp_path) if ".tmp" in f or ".staging" in f or ".old" in f]
+    assert leftovers == []
 
 
 class TestRestoreConfig:

@@ -41,6 +41,19 @@ class TestSynthetic:
         img = images[0]
         assert (img.sum(axis=0) == 255 * 28).any() or (img.sum(axis=1) == 255 * 28).any()
 
+    def test_exhausted_unique_space_warns_not_silent(self):
+        """A tiny canvas can't supply 5000 unique images — the shortfall is
+        reported (the reference returns fewer silently)."""
+        with pytest.warns(UserWarning, match="unique-image space exhausted"):
+            images, labels = generate_line_images(
+                5000, img_size=(4, 4), max_lines=1, line_width=1, seed=0
+            )
+        assert 0 < len(images) < 5000
+        assert len(images) == len(labels)
+        # num_images=0 returns well-formed empties (np.stack rejects [])
+        e_img, e_lbl = generate_line_images(0, img_size=(4, 4))
+        assert e_img.shape == (0, 4, 4) and e_lbl.shape == (0,)
+
     def test_host_generator_deterministic(self):
         a, _ = generate_line_images(50, seed=3)
         b, _ = generate_line_images(50, seed=3)
@@ -155,6 +168,12 @@ class TestSplits:
             for j in range(i + 1, 10):
                 assert not vals[i] & vals[j]
         assert set().union(*vals) == set(range(100))
+
+    def test_split_rate_above_two_thirds_clear_error(self):
+        """rate > 2/3 rounds to n_splits=1; the boundary rejects it with a
+        clear message instead of sklearn's opaque n_splits error."""
+        with pytest.raises(ValueError, match="split rate"):
+            create_train_val_split(100, split_rate=0.8, split_id=0)
 
     def test_stratified_when_labels(self):
         labels = np.array([0] * 50 + [1] * 50)

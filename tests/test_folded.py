@@ -98,3 +98,8 @@ def test_registry_and_validation():
     bad3 = FoldedVAE(in_channels=1, latent_dim=4, input_dim=32, hidden_dims=(8,), fold=4)
     with pytest.raises(ValueError, match="exceeds"):
         _init(bad3, jnp.zeros((1, 32, 32, 1)))
+    # fold=1 would leave the decoder one upsample short of decoded_size
+    # (the head's depth-to-space provides the final xfold) — clear error
+    bad4 = FoldedVAE(in_channels=1, latent_dim=4, input_dim=32, hidden_dims=(8, 16), fold=1)
+    with pytest.raises(ValueError, match="fold >= 2"):
+        _init(bad4, jnp.zeros((1, 32, 32, 1)))

@@ -331,6 +331,25 @@ class TestMidiDatasets:
         np.testing.assert_array_equal(np.asarray(ds2.images), np.asarray(ds.images))
         np.testing.assert_array_equal(ds2.labels, ds.labels)
 
+    def test_cache_hit_class_names_match_build(self, tmp_path):
+        """A non-MIDI subdir next to flat .mid files must not change the
+        reported class names between the build pass and the cache hit
+        (labels are baked flat into the cache)."""
+        from midi_vae_tpu.data.sources import load_midi_folder
+        from midi_vae_tpu.midi.factory import random_notes
+        from midi_vae_tpu.midi.smf import write_smf
+
+        root = tmp_path / "flat"
+        root.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            write_smf(random_notes(rng, 32), str(root / f"f{i}.mid"))
+        (root / "unrelated_dir").mkdir()  # no .mid inside
+        first = load_midi_folder(str(root))
+        second = load_midi_folder(str(root))  # cache hit
+        assert first.class_names == second.class_names == ["midi"]
+        np.testing.assert_array_equal(first.labels, second.labels)
+
     def test_corrupt_file_skipped_not_fatal(self, tmp_path, capsys):
         """One unparseable .mid in a corpus is skipped with a warning; an
         all-corrupt corpus is a clear error (data/sources.py ingest loop)."""

@@ -225,6 +225,26 @@ def test_param_group_labels():
     assert {"encoder", "decoder"} == set(seen.values())
 
 
+def test_param_group_labels_mlp():
+    """flax names MLPVAE's list-valued setup stacks encoder_0/encoder_1 —
+    the group mapper must file them under 'encoder' (an exact-name match
+    silently put them in the decoder group, so --freeze-encoder froze only
+    the latent heads while the encoder kept training)."""
+    from midi_vae_tpu.models import build_model
+
+    m = build_model("MLPVAE", in_channels=1, latent_dim=8, input_dim=32, hidden_dims=(64, 32))
+    variables = m.init(
+        {"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)},
+        jnp.zeros((2, 32, 32, 1)),
+        train=False,
+    )
+    labels = jax.tree_util.tree_map_with_path(param_group_label, variables["params"])
+    for top, sub in variables["params"].items():
+        want = "encoder" if top.startswith(("encoder", "fc_mu", "fc_var")) else "decoder"
+        got = set(jax.tree_util.tree_leaves(labels[top]))
+        assert got == {want}, (top, got)
+
+
 def test_init_stats_covers_all_kernels():
     _, variables = make_model()
     stats = init_stats(variables["params"])
