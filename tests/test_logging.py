@@ -86,3 +86,35 @@ def test_wandb_config_exclusion_list(tmp_path, monkeypatch):
     assert up["epochs"] == 5 and up["lr_relative"] == 0.01
     for noisy in ("log_wandb", "wandb_entity", "wandb_project", "run_name", "run_id", "model_output_dir"):
         assert noisy not in up
+
+
+def test_wandb_preemption_resume_uses_modern_api(tmp_path, monkeypatch):
+    """A persisted run id must resume via id=.../resume='must' — the legacy
+    wandb.init(resume=<id>) form silently starts a FRESH run on current
+    wandb versions, breaking the preemption-resume contract (utils.py:63-78)."""
+    import sys
+    import types
+
+    calls = []
+
+    fake = types.ModuleType("wandb")
+
+    class _Run:
+        id = "persisted-id"
+
+        def log(self, *a, **k):
+            pass
+
+    fake.init = lambda **kw: (calls.append(kw), _Run())[1]
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from midi_vae_tpu.io.logging import MetricLogger
+
+    # first init: writes the run-id file
+    MetricLogger(str(tmp_path), use_wandb=True, run_id="persisted-id")
+    assert calls[0]["id"] == "persisted-id" and "resume" not in calls[0]
+    assert open(f"{tmp_path}/wandb_runid.txt").read().strip() == "persisted-id"
+    # preemption restart: same output dir → resume by id, must-exist
+    MetricLogger(str(tmp_path), use_wandb=True, run_id="fresh-would-be-wrong")
+    assert calls[1]["id"] == "persisted-id"
+    assert calls[1]["resume"] == "must"
