@@ -123,6 +123,13 @@ class MicroBatcher:
                 pending.append(item)
                 total += len(item[0])
             self._dispatch(pending)
+        # shutdown: a carry deferred mid-tick must not strand its waiter —
+        # close() may have drained BEFORE this tick parked the item. Under
+        # the submit lock so close()'s own carry handling cannot double-set.
+        with self._submit_lock:
+            if self._carry is not None:
+                self._carry[1].set_exception(RuntimeError("batcher closed"))
+                self._carry = None
 
     def _dispatch(self, pending: Sequence):
         try:

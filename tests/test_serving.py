@@ -120,6 +120,30 @@ class TestMicroBatcher:
         assert batcher.batches_dispatched == len(calls) == 3
         batcher.close()
 
+    def test_close_never_strands_a_carried_request(self):
+        """A request parked in the carry slot mid-tick must resolve (with
+        'batcher closed') when close() races the tick — the loop's exit
+        path resolves it even after close()'s drain already ran."""
+        import time
+
+        from midi_vae_tpu.serving.batcher import MicroBatcher
+
+        def slow_double(x):
+            time.sleep(0.2)
+            return x * 2
+
+        batcher = MicroBatcher(slow_double, max_batch=4, max_wait_ms=500)
+        f_a = batcher.submit(np.ones((4, 2), np.float32))  # tick 1 dispatches
+        time.sleep(0.05)
+        f_b = batcher.submit(np.ones((3, 2), np.float32))  # tick 2 head
+        f_c = batcher.submit(np.ones((4, 2), np.float32))  # overflows → carried
+        time.sleep(0.25)  # tick 2 is now dispatching f_b with f_c parked
+        batcher.close()
+        np.testing.assert_array_equal(f_a.result(timeout=5), np.full((4, 2), 2, np.float32))
+        np.testing.assert_array_equal(f_b.result(timeout=5), np.full((3, 2), 2, np.float32))
+        with pytest.raises(RuntimeError, match="closed"):
+            f_c.result(timeout=5)
+
     def test_closed_batcher_rejects(self):
         batcher = MicroBatcher(lambda x: x, max_wait_ms=1.0)
         batcher.close()
