@@ -236,7 +236,9 @@ def get_parser() -> argparse.ArgumentParser:
                             "budget (MIDI_VAE_DEVICE_DATA_BUDGET_MB, default 2048) to device once "
                             "— the per-epoch shuffle, gather, and transforms then run entirely "
                             "on device with no per-batch host copies; 'host' keeps the streaming "
-                            "loaders; 'device' forces residency. Default: %(default)s")
+                            "loaders; 'device' forces residency (multi-host too: the corpus is "
+                            "assembled as a global array from identical per-process data; auto "
+                            "stays host-fed on pods). Default: %(default)s")
     group.add_argument("--multihost", action="store_true",
                        help="Initialize jax.distributed for multi-host (TPU pod) training: one "
                             "process per host, coordinator discovered from the standard JAX env "

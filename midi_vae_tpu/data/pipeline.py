@@ -336,9 +336,16 @@ class DeviceResidentLoader:
     ``host_rng`` epoch permutation, same per-batch crop-key derivation,
     same zero-padding/mask layout for the final eval batch.
 
-    Single-process only (a multi-host pod has local PCIe and its batch is
-    sharded across processes; ``make_loader`` routes those to the host
-    loaders).
+    Multi-process (multi-controller SPMD) works too: every process holds
+    the same host corpus (same fetch, same broadcast seed), so the
+    replicated corpus and the batch-sharded planes are assembled as
+    global arrays from identical process-local data
+    (``jax.make_array_from_callback`` — no cross-host transfer; each
+    process uploads only to its own devices). Requires a
+    ``NamedSharding`` over the global mesh. ``make_loader``'s ``auto``
+    placement stays host-fed on pods (local PCIe overlaps compute; the
+    device-resident win targets hosts with expensive transfer links) —
+    opt in with ``--data-placement device``.
     """
 
     def __init__(
@@ -351,8 +358,11 @@ class DeviceResidentLoader:
         sharding: Optional[jax.sharding.Sharding] = None,
         prefetch: int = 2,  # accepted for interface parity; gathers are already async
     ):
-        if jax.process_count() > 1:
-            raise ValueError("device-resident placement is single-process; use the host loaders")
+        self._multiproc = jax.process_count() > 1
+        if self._multiproc and not isinstance(sharding, jax.sharding.NamedSharding):
+            raise ValueError(
+                "multi-process device-resident placement needs a NamedSharding over the global mesh"
+            )
         if len(dataset) == 0:
             raise ValueError("empty dataset")
         self.dataset = dataset
@@ -378,8 +388,8 @@ class DeviceResidentLoader:
             replicated = None
             self._plane_sharding = None
         # THE one-time corpus upload (uint8 — 4× less link traffic than f32)
-        self._images = jax.device_put(dataset.images, replicated)
-        self._labels = jax.device_put(dataset.labels.astype(np.int32), replicated)
+        self._images = self._put_global(dataset.images, replicated)
+        self._labels = self._put_global(dataset.labels.astype(np.int32), replicated)
 
         spec = dataset.transform
         use_key = bool(train) and spec is not None
@@ -401,6 +411,21 @@ class DeviceResidentLoader:
         self._scan_cache: dict = {}
         self.corpus_nbytes = int(self._images.nbytes) + int(self._labels.nbytes)
         _resident_loaders.add(self)
+
+    def _put_global(self, arr: np.ndarray, sharding):
+        """Place a host array on the (possibly multi-process) mesh.
+
+        Single-process: plain ``device_put`` (one transfer + broadcast).
+        Multi-controller: ``device_put`` cannot address remote shards, so
+        the global array is assembled from process-local data — every
+        process holds the identical full host array (same dataset fetch,
+        same broadcast seed for the epoch planes) and the callback hands
+        each local device its shard. No cross-host data movement.
+        """
+        arr = np.ascontiguousarray(arr)
+        if not self._multiproc:
+            return jax.device_put(arr, sharding)
+        return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
     def release(self) -> None:
         """Drop the on-device corpus and leave the HBM data budget.
@@ -448,8 +473,8 @@ class DeviceResidentLoader:
             if pad:
                 order = np.concatenate([order, np.zeros(pad, order.dtype)])
             masks = (np.arange(nb * B) < n).astype(np.float32)
-        order_dev = jax.device_put(order.reshape(nb, B).astype(np.int32), self._plane_sharding)
-        masks_dev = jax.device_put(masks.reshape(nb, B), self._plane_sharding)
+        order_dev = self._put_global(order.reshape(nb, B).astype(np.int32), self._plane_sharding)
+        masks_dev = self._put_global(masks.reshape(nb, B), self._plane_sharding)
         return order_dev, masks_dev
 
     def _chunk_program(self, raw_step):
@@ -573,20 +598,25 @@ def make_loader(
     - ``"host"`` — the host-fed paths: RRD streams → the native C++
       threaded loader, in-memory arrays → :class:`DeviceLoader`.
     - ``"device"`` — force :class:`DeviceResidentLoader` (corpus uploaded
-      to HBM once; raises if multi-process).
+      to HBM once). Works multi-process too (global arrays from identical
+      process-local data; needs a NamedSharding over the global mesh).
     - ``"auto"`` — device-resident when the corpus fits the HBM data
-      budget (single-process), else the host path.
+      budget AND the run is single-process; pods default to the host
+      loaders (local PCIe overlaps compute — opt in with ``device``).
     """
     if placement not in ("host", "device", "auto"):
         raise ValueError(f"unknown placement: {placement!r} (host|device|auto)")
     if placement != "host":
         multiproc = jax.process_count() > 1
-        if placement == "device" and multiproc:
-            raise ValueError("--data-placement device is single-process; multi-host runs use the host loaders")
+        if placement == "device":
+            return DeviceResidentLoader(
+                _materialize(dataset), batch_size, train=train, seed=seed,
+                sharding=sharding, prefetch=prefetch,
+            )
         if not multiproc:
             nbytes = _corpus_nbytes(dataset)
             resident = _resident_nbytes()
-            if placement == "device" or nbytes + resident <= _device_data_budget():
+            if nbytes + resident <= _device_data_budget():
                 return DeviceResidentLoader(
                     _materialize(dataset), batch_size, train=train, seed=seed,
                     sharding=sharding, prefetch=prefetch,

@@ -144,6 +144,35 @@ def main() -> None:
             native_loader.close()
             rrd_status = "ok"
 
+    # Device-resident loader under real multi-controller SPMD: corpus and
+    # epoch planes become global arrays assembled from identical
+    # process-local data (make_array_from_callback — no cross-host
+    # transfer). Every batch must equal the host-fed DeviceLoader's, and a
+    # resident-fed training run must reproduce the host-fed loss trace.
+    from midi_vae_tpu.data.pipeline import DeviceResidentLoader
+
+    resident = DeviceResidentLoader(dataset, global_batch, train=True, seed=seed, sharding=x_sharding)
+    for i, (rb, hb) in enumerate(zip(resident.epoch(1), loader.epoch(1))):
+        np.testing.assert_array_equal(
+            _local_shard_concat(rb.x),
+            _local_shard_concat(hb.x),
+            err_msg=f"resident vs host-fed batch {i} diverged on process {process_id}",
+        )
+        np.testing.assert_array_equal(_local_shard_concat(rb.y), _local_shard_concat(hb.y))
+    state_r = create_train_state(model, bundle.tx, jax.random.PRNGKey(seed), jnp.zeros((2, 16, 16, 1)))
+    state_r = replicate(state_r, mesh)
+    losses_r = []
+    for epoch in range(1, epochs + 1):
+        ekey = epoch_key(seed, epoch)
+        for batch in resident.epoch(epoch):
+            state_r, lo, _ = train_step(state_r, batch.x, ekey)
+            losses_r.append(float(lo.loss))
+    np.testing.assert_allclose(
+        np.asarray(losses_r), np.asarray(losses), rtol=0, atol=1e-6,
+        err_msg="device-resident training diverged from the host-fed loss trace",
+    )
+    resident.release()
+
     if jax.process_index() == 0:
         flat = np.concatenate(
             [np.asarray(jax.device_get(p), np.float64).ravel() for p in jax.tree_util.tree_leaves(state.params)]
