@@ -171,6 +171,20 @@ def main() -> None:
         np.asarray(losses_r), np.asarray(losses), rtol=0, atol=1e-6,
         err_msg="device-resident training diverged from the host-fed loss trace",
     )
+
+    # Scan-chunked epochs under multi-controller SPMD: lax.scan over the
+    # resident corpus (uneven chunk size on purpose) must reproduce the
+    # same loss trace as the per-batch paths.
+    state_s = create_train_state(model, bundle.tx, jax.random.PRNGKey(seed), jnp.zeros((2, 16, 16, 1)))
+    state_s = replicate(state_s, mesh)
+    losses_s = []
+    for epoch in range(1, epochs + 1):
+        for state_s, ys in resident.epoch_scan(state_s, train_step.raw_step_fn, epoch, chunk=3):
+            losses_s.extend(np.asarray(ys)[:, 0].tolist())
+    np.testing.assert_allclose(
+        np.asarray(losses_s), np.asarray(losses), rtol=0, atol=1e-6,
+        err_msg="scan-chunked training diverged from the per-batch loss trace",
+    )
     resident.release()
 
     if jax.process_index() == 0:
