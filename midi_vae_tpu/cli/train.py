@@ -196,6 +196,10 @@ def get_parser() -> argparse.ArgumentParser:
                             "first --profile-epochs epochs to this directory.")
     group.add_argument("--profile-epochs", type=int, default=1,
                        help="Number of leading epochs to trace. Default: %(default)s")
+    group.add_argument("--compilation-cache", type=str, default=None, metavar="DIR",
+                       help="Persistent XLA compilation-cache directory: restarts of the same "
+                            "job (preemption resume) load compiled programs from disk instead "
+                            "of re-running XLA. Point it somewhere that survives preemption.")
 
     # Hardware configuration args (train.py:971-1007) --------------------------
     group = parser.add_argument_group("Hardware configuration")
@@ -372,6 +376,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         verbose=args.verbose,
         profile_dir=args.profile_dir,
         profile_epochs=args.profile_epochs,
+        compilation_cache=args.compilation_cache,
         batch_size_per_device=args.batch_size_per_device,
         num_devices=args.num_devices,
         mesh_slices=args.mesh_slices,

@@ -302,7 +302,15 @@ def cli(argv: Optional[list] = None):
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--compilation-cache", type=str, default=None, metavar="DIR",
+                        help="Persistent XLA compilation-cache directory: server restarts "
+                             "load the compiled encode/decode programs from disk instead of "
+                             "paying the cold-start compile.")
     args = parser.parse_args(argv)
+    if args.compilation_cache:
+        from midi_vae_tpu.core.compile_cache import enable_compilation_cache
+
+        print(f"persistent compilation cache: {enable_compilation_cache(args.compilation_cache)}")
     httpd = serve(args.checkpoint, args.port, args.host)
     try:
         threading.Event().wait()

@@ -112,6 +112,9 @@ class TrainConfig:
     # the reference's manual torch.cuda.Event timing, train.py:632-655)
     profile_dir: Optional[str] = None
     profile_epochs: int = 1  # trace this many leading epochs
+    # Persistent XLA compilation cache (core/compile_cache.py): preemption
+    # resumes re-jit the train step from disk instead of recompiling
+    compilation_cache: Optional[str] = None
 
     # Hardware (train.py:971-1007)
     batch_size_per_device: int = 128

@@ -58,6 +58,11 @@ def run(config: TrainConfig) -> dict:
     """Run a training job (reference contract: train.py:19)."""
     t_run_start = time.time()
 
+    if config.compilation_cache:
+        # before any jit: already-compiled programs are not retro-cached
+        from midi_vae_tpu.core.compile_cache import enable_compilation_cache
+
+        print(f"Persistent compilation cache: {enable_compilation_cache(config.compilation_cache)}")
     if config.debug_nans:
         jax.config.update("jax_debug_nans", True)
     # Batch-sharded reparam noise is drawn from ONE replicated key over the

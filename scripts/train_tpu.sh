@@ -57,8 +57,13 @@ echo "Checkpoints: ${CKPT_PTH}"
 REPO_ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 export PYTHONPATH="${REPO_ROOT}${PYTHONPATH:+:${PYTHONPATH}}"
 
+# Persistent XLA compilation cache inside the job dir: every preemption
+# restart re-jits the train step from disk instead of re-running the
+# 20-40 s XLA compile (core/compile_cache.py). Lives with the checkpoint
+# so it survives exactly as long as the job does.
 python -m midi_vae_tpu.cli.train \
   --checkpoint "${CKPT_PTH}" \
+  --compilation-cache "${CKPT_DIR}/xla_cache" \
   "$@" &
 TRAIN_PID=$!
 
