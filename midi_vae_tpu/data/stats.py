@@ -88,3 +88,65 @@ def resolve_auto(value, dataset, what: str, base_rate: Optional[float] = None) -
         print(f"auto {what}: corpus base rate p={p:.5f} -> {out:.4f}")
         return out
     return float(value)
+
+
+# ------------------------------------------------------------ pre-flight CLI
+#
+# ``python -m midi_vae_tpu.data.stats --dataset midi-mycorpus --data-dir /data``
+# prints the statistics an operator wants BEFORE committing a training run:
+# split sizes, image geometry, class count, and the corpus fill rate with the
+# auto-resolved anti-collapse settings. docs/OPERATIONS.md points here from
+# the NaN/collapse triage rows.
+
+_SPARSE_WARN = 0.05  # below this fill rate the silence attractor is live
+
+
+def _describe(name: str, ds) -> None:
+    if getattr(ds, "is_rrd_stream", False):
+        n = len(ds.indices)
+        shape, dtype = "(rrd stream)", "uint8"
+    else:
+        n = len(ds)
+        shape, dtype = "x".join(map(str, ds.images.shape[1:])), str(ds.images.dtype)
+    labels = getattr(ds, "labels", None)
+    n_classes = len(np.unique(labels)) if labels is not None and len(np.atleast_1d(labels)) else 0
+    print(f"  {name:<6} {n:>8} samples  {shape:>12} {dtype}  {n_classes} classes")
+
+
+def cli(argv=None) -> None:
+    import argparse
+
+    from midi_vae_tpu.data.fetch import fetch_dataset
+
+    parser = argparse.ArgumentParser(
+        prog="python -m midi_vae_tpu.data.stats",
+        description="Corpus pre-flight: split sizes, geometry, fill rate, anti-collapse settings.",
+    )
+    parser.add_argument("--dataset", required=True, help="dataset name (same values cli.train accepts)")
+    parser.add_argument("--data-dir", default=None)
+    parser.add_argument("--allow-download-dataset", action="store_true")
+    parser.add_argument("--max-samples", type=int, default=4096, help="rows sampled for the fill rate")
+    parser.add_argument("--cpu", action="store_true", help="Force the CPU backend (no TPU needed for stats)")
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    train, val, test, distinct = fetch_dataset(args.dataset, root=args.data_dir, download=args.allow_download_dataset)
+    print(f"dataset {args.dataset} (val==test: {not distinct})")
+    for name, ds in (("train", train), ("val", val), ("test", test)):
+        _describe(name, ds)
+
+    p = estimate_base_rate(train, max_samples=args.max_samples)
+    print(f"fill rate p = {p:.5f}  ->  --output-bias-init auto = {base_rate_logit(p):.4f}, "
+          f"--bce-pos-weight auto = {pos_weight_from_base_rate(p):.2f}")
+    if p < _SPARSE_WARN:
+        print(f"SPARSE corpus (p < {_SPARSE_WARN}): train with the anti-collapse recipe "
+              "--bce-targets raw --output-bias-init auto, and watch eval active-units "
+              "(benchmarks/RESULTS.md 'Posterior collapse').")
+
+
+if __name__ == "__main__":
+    cli()

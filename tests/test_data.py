@@ -400,3 +400,33 @@ class TestDeviceResidentLoader:
         e1b = np.concatenate([np.asarray(b.y) for b in dev.epoch(1)])
         assert not np.array_equal(e1, e2)
         np.testing.assert_array_equal(e1, e1b)  # resume-stable
+
+
+class TestStatsCLI:
+    """Corpus pre-flight tool (python -m midi_vae_tpu.data.stats)."""
+
+    def test_preflight_reports_fill_rate_and_recipe(self, capsys):
+        from midi_vae_tpu.data.stats import cli
+
+        cli(["--dataset", "vae-lines-synthetic", "--max-samples", "256"])
+        out = capsys.readouterr().out
+        assert "train" in out and "28x28x1" in out
+        assert "fill rate p = " in out
+        assert "--output-bias-init auto = " in out
+        # line images are ~20% fill — no sparse warning on a dense corpus
+        assert "SPARSE corpus" not in out
+
+    def test_preflight_warns_on_sparse_corpus(self, capsys, monkeypatch):
+        import midi_vae_tpu.data.stats as stats_mod
+        from midi_vae_tpu.data.sources import ArrayDataset
+
+        images = np.zeros((64, 16, 16, 1), np.uint8)
+        images[:, 3, 3, 0] = 255  # 1/256 fill — deep in attractor territory
+        ds = ArrayDataset(images=images, labels=np.zeros(64, np.int64))
+        monkeypatch.setattr(
+            "midi_vae_tpu.data.fetch.fetch_dataset", lambda *a, **k: (ds, ds, ds, False)
+        )
+        stats_mod.cli(["--dataset", "whatever"])
+        out = capsys.readouterr().out
+        assert "SPARSE corpus" in out
+        assert "--bce-targets raw" in out
