@@ -160,6 +160,10 @@ def get_parser() -> argparse.ArgumentParser:
                             "step (gradients averaged, ONE optimizer update per batch) — cuts peak "
                             "activation memory ~N×. Batch size must be divisible by N. Default: "
                             "%(default)s")
+    group.add_argument("--grad-clip", type=float, default=0.0, metavar="NORM",
+                       help="Clip the global gradient norm to NORM before each optimizer update "
+                            "(the logged grad_norm is the pre-clip value to calibrate against). "
+                            "0 = off. Default: %(default)s")
     group.add_argument("--ema-decay", type=float, default=None, metavar="D",
                        help="Track an exponential moving average of the parameters with decay D "
                             "(e.g. 0.999); evaluation and best-model selection then use the "
@@ -364,6 +368,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         optimizer=args.optimizer,
         scheduler=args.scheduler,
         grad_accum=args.grad_accum,
+        grad_clip=args.grad_clip,
         ema_decay=args.ema_decay,
         models_dir=args.models_dir,
         checkpoint_path=args.checkpoint_path,

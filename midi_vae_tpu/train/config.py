@@ -92,6 +92,10 @@ class TrainConfig:
     # step (one optimizer update per batch) — peak-memory knob, see
     # train/state.py:make_train_step.
     grad_accum: int = 1
+    # Clip the global gradient norm to this value before the optimizer
+    # update (torch clip_grad_norm_ semantics; frozen groups excluded
+    # from the norm). 0.0 = off. Capability extension over the reference.
+    grad_clip: float = 0.0
     # Track an EMA of the parameters; evaluation/checkpoint-best use the
     # averaged weights when set (e.g. 0.999). None = off.
     ema_decay: Optional[float] = None

@@ -231,6 +231,7 @@ def run(config: TrainConfig) -> dict:
         scheduler=config.scheduler,
         total_steps=total_steps,
         freeze_encoder=config.freeze_encoder,
+        grad_clip=config.grad_clip or None,
     )
     kl_sched = kl_weight_schedule(
         config.kl_schedule,

@@ -101,6 +101,7 @@ def build_optimizer(
     total_steps: int = 1000,
     freeze_encoder: bool = False,
     cycle_momentum: bool = True,
+    grad_clip: Optional[float] = None,
 ) -> OptimizerBundle:
     """Build the partitioned optimizer.
 
@@ -109,6 +110,15 @@ def build_optimizer(
     its own peak LR (``lr × group mult``) and schedule, exactly like
     passing per-group max_lr lists to torch OneCycleLR (train.py:232-238).
     ``params`` may be None: labels are then resolved lazily at ``tx.init``.
+
+    ``grad_clip`` (capability extension — the reference has no gradient
+    clipping) clips the GLOBAL gradient norm across all trainable
+    parameters to the given value before the per-group transforms, torch
+    ``clip_grad_norm_`` semantics. Frozen groups are zeroed before the
+    norm is taken — in torch they would have no ``.grad`` at all, so
+    letting them inflate the norm would silently over-clip the live
+    groups. The grad_norm the trainer logs is the PRE-clip norm (the
+    value users watch to choose a threshold).
     """
     del params  # labels resolve lazily from the params passed to tx.init
 
@@ -137,4 +147,18 @@ def build_optimizer(
         transforms[group] = _base_optimizer(optimizer, sched, weight_decay, b1)
 
     tx = optax.multi_transform(transforms, labels)
+    if grad_clip:
+        if grad_clip < 0:
+            raise ValueError(f"grad_clip must be positive, got {grad_clip}")
+        pre = []
+        if frozen:
+            # multi_transform discards frozen groups' gradients AFTER the
+            # clip would run — zero them first so they don't count toward
+            # the global norm (see docstring)
+            def frozen_mask(p):
+                return jax.tree_util.tree_map_with_path(lambda path, v: label_fn(path, v) in frozen, p)
+
+            pre.append(optax.masked(optax.set_to_zero(), frozen_mask))
+        pre.append(optax.clip_by_global_norm(grad_clip))
+        tx = optax.chain(*pre, tx)
     return OptimizerBundle(tx=tx, lr_schedules=schedules, frozen_groups=frozen)

@@ -163,3 +163,56 @@ def test_frozen_encoder_group_still_logged_at_zero_lr():
     assert float(bundle.lr_schedules["encoder"](jnp.int32(5))) == 0.0
     assert float(bundle.lr_schedules["decoder"](jnp.int32(5))) > 0.0
     assert bundle.frozen_groups == ("encoder",)
+
+
+class TestGradClip:
+    """--grad-clip: global-norm clipping, torch clip_grad_norm_ semantics."""
+
+    def _sgd_bundle(self, params, **kw):
+        return build_optimizer(
+            params,
+            param_group_label,
+            optimizer="SGD",
+            lr=1.0,
+            scheduler="constant",
+            total_steps=10,
+            cycle_momentum=False,
+            **kw,
+        )
+
+    def test_large_gradients_scaled_to_clip_norm(self):
+        params = _toy_params()
+        bundle = self._sgd_bundle(params, grad_clip=1.0)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)  # global norm = sqrt(36) = 6
+        updates, _ = bundle.tx.update(grads, bundle.tx.init(params), params)
+        # SGD lr=1 ⇒ update = -clipped_grad = -(1/6)·grad
+        np.testing.assert_allclose(np.asarray(updates["decoder"]["kernel"]), -1.0 / 6.0, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(updates["encoder"]["kernel"]), -1.0 / 6.0, rtol=1e-6)
+
+    def test_small_gradients_pass_through_unchanged(self):
+        params = _toy_params()
+        clipped = self._sgd_bundle(params, grad_clip=100.0)
+        plain = self._sgd_bundle(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)  # norm 6 << 100
+        u_clip, _ = clipped.tx.update(grads, clipped.tx.init(params), params)
+        u_plain, _ = plain.tx.update(grads, plain.tx.init(params), params)
+        for a, b in zip(jax.tree_util.tree_leaves(u_clip), jax.tree_util.tree_leaves(u_plain)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_frozen_group_excluded_from_global_norm(self):
+        """Frozen (encoder-group) gradients must not inflate the norm —
+        in torch a frozen param has no .grad at all. Trainable leaves are
+        decoder (2x4) + final_layer (4x1): norm = sqrt(12)."""
+        params = _toy_params()
+        bundle = self._sgd_bundle(params, grad_clip=1.0, freeze_encoder=True)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = bundle.tx.update(grads, bundle.tx.init(params), params)
+        assert float(jnp.abs(updates["encoder"]["kernel"]).max()) == 0.0
+        assert float(jnp.abs(updates["fc_mu"]["kernel"]).max()) == 0.0  # heads group with encoder
+        np.testing.assert_allclose(
+            np.asarray(updates["decoder"]["kernel"]), -1.0 / np.sqrt(12.0), rtol=1e-6
+        )
+
+    def test_negative_clip_raises(self):
+        with pytest.raises(ValueError):
+            self._sgd_bundle(_toy_params(), grad_clip=-1.0)

@@ -209,6 +209,14 @@ class TestCLI:
             elif isinstance(action, argparse._StoreTrueAction) and not default:
                 argv = [action.option_strings[0]]
                 expected = True
+            elif action.type in (int, float) and action.nargs is None:
+                # scalar numeric flags: pick a value distinct from both the
+                # parser default and the dataclass default so a dropped wire
+                # can't pass by coincidence
+                expected = action.type(3 if action.type is int else 0.1875)
+                if expected in (default, getattr(TrainConfig(), d, None)):
+                    expected = action.type(7 if action.type is int else 0.4375)
+                argv = [action.option_strings[0], repr(expected)]
             else:
                 continue
             config = args_to_config(parser.parse_args(argv), argv)
