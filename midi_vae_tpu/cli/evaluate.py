@@ -41,6 +41,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-ema", action="store_true",
                         help="Use raw (non-averaged) parameters even when the checkpoint carries EMA weights")
+    parser.add_argument("--iwae-samples", type=int, default=None, metavar="K",
+                        help="Also report the K-sample importance-weighted log-likelihood bound "
+                             "(IWAE, nats/sample; tightens toward log p(x) as K grows). Computed "
+                             "against de-normalized [0,1] pixels so the Bernoulli likelihood is "
+                             "well-defined regardless of the checkpoint's --bce-targets mode.")
     parser.add_argument("--latents-out", type=str, default=None,
                         help="Also collect per-sample posterior latents and write them to this .npz")
     parser.add_argument("--json", dest="json_out", type=str, default=None,
@@ -142,6 +147,18 @@ def cli(argv=None) -> None:
         )
         if args.latents_out:
             collected[name] = out.pop("latents")
+        if args.iwae_samples:
+            from midi_vae_tpu.evaluation.iwae import iwae_bound
+
+            # the likelihood needs [0,1] targets, so de-normalize with the
+            # eval transform's table whatever the checkpoint's loss mode was
+            bound = iwae_bound(
+                loader, model, state,
+                k=args.iwae_samples, seed=args.seed,
+                target_denorm=(tuple(transform_eval.mean), tuple(transform_eval.std)),
+            )
+            out[f"iwae-{args.iwae_samples}"] = bound
+            print(f"  {f'iwae-{args.iwae_samples} ':.<24s} {bound:9.5f} nat/sample")
         results[name] = out
 
     if args.latents_out:

@@ -145,3 +145,88 @@ class TestEvaluate:
             count += valid.sum()
         np.testing.assert_allclose(r["kl"], total / count, rtol=1e-5)
         assert callable(kl_gaussian)
+
+
+class TestIWAE:
+    """Importance-weighted bound (evaluation/iwae.py)."""
+
+    def test_chunk_invariance(self):
+        """Chunking reduces the same global-index draws — any chunk size
+        gives the same bound (up to float summation order)."""
+        from midi_vae_tpu.evaluation.iwae import iwae_bound
+
+        model, state, loader, _ = _setup(n=20)
+        b_whole = iwae_bound(loader, model, state, k=8, chunk=8, seed=3)
+        b_split = iwae_bound(loader, model, state, k=8, chunk=3, seed=3)
+        np.testing.assert_allclose(b_whole, b_split, rtol=1e-6)
+
+    def test_matches_bruteforce(self):
+        """The jitted chunked sweep equals an explicit per-draw
+        recomputation of log w = log p(x|z) + log p(z) - log q(z|x)."""
+        import math
+
+        from midi_vae_tpu.evaluation.iwae import iwae_bound
+        from midi_vae_tpu.losses.elbo import bce_from_logits
+
+        model, state, loader, _ = _setup(n=8, img=12, latent=4)
+        k, seed = 4, 7
+        got = iwae_bound(loader, model, state, k=k, chunk=2, seed=seed)
+
+        (batch,) = list(loader.epoch(1))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        enc = model.apply(variables, batch.x, train=False, method=type(model).encode)
+        mu, log_var = np.asarray(enc.mu, np.float32), np.asarray(enc.log_var, np.float32)
+        batch_key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
+        log_ws = []
+        for j in range(k):
+            eps = np.asarray(
+                jax.random.normal(jax.random.fold_in(batch_key, j), mu.shape, jnp.float32)
+            )
+            z = mu + eps * np.exp(0.5 * log_var)
+            logits = np.asarray(
+                model.apply(variables, jnp.asarray(z), train=False, method=type(model).decode_logits),
+                np.float32,
+            )
+            ll = -np.asarray(bce_from_logits(jnp.asarray(logits), batch.x)).reshape(len(mu), -1).sum(1)
+            log_p = -0.5 * (np.square(z) + math.log(2 * math.pi)).sum(-1)
+            log_q = -0.5 * (np.square(eps) + math.log(2 * math.pi) + log_var).sum(-1)
+            log_ws.append(ll + log_p - log_q)
+        log_ws = np.stack(log_ws)  # [k, B]
+        lse = np.log(np.exp(log_ws - log_ws.max(0)).sum(0)) + log_ws.max(0)
+        valid = np.asarray(batch.mask) > 0
+        want = float((lse - math.log(k))[valid].mean())
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # Jensen, per draw set: log-mean-weight >= mean log-weight
+        assert got >= float(log_ws[:, valid].mean()) - 1e-5
+
+    def test_padded_samples_ignored(self):
+        from midi_vae_tpu.data.pipeline import Batch
+        from midi_vae_tpu.evaluation.iwae import iwae_bound
+
+        model, state, _, _ = _setup(n=8, img=12, latent=4)
+        rng = np.random.default_rng(1)
+        x = rng.uniform(size=(4, 12, 12, 1)).astype(np.float32)
+        mask = np.array([1.0, 1.0, 1.0, 0.0], np.float32)
+
+        class OneBatchLoader:
+            def __init__(self, x):
+                self.x = jnp.asarray(x)
+
+            def epoch(self, _):
+                yield Batch(x=self.x, y=jnp.zeros(4, jnp.int32), mask=jnp.asarray(mask))
+
+        garbage = x.copy()
+        garbage[3] = 1e6  # padded slot: wild values must not leak into the bound
+        a = iwae_bound(OneBatchLoader(x), model, state, k=4, seed=0)
+        b = iwae_bound(OneBatchLoader(garbage), model, state, k=4, seed=0)
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_invalid_k_raises(self):
+        from midi_vae_tpu.evaluation.iwae import iwae_bound
+
+        model, state, loader, _ = _setup(n=8)
+        try:
+            iwae_bound(loader, model, state, k=0)
+            assert False, "k=0 must raise"
+        except ValueError:
+            pass
