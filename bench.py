@@ -26,6 +26,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# testing escape hatch: the platform sitecustomize forces the axon TPU
+# backend, so a plain JAX_PLATFORMS=cpu env var is ignored — this one isn't
+if os.environ.get("MIDI_VAE_BENCH_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 IMAGE_SIZE = 128
