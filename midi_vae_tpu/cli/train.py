@@ -142,6 +142,10 @@ def get_parser() -> argparse.ArgumentParser:
     group.add_argument("--stop-after-epochs", type=int, default=None,
                        help="Train at most N epochs this invocation, then save and exit (preemption"
                             " simulation / time-budgeted jobs); resume continues toward --epochs.")
+    group.add_argument("--early-stop-patience", type=int, default=None, metavar="N",
+                       help="Stop training when the best-model validation metric hasn't improved "
+                            "for N consecutive epochs (counts across resumes via the checkpoint's "
+                            "best_epoch). Default: off")
     group.add_argument("--lr", dest="lr_relative", type=float, default=0.01,
                        help="Maximum learning rate, set per 128 batch size; scaled linearly by the"
                             " global batch size. Default: %(default)s")
@@ -361,6 +365,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         protoval_split_rate=_parse_split_rate(args.protoval_split_rate),
         epochs=args.epochs,
         stop_after_epochs=args.stop_after_epochs,
+        early_stop_patience=args.early_stop_patience,
         lr_relative=args.lr_relative,
         lr_encoder_mult=args.lr_encoder_mult,
         lr_decoder_mult=args.lr_decoder_mult,

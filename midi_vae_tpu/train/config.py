@@ -82,6 +82,9 @@ class TrainConfig:
     # Optimization (train.py:881-932)
     epochs: int = 5
     stop_after_epochs: Optional[int] = None  # train at most N epochs this invocation (preemption simulation / time-budgeted jobs)
+    # Stop when the best-model validation metric hasn't improved for N
+    # consecutive epochs (the metric best-model selection uses). None = off.
+    early_stop_patience: Optional[int] = None
     lr_relative: float = 0.01
     lr_encoder_mult: float = 1.0
     lr_decoder_mult: float = 1.0

@@ -389,6 +389,8 @@ def run(config: TrainConfig) -> dict:
     last_epoch = config.epochs
     if config.stop_after_epochs is not None:
         last_epoch = min(last_epoch, start_epoch + config.stop_after_epochs - 1)
+    if config.early_stop_patience is not None and config.early_stop_patience < 1:
+        raise ValueError(f"early_stop_patience must be >= 1, got {config.early_stop_patience}")
     # Every handed-off checkpoint lands on disk even if an exception
     # unwinds out of the epoch loop: the msgpack writer thread is
     # non-daemon (interpreter shutdown joins the in-flight write;
@@ -536,6 +538,22 @@ def run(config: TrainConfig) -> dict:
             )
             results["train"] = train_stats
             results[eval_set.lower()] = eval_stats
+
+            # Early stopping (capability extension): the patience window is
+            # anchored on the checkpointed best_epoch, so it keeps counting
+            # correctly across preemption resumes. Placed after save/logging —
+            # the stopping epoch is fully recorded before the loop exits.
+            if (
+                config.early_stop_patience is not None
+                and epoch - best_stats["best_epoch"] >= config.early_stop_patience
+            ):
+                print(
+                    f"Early stopping after epoch {epoch}: no {best_stats['best_metric_name']} "
+                    f"improvement in {config.early_stop_patience} epochs "
+                    f"(best epoch {best_stats['best_epoch']})"
+                )
+                last_epoch = epoch  # completion messages must not claim unran epochs
+                break
 
     finally:
         # An exception unwinding out of the epoch loop (OOM, data error,

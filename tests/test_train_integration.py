@@ -342,3 +342,24 @@ class TestPretrainedWarmStart:
         argv = ["--pretrained", "/tmp/ckpt.msgpack"]
         config = args_to_config(get_parser().parse_args(argv), argv)
         assert config.pretrained == "/tmp/ckpt.msgpack"
+
+
+class TestEarlyStopping:
+    def test_stops_when_metric_plateaus(self, tmp_path, first_run):
+        """lr=0 freezes the model, so epoch 1 sets the best metric and no
+        later epoch improves it: patience=2 must end training at epoch 3
+        (1 best + 2 patience), not config.epochs."""
+        _, ctrl_config, ctrl_results = first_run
+        steps_per_epoch = ctrl_results["total_step"] // ctrl_config.epochs
+        config = small_config(
+            tmp_path, epochs=10, lr_relative=0.0, early_stop_patience=2,
+            run_name="es", run_id="es1",
+        )
+        results = run(config)
+        assert results["best_epoch"] == 1
+        assert results["total_step"] == 3 * steps_per_epoch
+
+    def test_invalid_patience_raises(self, tmp_path):
+        config = small_config(tmp_path, early_stop_patience=0, run_name="es", run_id="es2")
+        with pytest.raises(ValueError, match="early_stop_patience"):
+            run(config)
