@@ -368,6 +368,7 @@ def run(config: TrainConfig) -> dict:
     total_step = 0
     n_samples_seen = 0
     best_stats = {"best_epoch": 0, "best_metric": float("inf"), "best_metric_name": None}
+    collapse_warned = False
     if checkpoint_payload is not None:
         print(f"Loading state from checkpoint (epoch {checkpoint_payload['epoch']})")
         from flax import serialization
@@ -468,6 +469,26 @@ def run(config: TrainConfig) -> dict:
             duration_val = time.time() - t_start_val
             eval_stats["throughput"] = loader_val.num_samples / max(duration_val, 1e-9)
             print_epoch_summary("Evaluating", epoch, config.epochs, eval_stats, duration_val)
+
+            # Latent-collapse alarm (operational guard — RESULTS.md "posterior
+            # collapse on sparse MIDI"): 0 active units past the first epochs
+            # means the run is training a plain autoencoder-to-silence; say so
+            # NOW with the fix, not after N wasted epochs. Epochs 1-2 are
+            # excluded — under KL warmup the latent can legitimately start
+            # inactive. Once per run; eval keeps reporting the number anyway.
+            if (
+                not collapse_warned
+                and eval_stats.get("active-units") == 0
+                and epoch >= min(3, last_epoch)
+            ):
+                collapse_warned = True
+                print(
+                    "WARNING: 0 active latent units at epoch "
+                    f"{epoch} (KL {eval_stats.get('kl', float('nan')):.4f} nat) — posterior collapse. "
+                    "On sparse corpora train with --bce-targets raw --output-bias-init auto "
+                    "(configs/folded_quality.yaml sets both); pre-flight with "
+                    "python -m midi_vae_tpu.data.stats."
+                )
 
             # Track best epoch by validation reconstruction metric — the trained
             # objective when it differs from the parity metric (--bce-targets raw

@@ -363,3 +363,22 @@ class TestEarlyStopping:
         config = small_config(tmp_path, early_stop_patience=0, run_name="es", run_id="es2")
         with pytest.raises(ValueError, match="early_stop_patience"):
             run(config)
+
+
+class TestCollapseAlarm:
+    def test_zero_active_units_warns_once_with_recipe(self, tmp_path, monkeypatch, capsys):
+        import midi_vae_tpu.train.loop as loop_mod
+
+        real = loop_mod.evaluate
+
+        def collapsed(*a, **kw):
+            out = real(*a, **kw)
+            if isinstance(out, dict) and "active-units" in out:
+                out["active-units"] = 0
+            return out
+
+        monkeypatch.setattr(loop_mod, "evaluate", collapsed)
+        run(small_config(tmp_path, epochs=4, run_name="col", run_id="c1"))
+        out = capsys.readouterr().out
+        assert out.count("WARNING: 0 active latent units") == 1  # once, not per epoch
+        assert "--bce-targets raw" in out  # the alarm carries the fix
