@@ -85,6 +85,9 @@ class TrainConfig:
     # Stop when the best-model validation metric hasn't improved for N
     # consecutive epochs (the metric best-model selection uses). None = off.
     early_stop_patience: Optional[int] = None
+    # Report the K-sample IWAE log-likelihood bound on the final test
+    # sweep (evaluation/iwae.py). None = off.
+    final_iwae: Optional[int] = None
     lr_relative: float = 0.01
     lr_encoder_mult: float = 1.0
     lr_decoder_mult: float = 1.0

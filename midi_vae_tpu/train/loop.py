@@ -608,6 +608,17 @@ def run(config: TrainConfig) -> dict:
     print(f"\nEvaluating final model (epoch {last_epoch}) performance")
     print("\nEvaluating final model on test set...")
     test_stats = evaluate(loader_test, model, eval_view(state), partition_name="Test", seed=seed, eval_step=eval_step)
+    if config.final_iwae:
+        from midi_vae_tpu.evaluation.iwae import iwae_bound
+
+        # held-out density estimate (nats/sample); computed against the
+        # de-normalized [0,1] pixels so the Bernoulli likelihood is
+        # well-defined whatever --bce-targets mode trained the run
+        test_stats[f"iwae-{config.final_iwae}"] = iwae_bound(
+            loader_test, model, eval_view(state), k=config.final_iwae, seed=seed,
+            target_denorm=(tuple(transform_eval.mean), tuple(transform_eval.std)),
+        )
+        print(f"  {f'iwae-{config.final_iwae} ':.<24s} {test_stats[f'iwae-{config.final_iwae}']:9.5f} nat/sample")
     logger.log({f"eval/test/{k}": v for k, v in test_stats.items() if k != "latents"}, step=total_step)
     results["final_test"] = test_stats
 

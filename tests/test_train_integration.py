@@ -382,3 +382,11 @@ class TestCollapseAlarm:
         out = capsys.readouterr().out
         assert out.count("WARNING: 0 active latent units") == 1  # once, not per epoch
         assert "--bce-targets raw" in out  # the alarm carries the fix
+
+
+class TestFinalIWAE:
+    def test_bound_reported_and_logged(self, tmp_path):
+        config = small_config(tmp_path, epochs=1, final_iwae=2, run_name="fi", run_id="f1")
+        results = run(config)
+        bound = results["final_test"]["iwae-2"]
+        assert np.isfinite(bound) and bound < 0.0  # a log-likelihood of binary images
