@@ -608,7 +608,14 @@ def run(config: TrainConfig) -> dict:
     print(f"\nEvaluating final model (epoch {last_epoch}) performance")
     print("\nEvaluating final model on test set...")
     test_stats = evaluate(loader_test, model, eval_view(state), partition_name="Test", seed=seed, eval_step=eval_step)
-    if config.final_iwae:
+    if config.final_iwae and jax.process_count() > 1:
+        # iwae_bound materializes per-batch host values, which requires the
+        # sharded arrays to be fully addressable — true in any single-process
+        # run (incl. multi-device), not under multi-controller SPMD. Evaluate
+        # post-hoc instead: cli.evaluate --iwae-samples K on the checkpoint.
+        print("Skipping --final-iwae under multi-process SPMD; "
+              "run cli.evaluate --iwae-samples on the checkpoint instead")
+    elif config.final_iwae:
         from midi_vae_tpu.evaluation.iwae import iwae_bound
 
         # held-out density estimate (nats/sample); computed against the
