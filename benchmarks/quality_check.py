@@ -56,7 +56,7 @@ VARIANTS = {
 }
 
 
-def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: str):
+def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: str, iwae_k=None):
     from midi_vae_tpu.train.config import TrainConfig
     from midi_vae_tpu.train.loop import run
 
@@ -75,6 +75,7 @@ def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: st
         log_images=False,
         run_name=name,
         run_id="qual",
+        final_iwae=iwae_k,
         **kw,
     )
     results = run(config)
@@ -86,6 +87,7 @@ def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: st
         "mae_pct": round(float(t["mae"]), 2),
         "kl_nats": round(float(t["kl"]), 3),
         "active_units": int(t["active-units"]),
+        **({f"iwae{iwae_k}_nats": round(float(t[f"iwae-{iwae_k}"]), 2)} if iwae_k else {}),
     }
 
 
@@ -95,6 +97,8 @@ def main():
     ap.add_argument("--image-size", type=int, default=128)
     ap.add_argument("--variants", nargs="+", default=["ref", "fold4", "fold8"],
                     choices=sorted(VARIANTS))
+    ap.add_argument("--iwae", type=int, default=None, metavar="K",
+                    help="also report the K-sample IWAE bound per variant (nats/sample)")
     ap.add_argument("--f32", action="store_true", help="float32 compute (default bfloat16)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--workdir", default=None)
@@ -109,7 +113,7 @@ def main():
     rows = []
     for name in args.variants:
         print(f"=== training variant: {name} ===", flush=True)
-        rows.append(run_variant(name, args.epochs, args.image_size, not args.f32, workdir))
+        rows.append(run_variant(name, args.epochs, args.image_size, not args.f32, workdir, iwae_k=args.iwae))
         print(json.dumps(rows[-1]), flush=True)
 
     print("\nvariant      BCE(nats)   mse%    mae%    KL     active")
@@ -137,6 +141,10 @@ def main():
                 dropped = sorted({r["variant"] for r in prior.get("rows", [])} - ran)
         except (ValueError, KeyError):
             pass
+    if dropped:
+        # quality.json backs the published table — a run at other settings
+        # must not clobber it; park the data in a settings-named side file
+        path = path.replace(".json", f"_{args.epochs}e_{args.image_size}px.json")
     with open(path, "w") as f:
         json.dump({"epochs": args.epochs, "image_size": args.image_size, "rows": rows}, f, indent=1)
     print(f"wrote {path}")
@@ -158,14 +166,19 @@ def splice_results(epochs: int, image_size: int, rows) -> None:
 
     results_md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.md")
     begin, end = "<!-- BEGIN AUTOGEN QUALITY -->", "<!-- END AUTOGEN QUALITY -->"
+    iwae_col = next((k for k in rows[0] if k.startswith("iwae")), None)
+    if iwae_col and not all(iwae_col in r for r in rows):
+        iwae_col = None  # partial re-runs without --iwae keep the plain table
+    iwae_hdr = f" {iwae_col.replace('_nats', '')} (nats/sample) |" if iwae_col else ""
     lines = [
-        "| variant | BCE (nats) | mse % | mae % | KL (nats) | active units |",
-        "|---|---|---|---|---|---|",
+        f"| variant | BCE (nats) | mse % | mae % | KL (nats) | active units |{iwae_hdr}",
+        "|---|---|---|---|---|---|" + ("---|" if iwae_col else ""),
     ]
     for r in rows:
+        iwae_cell = f" {r[iwae_col]:.2f} |" if iwae_col else ""
         lines.append(
             f"| {r['variant']} | {r['bce_nats']:.4f} | {r['mse_pct']:.2f} | "
-            f"{r['mae_pct']:.2f} | {r['kl_nats']:.3f} | {r['active_units']}/10 |"
+            f"{r['mae_pct']:.2f} | {r['kl_nats']:.3f} | {r['active_units']}/10 |" + iwae_cell
         )
     lines.append(
         f"\n({epochs}-epoch synthetic-lines runs at {image_size} px, matched hyperparameters, "
