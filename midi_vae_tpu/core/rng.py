@@ -46,11 +46,6 @@ def epoch_key(seed: int, epoch: int) -> jax.Array:
     return jax.random.fold_in(root_key(seed), epoch)
 
 
-def step_key(key: jax.Array, step: int | jax.Array) -> jax.Array:
-    """Per-step key, traceable inside jit (step may be a device scalar)."""
-    return jax.random.fold_in(key, step)
-
-
 def host_epoch_seed(seed: int, epoch: int, process_index: int = 0) -> int:
     """Deterministic integer seed for host-side numpy shuffling.
 

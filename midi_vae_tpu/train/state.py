@@ -321,30 +321,3 @@ def make_train_step(
     return jitted
 
 
-def make_forward_fn(model) -> Callable:
-    """Jitted eval-mode forward pass: (params, batch_stats, x, key) → ModelOutput."""
-
-    @jax.jit
-    def forward(params, batch_stats, x, key):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            x,
-            train=False,
-            rngs={"reparam": key},
-        )
-
-    return forward
-
-
-def loss_output_to_host(lo: LossOutput, grad_norm=None) -> dict:
-    """Materialize step metrics on host (one sync, at logging time only)."""
-    out = {
-        "loss": float(lo.loss),
-        "loss_recon": float(lo.reconstruction_loss),
-        "loss_kld": float(lo.kld_loss),
-        "kl": float(lo.kl),
-        "kld_weight": float(lo.kld_weight),
-    }
-    if grad_norm is not None:
-        out["grad_norm"] = float(grad_norm)
-    return out

@@ -371,3 +371,17 @@ def test_gn_groups_divides_channels():
         g = _gn_groups(c)
         assert c % g == 0 and 1 <= g <= min(32, c)
     assert _gn_groups(48) == 24  # largest divisor <= 32
+
+
+def test_register_model_extension_hook():
+    """New families register with a one-liner and build through the same
+    factory (the registry makes the reference's dead --model flag real)."""
+    from midi_vae_tpu.models import MLPVAE, build_model
+    from midi_vae_tpu.models.registry import MODEL_REGISTRY, register_model
+
+    register_model("MyVAE", MLPVAE)
+    try:
+        m = build_model("myvae", in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(32,))
+        assert isinstance(m, MLPVAE)
+    finally:
+        MODEL_REGISTRY.pop("myvae", None)

@@ -191,3 +191,18 @@ class TestTensorParallel:
         assert dict(mesh.shape) == {"data": 4, "model": 2}
         with pytest.raises(ValueError):
             make_mesh_2d(8, 2)
+
+
+def test_shard_batch_places_leading_axis_on_data_mesh(eight_devices):
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from midi_vae_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(8)
+    x = shard_batch(np.zeros((16, 4, 4, 1), np.float32), mesh)
+    assert x.sharding.is_equivalent_to(
+        jax.sharding.NamedSharding(mesh, P("data")), ndim=x.ndim
+    )
+    # each device holds 16/8 = 2 rows
+    assert x.addressable_shards[0].data.shape[0] == 2
