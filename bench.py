@@ -225,7 +225,51 @@ def read_baseline():
     return None
 
 
+def preflight_backend(timeout_s: float = 300.0, attempts: int = 3) -> None:
+    """Fail FAST (with a parseable JSON line) when the TPU tunnel is dead.
+
+    The axon tunnel can go down for hours (memory/tpu_watch logs show an
+    8.7 h outage on 2026-08-18); a dead tunnel makes the first device op
+    hang FOREVER, so an unguarded bench run wedges whatever invoked it.
+    A trivial matmul completes in seconds on a healthy chip and ~60 s
+    under heavy congestion — probe it in a subprocess (a hung XLA call
+    cannot be cancelled in-process) with a generous deadline, retry, and
+    exit with an error JSON the driver can record if the backend never
+    answers. Skipped on CPU (MIDI_VAE_BENCH_CPU=1)."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "(jnp.ones((1024, 1024)) @ jnp.ones((1024, 1024))).block_until_ready(); print('ok')"
+    )
+    for attempt in range(1, attempts + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, text=True, timeout=timeout_s
+            )
+            if proc.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"backend pre-flight attempt {attempt}/{attempts} failed", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "train_throughput_pianoroll_128px",
+                "value": None,
+                "unit": "samples/sec/chip",
+                "vs_baseline": None,
+                "error": f"backend unreachable: trivial matmul never completed "
+                         f"({attempts} x {timeout_s:.0f}s)",
+            }
+        )
+    )
+    sys.exit(1)
+
+
 def main():
+    if os.environ.get("MIDI_VAE_BENCH_CPU", "0") != "1":
+        preflight_backend()
     # FoldedVAE has its own layout — stem/head knobs only apply to VanillaVAE;
     # the reference-parity arch keeps the reference's (32, 64, 128, 256)
     if ARCH.lower() == "vanillavae":
