@@ -235,23 +235,12 @@ def preflight_backend(timeout_s: float = 300.0, attempts: int = 3) -> None:
     under heavy congestion — probe it in a subprocess (a hung XLA call
     cannot be cancelled in-process) with a generous deadline, retry, and
     exit with an error JSON the driver can record if the backend never
-    answers. Skipped on CPU (MIDI_VAE_BENCH_CPU=1)."""
-    import subprocess
+    answers. Skipped on CPU (MIDI_VAE_BENCH_CPU=1). The probe itself is
+    shared with the serving CLI (core/backend_check.py)."""
+    from midi_vae_tpu.core.backend_check import backend_alive
 
-    probe = (
-        "import jax, jax.numpy as jnp; "
-        "(jnp.ones((1024, 1024)) @ jnp.ones((1024, 1024))).block_until_ready(); print('ok')"
-    )
-    for attempt in range(1, attempts + 1):
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", probe], capture_output=True, text=True, timeout=timeout_s
-            )
-            if proc.returncode == 0:
-                return
-        except subprocess.TimeoutExpired:
-            pass
-        print(f"backend pre-flight attempt {attempt}/{attempts} failed", file=sys.stderr)
+    if backend_alive(timeout_s=timeout_s, attempts=attempts):
+        return
     print(
         json.dumps(
             {

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
@@ -306,7 +307,18 @@ def cli(argv: Optional[list] = None):
                         help="Persistent XLA compilation-cache directory: server restarts "
                              "load the compiled encode/decode programs from disk instead of "
                              "paying the cold-start compile.")
+    parser.add_argument("--skip-backend-check", action="store_true",
+                        help="Skip the startup device-liveness probe (e.g. CPU-only serving).")
     args = parser.parse_args(argv)
+    if not args.skip_backend_check:
+        from midi_vae_tpu.core.backend_check import backend_alive
+
+        # a dead tunnel would otherwise wedge the server at its first
+        # compile with no error and no listening socket (backend_check.py)
+        if not backend_alive():
+            print("FATAL: JAX backend unreachable (device probe never completed); not starting",
+                  file=sys.stderr)
+            raise SystemExit(1)
     if args.compilation_cache:
         from midi_vae_tpu.core.compile_cache import enable_compilation_cache
 
