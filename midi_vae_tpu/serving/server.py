@@ -307,10 +307,14 @@ def cli(argv: Optional[list] = None):
                         help="Persistent XLA compilation-cache directory: server restarts "
                              "load the compiled encode/decode programs from disk instead of "
                              "paying the cold-start compile.")
+    parser.add_argument("--cpu", action="store_true",
+                        help="Force the CPU backend (like the other CLIs; also skips the probe).")
     parser.add_argument("--skip-backend-check", action="store_true",
                         help="Skip the startup device-liveness probe (e.g. CPU-only serving).")
     args = parser.parse_args(argv)
-    if not args.skip_backend_check:
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if not (args.skip_backend_check or args.cpu):
         from midi_vae_tpu.core.backend_check import backend_alive
 
         # a dead tunnel would otherwise wedge the server at its first
