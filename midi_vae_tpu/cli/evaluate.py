@@ -129,7 +129,8 @@ def cli(argv=None) -> None:
         else None
     )
     shared_step = make_eval_step(
-        model, collect_latents=bool(args.latents_out), target_denorm=target_denorm
+        model, collect_latents=bool(args.latents_out), target_denorm=target_denorm,
+        occupancy_denorm=(tuple(transform_eval.mean), tuple(transform_eval.std)),
     )
 
     results = {}

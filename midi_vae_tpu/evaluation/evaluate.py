@@ -37,7 +37,9 @@ import numpy as np
 from midi_vae_tpu.losses.elbo import bce_from_logits
 
 
-def make_eval_step(model, collect_latents: bool = False, target_denorm=None) -> Callable:
+def make_eval_step(
+    model, collect_latents: bool = False, target_denorm=None, occupancy_denorm=None
+) -> Callable:
     """Build the jitted per-batch metric reducer.
 
     ``collect_latents=True`` builds the diagnostic variant that also
@@ -52,6 +54,15 @@ def make_eval_step(model, collect_latents: bool = False, target_denorm=None) -> 
     reference semantics) is always reported so cross-variant comparisons
     keep one shared scale; best-model selection uses the objective
     metric when it exists (train/loop.py).
+
+    ``occupancy_denorm`` (the eval transform's ``(mean, std)``, passable
+    for ANY loss mode) adds binary-occupancy precision/recall/F1: both
+    the de-normalized target and the sigmoid reconstruction are
+    thresholded at 0.5 and compared cell-wise. On ~98%-empty piano rolls
+    these are the informative reconstruction metrics — mse/mae are
+    dominated by the zeros, and a silence-collapsed decoder scores a
+    flattering mse while its recall is exactly 0. (Capability extension;
+    meaningful for 1-channel rolls, computed harmlessly elsewhere.)
     """
 
     @jax.jit
@@ -92,6 +103,14 @@ def make_eval_step(model, collect_latents: bool = False, target_denorm=None) -> 
 
             bce_raw = bce_from_logits(out.logits, denormalized_targets(x, target_denorm)) * m
             res["bce_raw_sum"] = jnp.sum(bce_raw)
+        if occupancy_denorm is not None:
+            from midi_vae_tpu.losses.elbo import denormalized_targets
+
+            t = denormalized_targets(x, occupancy_denorm) > 0.5
+            p = out.output > 0.5
+            res["occ_tp"] = jnp.sum(p & t & (m > 0))
+            res["occ_fp"] = jnp.sum(p & ~t & (m > 0))
+            res["occ_fn"] = jnp.sum(~p & t & (m > 0))
         res |= {
             "mae_sum": jnp.sum(ab),
             "n_elem": n_elem,
@@ -111,6 +130,7 @@ def make_eval_step(model, collect_latents: bool = False, target_denorm=None) -> 
     # markers so evaluate() can tell what a passed-in step provides
     eval_step.collect_latents = collect_latents
     eval_step.target_denorm = target_denorm
+    eval_step.occupancy_denorm = occupancy_denorm
     return eval_step
 
 
@@ -145,6 +165,7 @@ def evaluate(
         step_fn = make_eval_step(
             model, collect_latents=True,
             target_denorm=getattr(eval_step, "target_denorm", None),
+            occupancy_denorm=getattr(eval_step, "occupancy_denorm", None),
         )
     else:
         step_fn = eval_step if eval_step is not None else make_eval_step(model)
@@ -152,7 +173,7 @@ def evaluate(
 
     _SUM = (
         "bce_sum", "bce_raw_sum", "mse_sum", "mae_sum", "n_elem", "n_samples",
-        "kl_dim_sum", "mu_sum", "mu_sq_sum",
+        "kl_dim_sum", "mu_sum", "mu_sq_sum", "occ_tp", "occ_fp", "occ_fn",
     )
     _MIN = ("stim_min", "recon_min")
     _MAX = ("stim_max", "recon_max")
@@ -202,6 +223,18 @@ def evaluate(
     if "bce_raw_sum" in totals:
         # the trained objective of a --bce-targets raw run (see make_eval_step)
         results["bce-objective"] = float(totals["bce_raw_sum"]) / n_elem
+    if "occ_tp" in totals:
+        # binary-occupancy metrics at threshold 0.5 (see make_eval_step):
+        # empty denominators (a corpus slice with no set cells, or a
+        # decoder predicting none) report 0, not NaN
+        tp, fp, fn = (float(totals[k]) for k in ("occ_tp", "occ_fp", "occ_fn"))
+        precision = tp / (tp + fp) if tp + fp else 0.0
+        recall = tp / (tp + fn) if tp + fn else 0.0
+        results["precision"] = 100.0 * precision
+        results["recall"] = 100.0 * recall
+        results["f1"] = (
+            100.0 * 2.0 * precision * recall / (precision + recall) if precision + recall else 0.0
+        )
     if collect_latents:
         results["latents"] = np.concatenate(latents) if latents else np.zeros((0,))
 

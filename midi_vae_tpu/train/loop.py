@@ -324,7 +324,12 @@ def run(config: TrainConfig) -> dict:
             ema_decay=config.ema_decay,
         )
     # raw-target runs also get the objective-space BCE metric in every eval
-    eval_step = make_eval_step(model, target_denorm=target_denorm)
+    eval_step = make_eval_step(
+        model, target_denorm=target_denorm,
+        # occupancy precision/recall/F1 need [0,1] targets whatever the loss
+        # mode — the informative reconstruction metrics on sparse rolls
+        occupancy_denorm=(tuple(transform_eval.mean), tuple(transform_eval.std)),
+    )
 
     def eval_view(s):
         """Evaluation weights: the EMA shadow params when tracking is on."""

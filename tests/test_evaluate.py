@@ -230,3 +230,50 @@ class TestIWAE:
             assert False, "k=0 must raise"
         except ValueError:
             pass
+
+
+class TestOccupancyMetrics:
+    """Binary-occupancy precision/recall/F1 (make_eval_step occupancy_denorm)."""
+
+    class _Fake:
+        def __init__(self, silent):
+            self.silent = silent  # True: constant -1000 logits (silence attractor)
+
+        def apply(self, variables, x, train=False, rngs=None):
+            from midi_vae_tpu.core.types import EncoderOutput, ModelOutput
+
+            b = x.shape[0]
+            logits = jnp.full_like(x, -1000.0) if self.silent else (x - 0.5) * 1000.0
+            mu = x.reshape(b, -1)[:, :4]
+            return ModelOutput(
+                output=jax.nn.sigmoid(logits), logits=logits, input=x,
+                encoded=EncoderOutput(mu=mu, log_var=jnp.zeros((b, 4)), pre_latents=mu),
+                latents=mu,
+            )
+
+    def _sweep(self, silent):
+        from midi_vae_tpu.evaluation.evaluate import make_eval_step
+
+        rng = np.random.default_rng(2)
+        images = (rng.uniform(size=(40, 8, 8, 1)) > 0.9).astype(np.uint8) * 255  # ~10% fill
+        ds = ArrayDataset(images=images, labels=np.zeros(40, np.int64), name="t")
+        loader = DeviceLoader(ds, 16, train=False)  # pads 48-40 slots
+
+        class S:
+            params = {}
+            batch_stats = {}
+
+        model = self._Fake(silent)
+        step = make_eval_step(model, occupancy_denorm=((0.0,), (1.0,)))
+        return evaluate(loader, model, S(), verbosity=0, eval_step=step)
+
+    def test_perfect_reconstruction_scores_100(self):
+        r = self._sweep(silent=False)
+        assert r["precision"] == 100.0 and r["recall"] == 100.0 and r["f1"] == 100.0
+
+    def test_silent_decoder_scores_0_not_nan(self):
+        """A silence-collapsed decoder gets a flattering mse (90% zeros) but
+        exactly 0 recall/F1 — and empty denominators never produce NaN."""
+        r = self._sweep(silent=True)
+        assert r["precision"] == 0.0 and r["recall"] == 0.0 and r["f1"] == 0.0
+        assert r["mse"] < 15.0  # the misleading metric the F1 exists to expose
