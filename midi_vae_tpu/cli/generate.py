@@ -45,6 +45,12 @@ def get_parser() -> argparse.ArgumentParser:
                         help="Use the raw (non-averaged) parameters even when the checkpoint "
                              "carries EMA weights (runs trained with --ema-decay). Default: "
                              "EMA weights are preferred when present.")
+    parser.add_argument("--label", type=int, default=None,
+                        help="Conditional checkpoints (--conditional runs): generate this class. "
+                             "Default for --mode sample: cycle through all classes (one column "
+                             "per class in the grid); other modes use the fetched batch labels.")
+    parser.add_argument("--cpu", action="store_true",
+                        help="Force the CPU backend (backend symmetry with the other CLIs)")
     return parser
 
 
@@ -65,6 +71,7 @@ def _load_model_and_state(checkpoint_path: str, use_ema: bool = True, payload=No
 
     dataset = cfg.get("dataset_name", "mnist")
     _, _, channels = image_dataset_sizes(dataset)
+    num_classes = int(cfg.get("num_classes") or 0) if cfg.get("conditional") else 0
     model = build_model(
         cfg.get("arch", "VanillaVAE"),
         in_channels=channels,
@@ -77,9 +84,13 @@ def _load_model_and_state(checkpoint_path: str, use_ema: bool = True, payload=No
         fold=int(cfg.get("fold", 4)),
         torch_compat=bool(cfg.get("torch_compat", False)),
         norm=cfg.get("norm") or "batch",
+        num_classes=num_classes,
     )
     sample = jnp.zeros((2, image_size, image_size, channels), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, sample)
+    init_kwargs = {"y": jnp.zeros((2,), jnp.int32)} if num_classes else {}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)}, sample, **init_kwargs
+    )
     template = {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})}
     state_dict = payload["state"]
     # EMA-trained checkpoints (--ema-decay) generate with the averaged
@@ -108,7 +119,8 @@ def _fetch_eval_batch(dataset: str, data_dir: Optional[str], image_size: int, n:
     loader = make_loader(test, min(n, len(test)), train=False)
     # the spec rides along so display paths denormalize with the ACTUAL
     # normalization the batch got, not a default TransformSpec
-    return next(iter(loader.epoch(1))).x, transform_eval
+    batch = next(iter(loader.epoch(1)))
+    return batch.x, batch.y, transform_eval
 
 
 def _to_grid(images: np.ndarray, cols: int = 8) -> np.ndarray:
@@ -145,9 +157,12 @@ def _export_midi(rolls: np.ndarray, out_dir: str) -> None:
 
 
 def cli(argv=None) -> None:
+    args = get_parser().parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     from midi_vae_tpu.evaluation.inference import interpolate, reconstruct, sample_prior
 
-    args = get_parser().parse_args(argv)
     model, params, batch_stats, cfg, image_size, channels, ckpt_dataset = _load_model_and_state(
         args.checkpoint, use_ema=not args.no_ema
     )
@@ -156,28 +171,49 @@ def cli(argv=None) -> None:
     key = jax.random.PRNGKey(args.seed)
     out_path = args.out or f"{args.mode}.png"
 
+    conditional = getattr(model, "num_classes", 0) > 0
+
+    def labels_for(y_batch, n):
+        """Labels for conditional models: --label wins, else batch labels."""
+        if not conditional:
+            return None
+        if args.label is not None:
+            return jnp.full((n,), int(args.label), jnp.int32)
+        return y_batch[:n]
+
     if args.mode == "sample":
-        images = sample_prior(model, params, batch_stats, key, args.num_samples)
+        y = None
+        if conditional:
+            # --label K = all samples class K; default = cycle the classes so
+            # the grid shows one class per column (class-conditional sweep)
+            y = (
+                jnp.full((args.num_samples,), int(args.label), jnp.int32)
+                if args.label is not None
+                else jnp.arange(args.num_samples, dtype=jnp.int32) % model.num_classes
+            )
+            print(f"conditional sampling: labels {np.asarray(y).tolist()}")
+        images = sample_prior(model, params, batch_stats, key, args.num_samples, y=y)
     elif args.mode == "reconstruct":
-        x, spec = _fetch_eval_batch(dataset, data_dir, image_size, args.num_samples, cfg)
-        recon = reconstruct(model, params, batch_stats, x, key)
+        x, yb, spec = _fetch_eval_batch(dataset, data_dir, image_size, args.num_samples, cfg)
+        recon = reconstruct(model, params, batch_stats, x, key, y=labels_for(yb, x.shape[0]))
         # interleave input | reconstruction pairs, like the wandb grids
         from midi_vae_tpu.data.transforms import denormalize
 
         x01 = denormalize(spec, x)
         images = jnp.stack([x01, recon], axis=1).reshape(-1, *recon.shape[1:])
     elif args.mode == "interpolate":
-        x, _ = _fetch_eval_batch(dataset, data_dir, image_size, 2, cfg)
+        x, yb, _ = _fetch_eval_batch(dataset, data_dir, image_size, 2, cfg)
         path = interpolate(
             model, params, batch_stats, x[:1], x[1:2],
             steps=args.steps, mode="slerp" if args.slerp else "lerp",
+            y=labels_for(yb, 1),
         )
         images = path[:, 0]
     else:  # traverse: one row per latent dimension, varied across ±2.5σ
         from midi_vae_tpu.evaluation.inference import traverse
 
-        x, _ = _fetch_eval_batch(dataset, data_dir, image_size, 1, cfg)
-        grid_rows = traverse(model, params, batch_stats, x, steps=args.steps)
+        x, yb, _ = _fetch_eval_batch(dataset, data_dir, image_size, 1, cfg)
+        grid_rows = traverse(model, params, batch_stats, x, steps=args.steps, y=labels_for(yb, 1))
         images = grid_rows.reshape(-1, *grid_rows.shape[2:])
 
     images = np.asarray(jax.device_get(images))

@@ -92,6 +92,11 @@ def get_parser() -> argparse.ArgumentParser:
                        help="Latent dimensionality. Default: %(default)s")
     group.add_argument("--hidden-dims", type=int, nargs="+", default=None,
                        help="Encoder channel progression. Default: 32 64 128 256")
+    group.add_argument("--conditional", action="store_true",
+                       help="Train a conditional VAE (q(z|x,y), p(x|z,y)) over the dataset's "
+                            "class labels — class-conditional generation via the generate CLI's "
+                            "--label. The class count resolves from the dataset (registry or "
+                            "fetched labels) and is stored in the checkpoint config.")
 
     # Loss args (new surface for C2 options) ----------------------------------
     group = parser.add_argument_group("Loss")
@@ -353,6 +358,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         freeze_encoder=args.freeze_encoder,
         n_features=args.n_features,
         hidden_dims=tuple(args.hidden_dims) if args.hidden_dims else None,
+        conditional=args.conditional,
         kld_weight=args.kld_weight,
         kl_schedule=args.kl_schedule,
         kl_warmup_steps=args.kl_warmup_steps,

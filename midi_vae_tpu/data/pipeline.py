@@ -491,8 +491,9 @@ class DeviceResidentLoader:
             @functools.partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
             def run_chunk(state, images, labels, order, masks, start, ekey, n_steps):
                 def body(st, i):
-                    x, _, _ = core(images, labels, order, masks, i, ekey)
-                    st, lo, gn = raw_step(st, x, ekey)
+                    x, y, _ = core(images, labels, order, masks, i, ekey)
+                    # raw steps take (state, x, y, key); unconditional ignore y
+                    st, lo, gn = raw_step(st, x, y, ekey)
                     return st, jnp.stack(
                         [
                             lo.loss,

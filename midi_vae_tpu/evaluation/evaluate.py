@@ -65,13 +65,19 @@ def make_eval_step(
     meaningful for 1-channel rolls, computed harmlessly elsewhere.)
     """
 
+    conditional = getattr(model, "num_classes", 0) > 0
+
     @jax.jit
-    def eval_step(params, batch_stats, x, mask, key):
+    def _eval_core(params, batch_stats, x, y, mask, key):
+        # the y kwarg only exists on conditional-capable models, so it is
+        # forwarded only when the model actually is one (duck-typed models
+        # and unconditional signatures stay untouched)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x,
             train=False,
             rngs={"reparam": key},
+            **({"y": y} if conditional else {}),
         )
         m = mask.reshape(-1, 1, 1, 1)
         elems_per_sample = float(np.prod(x.shape[1:]))
@@ -127,10 +133,20 @@ def make_eval_step(
             res["latents"] = out.latents
         return res
 
+    if conditional:
+        # conditional models evaluate with the batch labels (q(z|x,y))
+        def eval_step(params, batch_stats, x, y, mask, key):
+            return _eval_core(params, batch_stats, x, y, mask, key)
+    else:
+        # legacy signature — unconditional models need no labels
+        def eval_step(params, batch_stats, x, mask, key):
+            return _eval_core(params, batch_stats, x, None, mask, key)
+
     # markers so evaluate() can tell what a passed-in step provides
     eval_step.collect_latents = collect_latents
     eval_step.target_denorm = target_denorm
     eval_step.occupancy_denorm = occupancy_denorm
+    eval_step.conditional = conditional
     return eval_step
 
 
@@ -180,8 +196,13 @@ def evaluate(
 
     acc = None
     latents = []
+    cond = getattr(step_fn, "conditional", False)
     for i, batch in enumerate(loader.epoch(1)):
-        res = step_fn(state.params, state.batch_stats, batch.x, batch.mask, jax.random.fold_in(base_key, i))
+        k = jax.random.fold_in(base_key, i)
+        if cond:
+            res = step_fn(state.params, state.batch_stats, batch.x, batch.y, batch.mask, k)
+        else:
+            res = step_fn(state.params, state.batch_stats, batch.x, batch.mask, k)
         if collect_latents:
             valid = np.asarray(batch.mask) > 0
             latents.append(np.asarray(res.pop("latents"))[valid])

@@ -15,20 +15,33 @@ import jax
 import jax.numpy as jnp
 
 
+def _yk(y):
+    """Label kwarg, forwarded only when labels exist — unconditional models
+    (including duck-typed ones without a ``y`` parameter) never see it."""
+    return {} if y is None else {"y": y}
+
+
 @functools.partial(jax.jit, static_argnames=("model", "num_samples"))
-def sample_prior(model, params, batch_stats, key, num_samples: int) -> jax.Array:
-    """Decode z ~ N(0, I) prior draws (reference: models.py:250-263)."""
+def sample_prior(model, params, batch_stats, key, num_samples: int, y=None) -> jax.Array:
+    """Decode z ~ N(0, I) prior draws (reference: models.py:250-263).
+
+    Conditional models (``num_classes > 0``) require ``y``: int labels
+    ``[num_samples]`` selecting the class each sample is drawn for —
+    class-conditional generation, the CVAE's reason to exist.
+    """
     z = jax.random.normal(key, (num_samples, model.latent_dim), dtype=jnp.float32)
     return model.apply(
-        {"params": params, "batch_stats": batch_stats}, z, train=False, method=type(model).decode
+        {"params": params, "batch_stats": batch_stats}, z, train=False,
+        method=type(model).decode, **_yk(y),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
-def reconstruct(model, params, batch_stats, x, key) -> jax.Array:
+def reconstruct(model, params, batch_stats, x, key, y=None) -> jax.Array:
     """Reconstruct inputs (reference: models.py:265-272 ``generate``)."""
     out = model.apply(
-        {"params": params, "batch_stats": batch_stats}, x, train=False, rngs={"reparam": key}
+        {"params": params, "batch_stats": batch_stats}, x, train=False,
+        rngs={"reparam": key}, **_yk(y),
     )
     return out.output
 
@@ -45,15 +58,20 @@ def _slerp(a: jax.Array, b: jax.Array, t: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("model", "steps", "mode"))
-def interpolate(model, params, batch_stats, x_a, x_b, *, steps: int = 8, mode: str = "lerp") -> jax.Array:
+def interpolate(
+    model, params, batch_stats, x_a, x_b, *, steps: int = 8, mode: str = "lerp", y=None
+) -> jax.Array:
     """Encode two batches, interpolate in latent space, decode the path.
 
     Uses the posterior means (no sampling noise) so the path is
-    deterministic. Returns [steps, B, H, W, C].
+    deterministic. Returns [steps, B, H, W, C]. For conditional models
+    pass ``y`` (int [B]) — both endpoints encode and every step decodes
+    under that fixed condition, so the path explores the latent space of
+    ONE class.
     """
     variables = {"params": params, "batch_stats": batch_stats}
-    enc_a = model.apply(variables, x_a, train=False, method=type(model).encode)
-    enc_b = model.apply(variables, x_b, train=False, method=type(model).encode)
+    enc_a = model.apply(variables, x_a, train=False, method=type(model).encode, **_yk(y))
+    enc_b = model.apply(variables, x_b, train=False, method=type(model).encode, **_yk(y))
     ts = jnp.linspace(0.0, 1.0, steps).reshape(steps, 1, 1)
     if mode == "lerp":
         zs = (1.0 - ts) * enc_a.mu[None] + ts * enc_b.mu[None]
@@ -61,20 +79,22 @@ def interpolate(model, params, batch_stats, x_a, x_b, *, steps: int = 8, mode: s
         zs = jax.vmap(lambda t: _slerp(enc_a.mu, enc_b.mu, t))(ts[:, 0])
     else:
         raise ValueError(f"Unknown interpolation mode: {mode}")
-    decode = lambda z: model.apply(variables, z, train=False, method=type(model).decode)  # noqa: E731
+    decode = lambda z: model.apply(variables, z, train=False, method=type(model).decode, **_yk(y))  # noqa: E731
     return jax.vmap(decode)(zs)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "steps", "span"))
-def traverse(model, params, batch_stats, x, *, steps: int = 8, span: float = 2.5) -> jax.Array:
+def traverse(model, params, batch_stats, x, *, steps: int = 8, span: float = 2.5, y=None) -> jax.Array:
     """Latent traversal: encode one input, then vary each latent dimension
     across ``±span`` (posterior-σ units) while holding the others at the
     posterior mean. Returns [latent_dim, steps, H, W, C] — the standard
     disentanglement visualization (pairs with the β-TC-VAE objective;
-    no reference equivalent).
+    no reference equivalent). Conditional models traverse under the
+    fixed label ``y`` (int [1]).
     """
     variables = {"params": params, "batch_stats": batch_stats}
-    enc = model.apply(variables, x[:1], train=False, method=type(model).encode)
+    y1 = y[:1] if y is not None else None
+    enc = model.apply(variables, x[:1], train=False, method=type(model).encode, **_yk(y1))
     mu = enc.mu[0]  # [D]
     sigma = jnp.exp(0.5 * enc.log_var[0])
     D = mu.shape[0]
@@ -82,7 +102,10 @@ def traverse(model, params, batch_stats, x, *, steps: int = 8, span: float = 2.5
     # [D, S, D]: dim d varied by offsets·σ_d, others fixed at mu
     deltas = jnp.eye(D)[:, None, :] * (offsets[None, :, None] * sigma[None, None, :])
     zs = mu[None, None, :] + deltas
-    decode = lambda z: model.apply(variables, z, train=False, method=type(model).decode)  # noqa: E731
+    decode = lambda z: model.apply(  # noqa: E731
+        variables, z, train=False, method=type(model).decode,
+        **_yk(jnp.broadcast_to(y1, (z.shape[0],)) if y1 is not None else None),
+    )
     return jax.vmap(decode)(zs)  # [D, steps, H, W, C]
 
 

@@ -50,9 +50,12 @@ def make_iwae_step(model, chunk: int, target_denorm: Optional[Tuple] = None):
     order; tested)."""
 
     @jax.jit
-    def iwae_step(params, batch_stats, x, batch_key, offset):
+    def iwae_step(params, batch_stats, x, y, batch_key, offset):
         variables = {"params": params, "batch_stats": batch_stats}
-        enc = model.apply(variables, x, train=False, method=type(model).encode)
+        # y is None exactly for unconditional models (iwae_bound gates on
+        # num_classes), which may not have a y parameter at all
+        yk = {} if y is None else {"y": y}
+        enc = model.apply(variables, x, train=False, method=type(model).encode, **yk)
         mu = enc.mu.astype(jnp.float32)
         log_var = enc.log_var.astype(jnp.float32)
         b, d = mu.shape
@@ -63,7 +66,11 @@ def make_iwae_step(model, chunk: int, target_denorm: Optional[Tuple] = None):
         z = mu[None] + eps * jnp.exp(0.5 * log_var)[None]
 
         logits = model.apply(
-            variables, z.reshape(chunk * b, d), train=False, method=type(model).decode_logits
+            variables, z.reshape(chunk * b, d), train=False,
+            method=type(model).decode_logits,
+            # conditional models: each of the chunk draws decodes under its
+            # sample's label (the bound is on p(x|y))
+            **({} if y is None else {"y": jnp.tile(y, chunk)}),
         )
         logits = logits.reshape((chunk, b) + logits.shape[1:]).astype(jnp.float32)
 
@@ -106,13 +113,15 @@ def iwae_bound(
 
     total = 0.0
     count = 0
+    conditional = getattr(model, "num_classes", 0) > 0
     for i, batch in enumerate(loader.epoch(1)):
         batch_key = jax.random.fold_in(base_key, i)
         lse = None
         offset = 0
         for size in sizes:
             part = steps[size](
-                state.params, state.batch_stats, batch.x, batch_key, jnp.int32(offset)
+                state.params, state.batch_stats, batch.x,
+                batch.y if conditional else None, batch_key, jnp.int32(offset),
             )
             offset += size
             lse = part if lse is None else jnp.logaddexp(lse, part)

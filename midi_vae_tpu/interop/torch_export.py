@@ -140,6 +140,11 @@ def main(argv=None) -> None:
             f"(got {type(model).__name__}, torch_compat={getattr(model, 'torch_compat', False)}); "
             "train with --torch-compat for a torch-exportable run"
         )
+    if getattr(model, "num_classes", 0) > 0:
+        raise SystemExit(
+            "conditional (--conditional) checkpoints widen the latent-head/decoder-input "
+            "layers with the label one-hot; the torch reference has no conditional twin"
+        )
     total_step = int(payload.get("total_step", 0))
     sd = export_reference_state_dict(
         params, batch_stats, input_dim=image_size, hidden_dims=tuple(model.hidden_dims),

@@ -35,6 +35,9 @@ class MLPVAE(nn.Module):
     verbose: bool = False  # forward range tracing (see vae.trace_range)
     remat: bool = False  # inert (dense stack is activation-light); kept for constructor parity
     output_logit_bias: Optional[float] = None  # see models/vae.py _logit_bias_init
+    # > 0 makes this a conditional VAE: one-hot label concatenated at the
+    # dense bottleneck, exactly like VanillaVAE (see models/vae.py).
+    num_classes: int = 0
 
     name_tag = "MLPVAE"
 
@@ -63,7 +66,15 @@ class MLPVAE(nn.Module):
             dtype=self.dtype,
         )
 
-    def encode(self, x: jax.Array, train: bool = False) -> EncoderOutput:
+    def _class_onehot(self, y: Optional[jax.Array], where: str) -> jax.Array:
+        if y is None:
+            raise ValueError(
+                f"{self.name_tag}(num_classes={self.num_classes}) is conditional: "
+                f"{where} requires labels y (int [B])"
+            )
+        return jax.nn.one_hot(y, self.num_classes, dtype=self.dtype)
+
+    def encode(self, x: jax.Array, train: bool = False, y: Optional[jax.Array] = None) -> EncoderOutput:
         from midi_vae_tpu.models.vae import trace_range
 
         trace_range(self.verbose, "encode/input", x)
@@ -71,9 +82,16 @@ class MLPVAE(nn.Module):
         for layer in self.encoder:
             h = nn.leaky_relu(layer(h), negative_slope=0.01)
         trace_range(self.verbose, "encode/hidden", h)
-        return EncoderOutput(mu=self.fc_mu(h), log_var=self.fc_var(h), pre_latents=h)
+        hc = (
+            jnp.concatenate([h, self._class_onehot(y, "encode")], axis=-1)
+            if self.num_classes > 0
+            else h
+        )
+        return EncoderOutput(mu=self.fc_mu(hc), log_var=self.fc_var(hc), pre_latents=h)
 
-    def decode_logits(self, z: jax.Array, train: bool = False) -> jax.Array:
+    def decode_logits(self, z: jax.Array, train: bool = False, y: Optional[jax.Array] = None) -> jax.Array:
+        if self.num_classes > 0:
+            z = jnp.concatenate([z.astype(self.dtype), self._class_onehot(y, "decode")], axis=-1)
         h = z
         for layer in self.decoder:
             h = nn.leaky_relu(layer(h), negative_slope=0.01)
@@ -81,8 +99,8 @@ class MLPVAE(nn.Module):
         logits = self.decoder_out(h)
         return logits.reshape(-1, self.input_dim, self.input_dim, out_ch)
 
-    def decode(self, z: jax.Array, train: bool = False) -> jax.Array:
-        return jax.nn.sigmoid(self.decode_logits(z, train))
+    def decode(self, z: jax.Array, train: bool = False, y: Optional[jax.Array] = None) -> jax.Array:
+        return jax.nn.sigmoid(self.decode_logits(z, train, y=y))
 
     def reparameterize(self, mu: jax.Array, log_var: jax.Array) -> jax.Array:
         key = self.make_rng("reparam")
@@ -95,10 +113,10 @@ class MLPVAE(nn.Module):
         eps = jax.random.normal(key, mu.shape, dtype=mu.dtype)
         return mu + eps * jnp.exp(0.5 * log_var)
 
-    def __call__(self, x: jax.Array, train: bool = False) -> ModelOutput:
-        encoded = self.encode(x, train)
+    def __call__(self, x: jax.Array, train: bool = False, y: Optional[jax.Array] = None) -> ModelOutput:
+        encoded = self.encode(x, train, y=y)
         z = self.reparameterize(encoded.mu, encoded.log_var)
-        logits = self.decode_logits(z, train)
+        logits = self.decode_logits(z, train, y=y)
         return ModelOutput(
             output=jax.nn.sigmoid(logits),
             logits=logits,
@@ -107,5 +125,5 @@ class MLPVAE(nn.Module):
             latents=z,
         )
 
-    def generate(self, x: jax.Array) -> jax.Array:
-        return self(x, train=False).output
+    def generate(self, x: jax.Array, y: Optional[jax.Array] = None) -> jax.Array:
+        return self(x, train=False, y=y).output

@@ -42,6 +42,7 @@ def build_model(
     remat: bool = False,
     output_logit_bias=None,
     norm: str = "batch",
+    num_classes: int = 0,
 ):
     """Construct a model by architecture name (case-insensitive).
 
@@ -76,6 +77,14 @@ def build_model(
         kwargs["remat"] = True
     if output_logit_bias is not None:
         kwargs["output_logit_bias"] = float(output_logit_bias)
+    if num_classes:
+        # conditional VAE over that many classes (see models/vae.py)
+        if num_classes < 0:
+            raise ValueError(
+                "conditional training needs a labeled dataset with a known class "
+                f"count; got num_classes={num_classes} (unlabeled/by-folder)"
+            )
+        kwargs["num_classes"] = int(num_classes)
     if norm != "batch":
         if key == "mlpvae":
             raise ValueError("--norm applies to conv architectures; MLPVAE has no norm layers")

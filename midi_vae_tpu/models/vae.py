@@ -447,6 +447,15 @@ class VanillaVAE(nn.Module):
     # --grad-accum). No reference equivalent (torch would use
     # torch.utils.checkpoint).
     remat: bool = False
+    # Conditional VAE (Sohn et al. 2015): > 0 turns the model into a CVAE
+    # over that many classes — q(z|x,y) and p(x|z,y). The label enters as a
+    # one-hot concatenated at the DENSE bottleneck (encoder features before
+    # fc_mu/fc_var, and z before decoder_input), not as spatial label
+    # planes: the conditioning costs O(latent·classes) FLOPs instead of
+    # O(H·W·classes) extra HBM traffic per conv — the TPU-first choice.
+    # The reference parses class counts (datasets.py:17-62) but never uses
+    # labels; this is a capability extension (no reference equivalent).
+    num_classes: int = 0
 
     name_tag = "VanillaVAE"
 
@@ -469,6 +478,11 @@ class VanillaVAE(nn.Module):
             raise ValueError("torch_compat requires the reference stem and head")
         if self.torch_compat and self.norm != "batch":
             raise ValueError("torch_compat requires norm='batch' (reference BatchNorm2d parity)")
+        if self.torch_compat and self.num_classes > 0:
+            raise ValueError(
+                "torch_compat is the reference-parity mode; the reference has no conditional "
+                "variant (num_classes widens the latent-head/decoder-input layers)"
+            )
         # nn.remat argnums count the module instance as 0, so the `train`
         # bool of __call__(self, x, train) is static argnum 2.
         enc_cls = nn.remat(Encoder, static_argnums=(2,)) if self.remat else Encoder
@@ -512,19 +526,39 @@ class VanillaVAE(nn.Module):
                 norm=self.norm,
             )
 
-    def encode(self, x: jax.Array, train: bool = False) -> EncoderOutput:
-        """Conv stack → flatten → (mu, log_var) (reference: models.py:107-145)."""
+    def _class_onehot(self, y: Optional[jax.Array], where: str) -> jax.Array:
+        """Validated one-hot of the class labels for CVAE conditioning."""
+        if y is None:
+            raise ValueError(
+                f"{self.name_tag}(num_classes={self.num_classes}) is conditional: "
+                f"{where} requires labels y (int [B])"
+            )
+        return jax.nn.one_hot(y, self.num_classes, dtype=self.dtype)
+
+    def encode(self, x: jax.Array, train: bool = False, y: Optional[jax.Array] = None) -> EncoderOutput:
+        """Conv stack → flatten → (mu, log_var) (reference: models.py:107-145).
+
+        With ``num_classes > 0`` the one-hot label joins the flattened
+        features before the latent heads (q(z|x,y)); ``pre_latents``
+        stays the un-conditioned conv features. Unconditional models
+        ignore ``y``, so callers may pass labels uniformly.
+        """
         trace_range(self.verbose, "encode/input", x)
         h = self.encoder(x, train)
         trace_range(self.verbose, "encode/conv_out", h)
         h = h.reshape(h.shape[0], -1)
-        mu = self.fc_mu(h)
-        log_var = self.fc_var(h)
+        hc = (
+            jnp.concatenate([h, self._class_onehot(y, "encode")], axis=-1)
+            if self.num_classes > 0
+            else h
+        )
+        mu = self.fc_mu(hc)
+        log_var = self.fc_var(hc)
         trace_range(self.verbose, "encode/mu", mu)
         trace_range(self.verbose, "encode/log_var", log_var)
         return EncoderOutput(mu=mu, log_var=log_var, pre_latents=h)
 
-    def decode_logits(self, z: jax.Array, train: bool = False) -> jax.Array:
+    def decode_logits(self, z: jax.Array, train: bool = False, y: Optional[jax.Array] = None) -> jax.Array:
         """Latents → reconstruction logits (reference: models.py:147-175).
 
         The decoder naturally produces ``decoded_size``²; if the model's
@@ -534,6 +568,9 @@ class VanillaVAE(nn.Module):
         """
         s = self.last_conv_size
         trace_range(self.verbose, "decode/latents", z)
+        if self.num_classes > 0:
+            # p(x|z,y): the label conditions the decoder at its dense input
+            z = jnp.concatenate([z.astype(self.dtype), self._class_onehot(y, "decode")], axis=-1)
         h = self.decoder_input(z)
         h = h.reshape(-1, s, s, self.hidden_dims[-1])
         trace_range(self.verbose, "decode/decoder_input", h)
@@ -548,9 +585,9 @@ class VanillaVAE(nn.Module):
             logits = jax.lax.dynamic_slice_in_dim(logits, off, self.input_dim, axis=2)
         return logits
 
-    def decode(self, z: jax.Array, train: bool = False) -> jax.Array:
+    def decode(self, z: jax.Array, train: bool = False, y: Optional[jax.Array] = None) -> jax.Array:
         """Latents → reconstruction probabilities (sigmoid of logits)."""
-        return jax.nn.sigmoid(self.decode_logits(z, train))
+        return jax.nn.sigmoid(self.decode_logits(z, train, y=y))
 
     def reparameterize(self, mu: jax.Array, log_var: jax.Array) -> jax.Array:
         """z = mu + eps·exp(log_var/2), eps ~ N(0, I) (reference: models.py:177-183).
@@ -571,11 +608,15 @@ class VanillaVAE(nn.Module):
         eps = jax.random.normal(key, mu.shape, dtype=mu.dtype)
         return mu + eps * jnp.exp(0.5 * log_var)
 
-    def __call__(self, x: jax.Array, train: bool = False) -> ModelOutput:
-        """Full forward pass (reference: models.py:185-188)."""
-        encoded = self.encode(x, train)
+    def __call__(self, x: jax.Array, train: bool = False, y: Optional[jax.Array] = None) -> ModelOutput:
+        """Full forward pass (reference: models.py:185-188).
+
+        ``y`` (int labels [B]) is required when ``num_classes > 0`` and
+        ignored otherwise.
+        """
+        encoded = self.encode(x, train, y=y)
         z = self.reparameterize(encoded.mu, encoded.log_var)
-        logits = self.decode_logits(z, train)
+        logits = self.decode_logits(z, train, y=y)
         return ModelOutput(
             output=jax.nn.sigmoid(logits),
             logits=logits,
@@ -589,9 +630,9 @@ class VanillaVAE(nn.Module):
         key = self.make_rng("sample")
         return jax.random.normal(key, (num_samples, self.latent_dim), dtype=jnp.float32)
 
-    def generate(self, x: jax.Array) -> jax.Array:
+    def generate(self, x: jax.Array, y: Optional[jax.Array] = None) -> jax.Array:
         """Reconstruct inputs (reference: models.py:265-272)."""
-        return self(x, train=False).output
+        return self(x, train=False, y=y).output
 
 
 def param_group_label(path: tuple, _leaf=None) -> str:

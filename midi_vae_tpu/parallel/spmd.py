@@ -125,31 +125,35 @@ def make_spmd_train_step(
         tc_gather_axes=axes if loss_type == "beta-tc" else None,
     )
 
-    def local_step(state: TrainState, x: jax.Array, epoch_key: jax.Array):
+    conditional = getattr(model, "num_classes", 0) > 0
+
+    def local_step(state: TrainState, x: jax.Array, y, epoch_key: jax.Array):
         key = jax.random.fold_in(epoch_key, state.step)
         # Per-shard decorrelation INSIDE the program (see module docstring);
         # on a multi-slice mesh every (slice, data) coordinate gets its own key.
         for ax in axes:
             key = jax.random.fold_in(key, jax.lax.axis_index(ax))
 
-        def loss_fn(params, batch_stats, xm, k):
+        def loss_fn(params, batch_stats, xm, ym, k):
+            # labels forward only to conditional models (see train/state.py)
             out, mutated = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 xm,
                 train=True,
                 rngs={"reparam": k},
                 mutable=["batch_stats"],
+                **({"y": ym} if conditional else {}),
             )
             lo = _loss(out, kl_schedule(state.step))
             return lo.loss, (lo, mutated["batch_stats"])
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         if grad_accum == 1:
-            (_, (lo, batch_stats)), grads = grad_fn(state.params, state.batch_stats, x, key)
+            (_, (lo, batch_stats)), grads = grad_fn(state.params, state.batch_stats, x, y, key)
         else:
-            # x here is the LOCAL shard slice (shard_map body)
+            # x/y here are the LOCAL shard slices (shard_map body)
             batch_stats, grads, lo = accumulate_grads(
-                grad_fn, state.params, state.batch_stats, x, key, grad_accum,
+                grad_fn, state.params, state.batch_stats, x, y, key, grad_accum,
                 batch_desc="per-shard batch size",
             )
 
@@ -184,11 +188,21 @@ def make_spmd_train_step(
         return new_state, lo, grad_norm
 
     state_spec = P()  # replicated pytree (applied leaf-wise by shard_map)
+    if conditional:
+        # labels shard over the batch axes alongside the images
+        body, in_specs = local_step, (state_spec, P(axes), P(axes), P())
+    else:
+        def body(state, x, epoch_key):
+            return local_step(state, x, None, epoch_key)
+
+        in_specs = (state_spec, P(axes), P())
     sharded = jax.shard_map(
-        local_step,
+        body,
         mesh=mesh,
-        in_specs=(state_spec, P(axes), P()),
+        in_specs=in_specs,
         out_specs=(state_spec, P(), P()),
         check_vma=False,  # axis_index-derived keys are intentionally unreplicated
     )
-    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+    step = jax.jit(sharded, donate_argnums=(0,) if donate else ())
+    step.conditional = conditional
+    return step

@@ -51,8 +51,14 @@ class MicroBatcher:
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
         item_shape: "tuple | None" = None,
+        labeled: bool = False,
     ):
         self.fn = fn
+        # labeled=True: each item carries an int label (conditional models —
+        # q(z|x,y)); submit() takes (x, y) and ``fn`` is called as
+        # ``fn(rows, labels)``. Labels batch/pad alongside the rows, so
+        # requests for DIFFERENT classes still coalesce into one dispatch.
+        self.labeled = labeled
         # clamp the cap to a bucket size so padding never exceeds it
         self.max_batch = _bucket(max_batch)
         self.max_wait = max_wait_ms / 1000.0
@@ -71,16 +77,25 @@ class MicroBatcher:
         self.batches_dispatched = 0
         self.requests_served = 0
 
-    def submit(self, x: np.ndarray) -> Future:
+    def submit(self, x: np.ndarray, y: "np.ndarray | None" = None) -> Future:
         """Enqueue a [n, ...] request; resolves to the [n, ...] result.
 
         Raises ``ValueError`` immediately (in the caller's thread) when the
         request's per-item shape disagrees with the batcher's contract —
-        other requests in flight are unaffected.
+        other requests in flight are unaffected. Labeled batchers require
+        ``y``: int labels, one per item.
         """
         x = np.asarray(x)
         if x.ndim < 1 or len(x) == 0:
             raise ValueError(f"request must be a non-empty [n, ...] array, got shape {x.shape}")
+        if self.labeled:
+            if y is None:
+                raise ValueError("this batcher serves a conditional model: submit(x, y) needs labels")
+            y = np.asarray(y, np.int32)
+            if y.shape != (len(x),):
+                raise ValueError(f"labels must be int [n={len(x)}], got shape {y.shape}")
+        elif y is not None:
+            raise ValueError("this batcher serves an unconditional model; drop the labels")
         fut: Future = Future()
         with self._submit_lock:
             # checked under the lock: close() drains under the same lock, so a
@@ -94,11 +109,11 @@ class MicroBatcher:
                     f"request item shape {tuple(x.shape[1:])} does not match the "
                     f"batcher's item shape {self._item_shape}"
                 )
-            self._queue.put((x, fut))
+            self._queue.put((x, y, fut))
         return fut
 
-    def __call__(self, x: np.ndarray) -> np.ndarray:
-        return self.submit(x).result()
+    def __call__(self, x: np.ndarray, y: "np.ndarray | None" = None) -> np.ndarray:
+        return self.submit(x, y).result()
 
     def _loop(self):
         while not self._stop.is_set():
@@ -128,13 +143,13 @@ class MicroBatcher:
         # the submit lock so close()'s own carry handling cannot double-set.
         with self._submit_lock:
             if self._carry is not None:
-                self._carry[1].set_exception(RuntimeError("batcher closed"))
+                self._carry[2].set_exception(RuntimeError("batcher closed"))
                 self._carry = None
 
     def _dispatch(self, pending: Sequence):
         try:
-            xs = [x for x, _ in pending]
-            batch = np.concatenate(xs)
+            batch = np.concatenate([x for x, _, _ in pending])
+            labels = np.concatenate([y for _, y, _ in pending]) if self.labeled else None
             # A single submit may exceed max_batch (coalescing only caps
             # multi-request ticks) — run it as max_batch-sized chunks so
             # ``fn`` only ever sees bucket sizes <= max_batch: the compile
@@ -148,12 +163,18 @@ class MicroBatcher:
                 if size > n:  # pad to the bucket so shapes stay static
                     pad = np.zeros((size - n, *rows.shape[1:]), rows.dtype)
                     rows = np.concatenate([rows, pad])
-                outs.append(np.asarray(self.fn(rows))[:n])
+                if self.labeled:
+                    lab = labels[start : start + self.max_batch]
+                    if size > n:
+                        lab = np.concatenate([lab, np.zeros(size - n, lab.dtype)])
+                    outs.append(np.asarray(self.fn(rows, lab))[:n])
+                else:
+                    outs.append(np.asarray(self.fn(rows))[:n])
                 n_chunks += 1
             out = outs[0] if len(outs) == 1 else np.concatenate(outs)
         except Exception as e:  # propagate (incl. shape-mismatch concat errors)
             # to every waiter; the dispatcher thread itself must survive
-            for _, fut in pending:
+            for _, _, fut in pending:
                 fut.set_exception(e)
             return
         # counters first: a caller woken by result() must see them updated.
@@ -162,7 +183,7 @@ class MicroBatcher:
         self.batches_dispatched += n_chunks
         self.requests_served += len(pending)
         offset = 0
-        for x, fut in pending:
+        for x, _, fut in pending:
             fut.set_result(out[offset : offset + len(x)])
             offset += len(x)
 
@@ -171,11 +192,11 @@ class MicroBatcher:
         self._thread.join(timeout=2.0)
         with self._submit_lock:  # no submit can interleave with the drain
             if self._carry is not None:
-                self._carry[1].set_exception(RuntimeError("batcher closed"))
+                self._carry[2].set_exception(RuntimeError("batcher closed"))
                 self._carry = None
             while True:
                 try:
-                    _, fut = self._queue.get_nowait()
+                    *_, fut = self._queue.get_nowait()
                     fut.set_exception(RuntimeError("batcher closed"))
                 except queue.Empty:
                     break

@@ -17,6 +17,13 @@ Reconstruct/encode go through the micro-batcher (concurrent requests
 coalesce into one device program); sampling runs direct (already
 batched by ``n``).
 
+**Conditional checkpoints** (``--conditional`` runs) require labels on
+every endpoint: JSON ``"label"`` (scalar) / ``"labels"`` (one per image),
+or ``?label=K`` / ``?labels=0,3,1`` on the query string for the binary
+wire. Labels batch alongside the images, so mixed-class requests still
+coalesce into one dispatch. ``GET /healthz`` reports ``conditional`` and
+``num_classes``.
+
 **Binary wire format** (production path): JSON tensor bodies dominate
 the wire latency at 128px (measured — RESULTS.md "Serving latency"), so
 ``/reconstruct`` and ``/encode`` also accept a raw ``.npy`` body
@@ -88,59 +95,91 @@ class InferenceService:
         self.model, self.params, self.batch_stats = model, params, batch_stats
         self.config, self.dataset = config or {}, dataset
         self.image_size, self.channels = image_size, channels
+        # Conditional checkpoints (--conditional runs): every endpoint takes
+        # labels — batched alongside the images, so mixed-class requests
+        # still coalesce into one device dispatch.
+        self.num_classes = int(getattr(model, "num_classes", 0) or 0)
+        self.conditional = self.num_classes > 0
 
         @jax.jit
-        def _reconstruct(x):
+        def _reconstruct(x, y=None):
             # Posterior-MEAN decode: encode → mu → decode, no reparam draw.
             # This is the right serving semantics (the mean is the MAP
             # reconstruction; a fixed-key eps draw would add the same frozen
             # noise to every request) and it is exactly the computation
             # benchmarks/serving_latency.py measures — the served path and
             # the benched path are one code path.
+            yk = {} if y is None else {"y": y}  # unconditional models take no y
             enc = model.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=False,
-                method=type(model).encode,
+                method=type(model).encode, **yk,
             )
             return model.apply(
                 {"params": params, "batch_stats": batch_stats}, enc.mu, train=False,
-                method=type(model).decode,
+                method=type(model).decode, **yk,
             )
 
         @jax.jit
-        def _encode(x):
+        def _encode(x, y=None):
             enc = model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False, method=type(model).encode
+                {"params": params, "batch_stats": batch_stats}, x, train=False,
+                method=type(model).encode, **({} if y is None else {"y": y}),
             )
             return jnp.concatenate([enc.mu, enc.log_var], axis=-1)
 
         item_shape = (self.image_size, self.image_size, self.channels)
         self.reconstruct = MicroBatcher(
-            _reconstruct, max_batch=max_batch, max_wait_ms=max_wait_ms, item_shape=item_shape
+            _reconstruct, max_batch=max_batch, max_wait_ms=max_wait_ms, item_shape=item_shape,
+            labeled=self.conditional,
         )
         self.encode = MicroBatcher(
-            _encode, max_batch=max_batch, max_wait_ms=max_wait_ms, item_shape=item_shape
+            _encode, max_batch=max_batch, max_wait_ms=max_wait_ms, item_shape=item_shape,
+            labeled=self.conditional,
         )
         self.latent_dim = self.model.latent_dim
 
     MAX_SAMPLES = 1024  # same bound rationale as MAX_INTERPOLATE_STEPS
 
-    def sample(self, n: int, seed: int = 0) -> np.ndarray:
+    def validate_labels(self, labels, n: int) -> "np.ndarray | None":
+        """Normalize a request's label field: scalar broadcasts to [n]."""
+        if not self.conditional:
+            if labels is not None:
+                raise ValueError("this checkpoint is unconditional; drop the label field")
+            return None
+        if labels is None:
+            raise ValueError(
+                f"conditional checkpoint: a label (0..{self.num_classes - 1}) is required "
+                "('label' scalar or 'labels' list / ?label= query)"
+            )
+        arr = np.asarray(labels, np.int32)
+        if arr.ndim == 0:
+            arr = np.full((n,), int(arr), np.int32)
+        if arr.shape != (n,):
+            raise ValueError(f"labels must be a scalar or [n={n}] list, got shape {arr.shape}")
+        if (arr < 0).any() or (arr >= self.num_classes).any():
+            raise ValueError(f"labels must be in [0, {self.num_classes - 1}]")
+        return arr
+
+    def sample(self, n: int, seed: int = 0, label=None) -> np.ndarray:
         from midi_vae_tpu.evaluation.inference import sample_prior
         from midi_vae_tpu.serving.batcher import _bucket
 
         if not (1 <= n <= self.MAX_SAMPLES):
             raise ValueError(f"n must be in [1, {self.MAX_SAMPLES}], got {n}")
+        y = self.validate_labels(label, n)
         # sample_prior jits with n static — pad n up to a bucket size so
         # clients cycling through distinct n values hit a bounded compile
         # cache (same fix as the batcher's padded buckets) instead of one
         # full decoder compile per distinct n
         b = _bucket(n)
-        out = sample_prior(self.model, self.params, self.batch_stats, jax.random.PRNGKey(seed), b)
+        if y is not None and b > n:
+            y = np.concatenate([y, np.zeros(b - n, np.int32)])
+        out = sample_prior(self.model, self.params, self.batch_stats, jax.random.PRNGKey(seed), b, y=y)
         return np.asarray(out)[:n]
 
     MAX_INTERPOLATE_STEPS = 64  # bounds the [steps, H, W, C] result of one request
 
-    def interpolate(self, a: np.ndarray, b: np.ndarray, steps: int, mode: str) -> np.ndarray:
+    def interpolate(self, a: np.ndarray, b: np.ndarray, steps: int, mode: str, label=None) -> np.ndarray:
         from midi_vae_tpu.evaluation.inference import interpolate
 
         # this path runs eagerly outside the micro-batcher, so an unvalidated
@@ -154,6 +193,7 @@ class InferenceService:
         path = interpolate(
             self.model, self.params, self.batch_stats,
             a[None], b[None], steps=steps, mode=mode,
+            y=self.validate_labels(label, 1),
         )
         return np.asarray(path[:, 0])  # [steps, H, W, C]
 
@@ -190,6 +230,8 @@ def make_handler(service: InferenceService):
                     "model": type(service.model).__name__,
                     "image_size": service.image_size,
                     "latent_dim": service.latent_dim,
+                    "conditional": service.conditional,
+                    "num_classes": service.num_classes,
                     # both batchers' counters: an encode-dominated deployment
                     # must not look idle on the dashboard
                     "batches_dispatched": service.reconstruct.batches_dispatched,
@@ -219,11 +261,26 @@ def make_handler(service: InferenceService):
                 # binary in → binary out; JSON clients opt in via Accept
                 wants_npy = binary_req or NPY_CONTENT_TYPE in (self.headers.get("Accept") or "")
                 payload = {} if binary_req else json.loads(raw or b"{}")
+
+                def req_labels():
+                    """Label(s) for conditional checkpoints: JSON 'labels'
+                    (per item) / 'label' (scalar), or ?label= / ?labels=csv
+                    on the query string (the binary wire's only channel)."""
+                    if not binary_req and "labels" in payload:
+                        return payload["labels"]
+                    if not binary_req and "label" in payload:
+                        return payload["label"]
+                    if "labels" in query:
+                        return [int(v) for v in query["labels"][0].split(",")]
+                    if "label" in query:
+                        return int(query["label"][0])
+                    return None
+
                 if route == "/sample":
                     if binary_req:
                         raise ValueError("/sample takes JSON parameters ({'n', 'seed'}), not a tensor body")
                     n = int(payload.get("n", 1))
-                    out = service.sample(n, int(payload.get("seed", 0)))
+                    out = service.sample(n, int(payload.get("seed", 0)), label=req_labels())
                     if wants_npy:
                         self._npy(200, out)
                     else:
@@ -245,7 +302,7 @@ def make_handler(service: InferenceService):
                         b = np.asarray(payload["b"], np.float32)
                         steps = int(payload.get("steps", 8))
                         mode = "slerp" if payload.get("slerp") else "lerp"
-                    out = service.interpolate(a, b, steps=steps, mode=mode)
+                    out = service.interpolate(a, b, steps=steps, mode=mode, label=req_labels())
                     if wants_npy:
                         self._npy(200, out)
                     else:
@@ -261,7 +318,7 @@ def make_handler(service: InferenceService):
                         raise ValueError(
                             f"at most {self.MAX_REQUEST_ITEMS} images per request, got {len(x)}"
                         )
-                    out = getattr(service, route[1:])(x)
+                    out = getattr(service, route[1:])(x, service.validate_labels(req_labels(), len(x)))
                     if route == "/reconstruct":
                         if wants_npy:
                             self._npy(200, out)

@@ -46,6 +46,13 @@ class TrainConfig:
     freeze_encoder: bool = False
     n_features: int = 10  # latent dim
     hidden_dims: Tuple[int, ...] = (32, 64, 128, 256)
+    # Conditional VAE (--conditional): q(z|x,y), p(x|z,y) over the dataset's
+    # class labels (models/vae.py num_classes). num_classes is resolved at
+    # run time — from the dataset registry when it declares a count, else
+    # from the fetched labels — and stored in the checkpoint config so the
+    # generate/evaluate/serve CLIs rebuild the same architecture.
+    conditional: bool = False
+    num_classes: int = 0  # resolved; 0 = unconditional
 
     # Loss (made real from models.py:16 / configs/vae.yaml:20 / models.py:218-219)
     kld_weight: float = 1.0

@@ -174,6 +174,27 @@ def run(config: TrainConfig) -> dict:
         if config.bce_targets == "raw"
         else None
     )
+    if config.conditional and not config.num_classes:
+        # Resolve the class count once and persist it in the config (the
+        # checkpoint embeds it, so generate/evaluate rebuild the same
+        # architecture). Registry-declared counts win; by-folder datasets
+        # (n_class == -1) derive it from the fetched labels — identical on
+        # every host, since all hosts fetch the same corpus.
+        if n_class and n_class > 0:
+            config.num_classes = int(n_class)
+        else:
+            label_arrays = [
+                np.asarray(ds.labels)
+                for ds in (dataset_train, dataset_val, dataset_test)
+                if getattr(ds, "labels", None) is not None and len(ds.labels)
+            ]
+            if not label_arrays:
+                raise ValueError(
+                    f"--conditional needs labels, but dataset '{config.dataset_name}' "
+                    "exposes none (streaming corpus without a label table?)"
+                )
+            config.num_classes = int(max(int(a.max()) for a in label_arrays)) + 1
+        print(f"Conditional VAE over {config.num_classes} classes")
     print(f"loading model '{config.arch}' for '{config.dataset_name}' dataset @ {config.image_size}px")
     model = build_model(
         config.arch,
@@ -191,6 +212,7 @@ def run(config: TrainConfig) -> dict:
         torch_compat=config.torch_compat,
         output_logit_bias=output_bias,
         norm=config.norm,
+        num_classes=config.num_classes if config.conditional else 0,
     )
 
     seed = config.seed if config.seed is not None else int(time.time()) % 100000
@@ -756,7 +778,10 @@ def train_one_epoch(
         batch_idx += 1
         timer.mark("device_step")
         with jax.profiler.StepTraceAnnotation("train_step", step_num=batch_idx):
-            state, lo, grad_norm = train_step(state, batch.x, epoch_key)
+            if getattr(train_step, "conditional", False):
+                state, lo, grad_norm = train_step(state, batch.x, batch.y, epoch_key)
+            else:
+                state, lo, grad_norm = train_step(state, batch.x, epoch_key)
         loss_sum = loss_sum + lo.loss
         last_lo = lo
         n_samples_seen += world_batch
@@ -816,7 +841,8 @@ def train_one_epoch(
         # without wandb the grid lands as a PNG next to the checkpoint
         if config.log_images and batch_idx <= 1 and (logger.wandb_run is not None or logger.output_dir):
             _log_reconstruction_grid(
-                logger, model, state, batch.x, int(state.step), spec=getattr(loader.dataset, "transform", None)
+                logger, model, state, batch.x, int(state.step),
+                spec=getattr(loader.dataset, "transform", None), y=batch.y,
             )
 
     total_step = int(state.step)
@@ -914,11 +940,12 @@ def _train_one_epoch_scan(
     return stats, state, total_step, n_samples_seen
 
 
-def _log_reconstruction_grid(logger, model, state, x, step, spec=None):
+def _log_reconstruction_grid(logger, model, state, x, step, spec=None, y=None):
     from midi_vae_tpu.data.transforms import denormalize
     from midi_vae_tpu.evaluation.inference import reconstruct, reconstruction_grid
 
-    recon = reconstruct(model, state.params, state.batch_stats, x[:8], jax.random.PRNGKey(0))
+    y8 = y[:8] if y is not None and getattr(model, "num_classes", 0) > 0 else None
+    recon = reconstruct(model, state.params, state.batch_stats, x[:8], jax.random.PRNGKey(0), y=y8)
     # inputs are normalized (e.g. -0.5..0.5 under the default table) while
     # reconstructions are sigmoid outputs in 0..1 — denormalize the inputs
     # so both halves of the grid share the display range (the generate CLI

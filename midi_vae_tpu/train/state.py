@@ -62,9 +62,19 @@ def create_train_state(
     """Initialize parameters (Xavier-uniform, models.py:227-236) and optimizer state.
 
     ``ema=True`` seeds the EMA shadow copy of the parameters (used with
-    ``make_train_step(..., ema_decay=...)``).
+    ``make_train_step(..., ema_decay=...)``). Conditional models
+    (``num_classes > 0``) initialize with a zero label batch so the
+    label-conditioned dense layers get their widened shapes.
     """
-    variables = model.init({"params": init_key, "reparam": jax.random.fold_in(init_key, 1)}, sample_batch, train=True)
+    init_kwargs = {}
+    if getattr(model, "num_classes", 0) > 0:
+        init_kwargs["y"] = jnp.zeros((sample_batch.shape[0],), jnp.int32)
+    variables = model.init(
+        {"params": init_key, "reparam": jax.random.fold_in(init_key, 1)},
+        sample_batch,
+        train=True,
+        **init_kwargs,
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -109,23 +119,28 @@ def ema_update(ema_params: dict, params: dict, decay: float) -> dict:
     return jax.tree_util.tree_map(lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema_params, params)
 
 
-def accumulate_grads(grad_fn, params, batch_stats, x, key, n: int, *, batch_desc: str = "batch size"):
+def accumulate_grads(
+    grad_fn, params, batch_stats, x, y, key, n: int, *, batch_desc: str = "batch size"
+):
     """Microbatched gradient accumulation, shared by the auto and shard_map steps.
 
-    Splits ``x`` into ``n`` sequential microbatches under ``lax.scan``:
-    BatchNorm ``batch_stats`` chain through the carry, gradients and
-    LossOutput metrics sum across micros then rescale by ``1/n`` (the
-    mean over equal micros == the full-batch mean for per-sample
-    losses). The per-micro RNG key is ``fold_in(key, micro_idx)``.
+    Splits ``x`` (and the labels ``y`` when present — conditional models)
+    into ``n`` sequential microbatches under ``lax.scan``: BatchNorm
+    ``batch_stats`` chain through the carry, gradients and LossOutput
+    metrics sum across micros then rescale by ``1/n`` (the mean over
+    equal micros == the full-batch mean for per-sample losses). The
+    per-micro RNG key is ``fold_in(key, micro_idx)``.
 
     ``grad_fn`` is ``value_and_grad`` of a loss with aux
-    ``(LossOutput, batch_stats)``. Returns ``(batch_stats, grads,
-    loss_output)``.
+    ``(LossOutput, batch_stats)`` taking ``(params, batch_stats, xm, ym,
+    key)``. Returns ``(batch_stats, grads, loss_output)``.
     """
     b = x.shape[0]
     if b % n:
         raise ValueError(f"{batch_desc} {b} not divisible by grad_accum={n}")
     xs = x.reshape(n, b // n, *x.shape[1:])
+    # y=None scans as an empty pytree (unconditional models ignore it)
+    ys = y.reshape(n, b // n, *y.shape[1:]) if y is not None else None
     zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
     zero_lo = LossOutput(
         loss=jnp.float32(0),
@@ -137,14 +152,14 @@ def accumulate_grads(grad_fn, params, batch_stats, x, key, n: int, *, batch_desc
 
     def micro(carry, inp):
         bs, gsum, losum = carry
-        xm, idx = inp
-        (_, (lo, bs2)), g = grad_fn(params, bs, xm, jax.random.fold_in(key, idx))
+        xm, ym, idx = inp
+        (_, (lo, bs2)), g = grad_fn(params, bs, xm, ym, jax.random.fold_in(key, idx))
         gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
         losum = jax.tree_util.tree_map(jnp.add, losum, lo)
         return (bs2, gsum, losum), None
 
     (batch_stats, gsum, lo_sum), _ = jax.lax.scan(
-        micro, (batch_stats, zero_grads, zero_lo), (xs, jnp.arange(n))
+        micro, (batch_stats, zero_grads, zero_lo), (xs, ys, jnp.arange(n))
     )
     inv = jnp.float32(1.0 / n)
     grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
@@ -278,26 +293,31 @@ def make_train_step(
         dataset_size=dataset_size,
     )
 
-    def step_fn(state: TrainState, x: jax.Array, epoch_key: jax.Array):
+    conditional = getattr(model, "num_classes", 0) > 0
+
+    def step_fn(state: TrainState, x: jax.Array, y, epoch_key: jax.Array):
         key = jax.random.fold_in(epoch_key, state.step)
 
-        def loss_fn(params, batch_stats, xm, k):
+        def loss_fn(params, batch_stats, xm, ym, k):
+            # forward labels only to conditional models — unconditional
+            # signatures (incl. duck-typed test models) never see the kwarg
             out, mutated = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 xm,
                 train=True,
                 rngs={"reparam": k},
                 mutable=["batch_stats"],
+                **({"y": ym} if conditional else {}),
             )
             lo = _loss(out, kl_schedule(state.step))
             return lo.loss, (lo, mutated["batch_stats"])
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         if grad_accum == 1:
-            (_, (loss_output, batch_stats)), grads = grad_fn(state.params, state.batch_stats, x, key)
+            (_, (loss_output, batch_stats)), grads = grad_fn(state.params, state.batch_stats, x, y, key)
         else:
             batch_stats, grads, loss_output = accumulate_grads(
-                grad_fn, state.params, state.batch_stats, x, key, grad_accum
+                grad_fn, state.params, state.batch_stats, x, y, key, grad_accum
             )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -314,10 +334,19 @@ def make_train_step(
         return new_state, loss_output, grad_norm
 
     jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    if conditional:
+        step = jitted  # (state, x, y, key) — labels are part of the batch
+    else:
+        # legacy public signature (state, x, key); y rides as an empty pytree
+        def step(state, x, epoch_key):
+            return jitted(state, x, None, epoch_key)
+
     # the raw (unjitted) step so callers can compose it into larger compiled
     # programs — e.g. scan-chunked epochs over a device-resident corpus
-    # (data/pipeline.py:DeviceResidentLoader.epoch_scan)
-    jitted.raw_step_fn = step_fn
-    return jitted
+    # (data/pipeline.py:DeviceResidentLoader.epoch_scan). Always takes
+    # (state, x, y, key); unconditional models ignore y.
+    step.raw_step_fn = step_fn
+    step.conditional = conditional
+    return step
 
 
