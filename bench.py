@@ -73,6 +73,13 @@ HIDDEN_ENV = os.environ.get("MIDI_VAE_BENCH_HIDDEN")
 # group | none. Measured (benchmarks/norm_bench.json): none is +12.6%,
 # group is -1.6% — see RESULTS.md "normalization" for the quality gate
 NORM = os.environ.get("MIDI_VAE_BENCH_NORM", "batch")
+# Per-compile XLA compiler options (JSON dict), applied to the timed
+# programs. This is how TPU-only knobs (scoped VMEM, latency-hiding
+# scheduler) reach the REMOTE compiler on this platform: process-level
+# XLA_FLAGS are parsed by the local (CPU) XLA client, which fatals on
+# unknown TPU flags, while jit(compiler_options=...) rides the compile
+# RPC. Swept by benchmarks/xla_flags_bench.py.
+COMPILER_OPTIONS = json.loads(os.environ.get("MIDI_VAE_COMPILER_OPTIONS", "null"))
 
 
 def setup(
@@ -159,7 +166,7 @@ def measure_train(ctx, steps=MEASURE_STEPS, warmup=WARMUP_STEPS):
         state, lo, _ = train_step(state, x, base_key)
         return state, lo.loss
 
-    @functools.partial(jax.jit, static_argnums=(2,))
+    @functools.partial(jax.jit, static_argnums=(2,), compiler_options=COMPILER_OPTIONS)
     def run_steps(state, start, n_steps):
         return jax.lax.scan(scan_body, state, start + jnp.arange(n_steps))
 
@@ -196,7 +203,7 @@ def measure_sampling(ctx, iters=50, repeats=1):
     z_sharding = NamedSharding(ctx["mesh"], PartitionSpec("data", None))
     base_key = jax.random.PRNGKey(2)
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=COMPILER_OPTIONS)
     def sample_step(key):
         z = jax.random.normal(key, (sample_batch, model.latent_dim), jnp.float32)
         z = jax.lax.with_sharding_constraint(z, z_sharding)

@@ -1,21 +1,28 @@
-"""XLA/libtpu flag sweep over the flagship training benchmark.
+"""XLA compiler-option sweep over the flagship training benchmark.
 
 The round-3 device trace (``backward_profile.py``) shows a flat op
 profile — no single kernel worth a custom Pallas backward. The next
 lever above individual ops is the COMPILER's schedule: scoped-VMEM
 budget (bigger fusions vs more HBM spills) and the latency-hiding
-scheduler. Those are process-level ``XLA_FLAGS``, so each configuration
-runs ``bench.py`` in a fresh subprocess (same measurement core, same
-scan-chunked value-materialized windows) and this script reduces the
+scheduler.
+
+Delivery mechanism matters on this platform: process-level ``XLA_FLAGS``
+are parsed by the LOCAL XLA client — a CPU build that fatals
+(``parse_flags_from_env``) on TPU-only flags, because compilation
+happens on the far side of the axon tunnel. Per-compile
+``jax.jit(compiler_options=...)`` rides the compile RPC instead and
+reaches the remote TPU compiler, so each configuration runs ``bench.py``
+in a fresh subprocess with ``MIDI_VAE_COMPILER_OPTIONS`` (a JSON dict
+bench.py applies to its timed programs) and this script reduces the
 results to one table.
 
 Run on the TPU::
 
     python benchmarks/xla_flags_bench.py [--steps 300] [--repeats 1]
 
-Writes ``benchmarks/xla_flags.json``. Expect the first run per config to
-pay the full remote compile (~5-7 min on this platform); a flag string
-libtpu rejects is reported as ``rejected``, not a crash.
+Writes ``benchmarks/xla_flags.json``. Expect each run to pay a full
+remote compile (~1-7 min); an option string the compiler rejects is
+reported as ``rejected``, not a crash.
 """
 
 from __future__ import annotations
@@ -29,23 +36,24 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
-# One entry per configuration: name -> extra XLA_FLAGS (appended to any
-# inherited ones). Scoped VMEM is the documented high-leverage knob for
+# One entry per configuration: name -> compiler options (merged over the
+# default compile). Scoped VMEM is the documented high-leverage knob for
 # conv/fusion-heavy programs (jax.dev TPU flag guide); the latency-hiding
 # scheduler default has flipped across libtpu releases, so both states
 # are measured rather than assumed.
 CONFIGS = {
-    "baseline": "",
-    "lhs_off": "--xla_tpu_enable_latency_hiding_scheduler=false",
-    "vmem_32m": "--xla_tpu_scoped_vmem_limit_kib=32768",
-    "vmem_64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "vmem_96m": "--xla_tpu_scoped_vmem_limit_kib=98304",
+    "baseline": {},
+    "lhs_off": {"xla_tpu_enable_latency_hiding_scheduler": "false"},
+    "vmem_32m": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    "vmem_64m": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "vmem_96m": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
 }
 
 
-def run_config(name: str, flags: str, steps: int, timeout: int) -> dict:
+def run_config(name: str, options: dict, steps: int, timeout: int) -> dict:
     env = os.environ.copy()
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
+    if options:
+        env["MIDI_VAE_COMPILER_OPTIONS"] = json.dumps(options)
     env["MIDI_VAE_BENCH_STEPS"] = str(steps)
     try:
         proc = subprocess.run(
@@ -57,15 +65,15 @@ def run_config(name: str, flags: str, steps: int, timeout: int) -> dict:
             timeout=timeout,
         )
     except subprocess.TimeoutExpired:
-        return {"config": name, "flags": flags, "status": "timeout"}
+        return {"config": name, "options": options, "status": "timeout"}
     line = next((ln for ln in proc.stdout.splitlines() if ln.startswith("{")), None)
     if proc.returncode != 0 or line is None:
         tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
-        return {"config": name, "flags": flags, "status": "rejected", "tail": tail}
+        return {"config": name, "options": options, "status": "rejected", "tail": tail}
     out = json.loads(line)
     return {
         "config": name,
-        "flags": flags,
+        "options": options,
         "status": "ok",
         "samples_per_sec_chip": out["value"],
         "final_loss": out.get("extra", {}).get("final_loss"),
@@ -84,8 +92,8 @@ def main() -> None:
 
     results = []
     for name in args.configs:
-        flags = CONFIGS[name]
-        runs = [run_config(name, flags, args.steps, args.timeout) for _ in range(args.repeats)]
+        options = CONFIGS[name]
+        runs = [run_config(name, options, args.steps, args.timeout) for _ in range(args.repeats)]
         ok = sorted(r["samples_per_sec_chip"] for r in runs if r["status"] == "ok")
         rec = dict(runs[0])
         if ok:
@@ -96,13 +104,13 @@ def main() -> None:
 
     base = next((r for r in results if r["config"] == "baseline" and r["status"] == "ok"), None)
     if base:
-        print(f"\n{'config':<12} {'samples/s/chip':>15}  vs baseline")
+        print(f"\n{'config':<22} {'samples/s/chip':>15}  vs baseline")
         for r in results:
             if r["status"] != "ok":
-                print(f"{r['config']:<12} {r['status']:>15}")
+                print(f"{r['config']:<22} {r['status']:>15}")
                 continue
             rel = r["samples_per_sec_chip"] / base["samples_per_sec_chip"]
-            print(f"{r['config']:<12} {r['samples_per_sec_chip']:>15,.0f}  {rel:.3f}x")
+            print(f"{r['config']:<22} {r['samples_per_sec_chip']:>15,.0f}  {rel:.3f}x")
 
     with open(os.path.join(HERE, "xla_flags.json"), "w") as f:
         json.dump(results, f, indent=1)
