@@ -157,8 +157,13 @@ class AOTServingBundle:
 
     @staticmethod
     def _wrap(exported):
+        # jit the call so repeated shapes hit the executable cache (the
+        # symbolic-batch artifact specializes once per concrete batch size,
+        # like the live server's bucket compiles)
+        jitted = jax.jit(lambda *a: exported.call(*a))
+
         def call(*args):
-            return exported.call(*[jnp.asarray(a) for a in args])
+            return jitted(*[jnp.asarray(a) for a in args])
 
         return call
 

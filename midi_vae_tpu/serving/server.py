@@ -88,11 +88,53 @@ class InferenceService:
         )
         return self
 
+    @classmethod
+    def from_artifact(
+        cls, artifact_dir: str, *, max_batch: int = 64, max_wait_ms: float = 2.0,
+    ) -> "InferenceService":
+        """Serve an AOT-exported artifact directory (interop/aot_export.py).
+
+        The deployment path that needs NO model code or checkpoint: the
+        StableHLO programs (weights baked in) back every endpoint —
+        reconstruct/encode through the micro-batcher, /sample composed
+        from host-drawn z through the exported decode, /interpolate from
+        the exported encode + decode.
+        """
+        from midi_vae_tpu.interop.aot_export import AOTServingBundle
+
+        bundle = AOTServingBundle(artifact_dir)
+        m = bundle.manifest
+        self = cls.__new__(cls)
+        self.model, self.params, self.batch_stats = None, None, None
+        self.model_name = f"{m.get('model', 'unknown')} (AOT artifact)"
+        self.config, self.dataset = {}, None
+        self.image_size, self.channels = int(m["image_size"]), int(m["channels"])
+        self.latent_dim = int(m["latent_dim"])
+        self.num_classes = bundle.num_classes
+        self.conditional = bundle.conditional
+        self._bundle = bundle
+
+        # labeled batchers call fn(rows, labels); unconditional artifacts
+        # take a single positional argument — same contract as the jitted
+        # checkpoint path
+        item_shape = (self.image_size, self.image_size, self.channels)
+        self.reconstruct = MicroBatcher(
+            bundle.reconstruct, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            item_shape=item_shape, labeled=self.conditional,
+        )
+        self.encode = MicroBatcher(
+            bundle.encode, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            item_shape=item_shape, labeled=self.conditional,
+        )
+        return self
+
     def _init_from_parts(
         self, model, params, batch_stats, image_size, channels,
         *, config=None, dataset=None, max_batch=64, max_wait_ms=2.0,
     ):
         self.model, self.params, self.batch_stats = model, params, batch_stats
+        self.model_name = type(model).__name__
+        self._bundle = None  # set by from_artifact (AOT-exported serving)
         self.config, self.dataset = config or {}, dataset
         self.image_size, self.channels = image_size, channels
         # Conditional checkpoints (--conditional runs): every endpoint takes
@@ -174,7 +216,15 @@ class InferenceService:
         b = _bucket(n)
         if y is not None and b > n:
             y = np.concatenate([y, np.zeros(b - n, np.int32)])
-        out = sample_prior(self.model, self.params, self.batch_stats, jax.random.PRNGKey(seed), b, y=y)
+        if self._bundle is not None:
+            # AOT path: the artifact exports decode; the prior draw happens
+            # here (same key convention as sample_prior)
+            z = jax.random.normal(jax.random.PRNGKey(seed), (b, self.latent_dim), jnp.float32)
+            out = self._bundle.decode(*((z, y) if y is not None else (z,)))
+        else:
+            out = sample_prior(
+                self.model, self.params, self.batch_stats, jax.random.PRNGKey(seed), b, y=y
+            )
         return np.asarray(out)[:n]
 
     MAX_INTERPOLATE_STEPS = 64  # bounds the [steps, H, W, C] result of one request
@@ -190,12 +240,41 @@ class InferenceService:
         for name, arr in (("a", a), ("b", b)):
             if tuple(arr.shape) != expect:
                 raise ValueError(f"'{name}' must have shape {expect}, got {tuple(arr.shape)}")
+        y = self.validate_labels(label, 1)
+        if self._bundle is not None:
+            return self._interpolate_from_bundle(a, b, steps, mode, y)
         path = interpolate(
             self.model, self.params, self.batch_stats,
             a[None], b[None], steps=steps, mode=mode,
-            y=self.validate_labels(label, 1),
+            y=y,
         )
         return np.asarray(path[:, 0])  # [steps, H, W, C]
+
+    def _interpolate_from_bundle(self, a, b, steps, mode, y) -> np.ndarray:
+        """Compose /interpolate from the exported encode + decode programs
+        (posterior means = first half of the encode payload), matching
+        evaluation/inference.py:interpolate's lerp/slerp math."""
+        d = self.latent_dim
+        x = np.stack([a, b]).astype(np.float32)
+        yy = np.broadcast_to(y, (2,)).astype(np.int32) if y is not None else None
+        enc = np.asarray(self._bundle.encode(*((x, yy) if yy is not None else (x,))))
+        mu_a, mu_b = enc[0, :d], enc[1, :d]
+        ts = np.linspace(0.0, 1.0, steps, dtype=np.float32)
+        if mode == "lerp":
+            zs = (1.0 - ts[:, None]) * mu_a[None] + ts[:, None] * mu_b[None]
+        else:  # slerp — bit-for-bit the math of inference._slerp
+            na = np.linalg.norm(mu_a) + 1e-8
+            nb = np.linalg.norm(mu_b) + 1e-8
+            omega = np.arccos(np.clip(np.dot(mu_a / na, mu_b / nb), -1 + 1e-7, 1 - 1e-7))
+            so = np.sin(omega)
+            zs = (
+                np.sin((1.0 - ts)[:, None] * omega) / so * mu_a[None]
+                + np.sin(ts[:, None] * omega) / so * mu_b[None]
+            )
+        zs = zs.astype(np.float32)
+        ys = np.broadcast_to(y, (steps,)).astype(np.int32) if y is not None else None
+        out = self._bundle.decode(*((zs, ys) if ys is not None else (zs,)))
+        return np.asarray(out)
 
     def close(self):
         self.reconstruct.close()
@@ -227,7 +306,7 @@ def make_handler(service: InferenceService):
             if self.path == "/healthz":
                 self._json(200, {
                     "status": "ok",
-                    "model": type(service.model).__name__,
+                    "model": service.model_name,
                     "image_size": service.image_size,
                     "latent_dim": service.latent_dim,
                     "conditional": service.conditional,
@@ -344,20 +423,39 @@ def make_handler(service: InferenceService):
     return Handler
 
 
-def serve(checkpoint: str, port: int = 8000, host: str = "127.0.0.1") -> ThreadingHTTPServer:
-    """Start the server (returns it; call ``.shutdown()`` to stop)."""
-    service = InferenceService(checkpoint)
+def serve(
+    checkpoint: Optional[str] = None,
+    port: int = 8000,
+    host: str = "127.0.0.1",
+    *,
+    artifact: Optional[str] = None,
+) -> ThreadingHTTPServer:
+    """Start the server (returns it; call ``.shutdown()`` to stop).
+
+    Pass ``checkpoint`` (a training checkpoint; needs the model code) or
+    ``artifact`` (an AOT-exported directory, interop/aot_export.py).
+    """
+    if (checkpoint is None) == (artifact is None):
+        raise ValueError("pass exactly one of checkpoint= or artifact=")
+    if artifact is not None:
+        service = InferenceService.from_artifact(artifact)
+    else:
+        service = InferenceService(checkpoint)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     httpd.service = service  # type: ignore[attr-defined]
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
-    print(f"serving {checkpoint} on http://{host}:{httpd.server_address[1]}")
+    print(f"serving {checkpoint or artifact} on http://{host}:{httpd.server_address[1]}")
     return httpd
 
 
 def cli(argv: Optional[list] = None):
     parser = argparse.ArgumentParser(description="Serve a trained VAE checkpoint over HTTP")
-    parser.add_argument("--checkpoint", required=True)
+    source = parser.add_mutually_exclusive_group(required=True)
+    source.add_argument("--checkpoint", help="Training checkpoint (.msgpack or Orbax dir)")
+    source.add_argument("--artifact", metavar="DIR",
+                        help="AOT-exported artifact directory (interop/aot_export.py): serve "
+                             "the StableHLO programs — no model code or checkpoint needed")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--compilation-cache", type=str, default=None, metavar="DIR",
@@ -384,7 +482,7 @@ def cli(argv: Optional[list] = None):
         from midi_vae_tpu.core.compile_cache import enable_compilation_cache
 
         print(f"persistent compilation cache: {enable_compilation_cache(args.compilation_cache)}")
-    httpd = serve(args.checkpoint, args.port, args.host)
+    httpd = serve(args.checkpoint, args.port, args.host, artifact=args.artifact)
     try:
         threading.Event().wait()
     except KeyboardInterrupt:

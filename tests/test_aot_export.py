@@ -109,6 +109,112 @@ class TestExportRoundtrip:
         assert np.asarray(r).shape == (5, 32, 32, 1)
 
 
+@pytest.fixture(scope="module")
+def trained_checkpoint(tmp_path_factory):
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    tmp_path = tmp_path_factory.mktemp("aot_ckpt")
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        arch="MLPVAE",
+        n_features=8,
+        hidden_dims=(64,),
+        epochs=1,
+        batch_size_per_device=16,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "m"),
+        log_images=False,
+        run_name="aotf",
+        run_id="aotf1",
+    )
+    run(config)
+    return config.checkpoint_path
+
+
+class TestArtifactServing:
+    """midi-vae-serve --artifact DIR: the HTTP server runs from the AOT
+    bundle alone and answers exactly like the checkpoint-backed server."""
+
+    @pytest.fixture(scope="class")
+    def servers(self, trained_checkpoint, tmp_path_factory):
+        from midi_vae_tpu.interop.aot_export import main as export_main
+        from midi_vae_tpu.serving.server import serve
+
+        art = str(tmp_path_factory.mktemp("aot_art") / "bundle")
+        export_main(["--checkpoint", trained_checkpoint, "--out", art])
+        ckpt_httpd = serve(trained_checkpoint, port=0)
+        art_httpd = serve(artifact=art, port=0)
+        yield (
+            f"http://127.0.0.1:{ckpt_httpd.server_address[1]}",
+            f"http://127.0.0.1:{art_httpd.server_address[1]}",
+        )
+        for h in (ckpt_httpd, art_httpd):
+            h.shutdown()
+            h.service.close()
+
+    @staticmethod
+    def _post(url, payload):
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read())
+
+    def test_healthz_identifies_artifact(self, servers):
+        import urllib.request
+
+        _, art = servers
+        with urllib.request.urlopen(f"{art}/healthz", timeout=10) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert "AOT artifact" in health["model"]
+        assert health["latent_dim"] == 8
+
+    def test_reconstruct_matches_checkpoint_server(self, servers):
+        ckpt, art = servers
+        x = np.random.default_rng(0).random((2, 32, 32, 1)).astype(np.float32).tolist()
+        a = np.asarray(self._post(f"{ckpt}/reconstruct", {"images": x})["reconstructions"])
+        b = np.asarray(self._post(f"{art}/reconstruct", {"images": x})["reconstructions"])
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_encode_matches_checkpoint_server(self, servers):
+        ckpt, art = servers
+        x = np.random.default_rng(1).random((3, 32, 32, 1)).astype(np.float32).tolist()
+        a = self._post(f"{ckpt}/encode", {"images": x})
+        b = self._post(f"{art}/encode", {"images": x})
+        np.testing.assert_allclose(np.asarray(a["mu"]), np.asarray(b["mu"]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a["log_var"]), np.asarray(b["log_var"]), rtol=1e-5, atol=1e-6
+        )
+
+    def test_sample_matches_checkpoint_server(self, servers):
+        """Same seed → same prior draw → same decode on both backends."""
+        ckpt, art = servers
+        a = np.asarray(self._post(f"{ckpt}/sample", {"n": 3, "seed": 7})["samples"])
+        b = np.asarray(self._post(f"{art}/sample", {"n": 3, "seed": 7})["samples"])
+        assert a.shape == b.shape == (3, 32, 32, 1)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_interpolate_matches_checkpoint_server(self, servers):
+        ckpt, art = servers
+        rng = np.random.default_rng(2)
+        a_img = rng.random((32, 32, 1)).astype(np.float32).tolist()
+        b_img = rng.random((32, 32, 1)).astype(np.float32).tolist()
+        for extra in ({}, {"slerp": True}):
+            pa = self._post(f"{ckpt}/interpolate", {"a": a_img, "b": b_img, "steps": 4, **extra})
+            pb = self._post(f"{art}/interpolate", {"a": a_img, "b": b_img, "steps": 4, **extra})
+            np.testing.assert_allclose(
+                np.asarray(pa["path"]), np.asarray(pb["path"]), rtol=1e-4, atol=1e-5
+            )
+
+
 class TestCLI:
     def test_cli_exports_from_checkpoint(self, tmp_path):
         from midi_vae_tpu.interop.aot_export import main
