@@ -219,6 +219,49 @@ class TestConditionalTraining:
             run(config)
 
 
+def test_label_steers_density_on_midi_corpus(tmp_path):
+    """Target-domain validation: a CVAE trained on the by-folder MIDI
+    corpus (classes = note-density buckets, midi/factory.py) generates
+    MONOTONICALLY denser rolls as the requested class rises — the label
+    is semantically load-bearing, not just architecturally present."""
+    from midi_vae_tpu.cli.generate import _load_model_and_state
+    from midi_vae_tpu.evaluation.inference import sample_prior
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    config = TrainConfig(
+        dataset_name="midi-synthetic-dense",  # ~8.5% fill: collapse-safe
+        transform_type="midi",
+        image_size=32,
+        arch="MLPVAE",
+        n_features=8,
+        hidden_dims=(128,),
+        epochs=6,
+        batch_size_per_device=64,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "m"),
+        log_images=False,
+        run_name="dens",
+        run_id="dens1",
+        conditional=True,
+        bce_targets="raw",
+    )
+    run(config)
+    assert config.num_classes == 4  # the factory's density buckets
+
+    model, params, bs, _, _, _, _ = _load_model_and_state(config.checkpoint_path)
+    key = jax.random.PRNGKey(0)  # same prior draws for every class
+    mean_prob = []
+    for c in range(config.num_classes):
+        out = sample_prior(model, params, bs, key, 64, y=jnp.full((64,), c, jnp.int32))
+        mean_prob.append(float(np.asarray(out).mean()))
+    # strictly increasing expected density across the 4 buckets
+    # (measured 0.039 / 0.046 / 0.059 / 0.072 at this seed)
+    assert all(b > a for a, b in zip(mean_prob, mean_prob[1:])), mean_prob
+    assert mean_prob[-1] > 1.4 * mean_prob[0], mean_prob
+
+
 @pytest.fixture(scope="module")
 def cond_server(tmp_path_factory):
     """A live HTTP server over a conditional checkpoint."""
