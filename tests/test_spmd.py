@@ -381,3 +381,32 @@ def test_spmd_grad_accum_rejects_indivisible_local_batch(eight_devices):
     step = make_spmd_train_step(model, bundle.tx, KL, mesh, donate=False, grad_accum=3)
     with pytest.raises(ValueError, match="not divisible"):
         step(state, x, jax.random.PRNGKey(0))
+
+
+def test_spmd_conditional_matches_auto_path(eight_devices):
+    """Conditional models under shard_map: labels shard over the data axis
+    alongside the images, and the step matches the auto path exactly
+    (same noise-neutralization recipe as test_spmd_step_matches_auto_path)."""
+    mesh = make_mesh(8)
+    model = MLPVAE(in_channels=1, latent_dim=4, input_dim=16, hidden_dims=(32,),
+                   num_classes=4)
+    bundle, state0, x = _setup(model, mesh, optimizer="SGD")
+    y = jax.device_put(
+        np.arange(16, dtype=np.int32) % 4, batch_sharding(mesh)
+    )
+    params = jax.tree_util.tree_map(lambda p: p, state0.params)
+    params["fc_var"]["kernel"] = jnp.zeros_like(params["fc_var"]["kernel"])
+    params["fc_var"]["bias"] = jnp.full_like(params["fc_var"]["bias"], -60.0)
+    state0 = state0.replace(params=params)
+
+    auto_step = make_train_step(model, bundle.tx, KL, log_var_clamp=CLAMP, donate=False)
+    spmd_step = make_spmd_train_step(model, bundle.tx, KL, mesh, log_var_clamp=CLAMP, donate=False)
+    assert auto_step.conditional and spmd_step.conditional
+
+    sa, sm = state0, state0
+    for _ in range(3):
+        sa, lo_a, _ = auto_step(sa, x, y, jax.random.PRNGKey(7))
+        sm, lo_m, _ = spmd_step(sm, x, y, jax.random.PRNGKey(7))
+        np.testing.assert_allclose(float(lo_a.loss), float(lo_m.loss), rtol=1e-6)
+    for pa, pm in zip(jax.tree_util.tree_leaves(sa.params), jax.tree_util.tree_leaves(sm.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pm), rtol=1e-5, atol=1e-7)
