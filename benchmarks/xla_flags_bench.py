@@ -52,6 +52,9 @@ CONFIGS = {
 
 def run_config(name: str, options: dict, steps: int, timeout: int) -> dict:
     env = os.environ.copy()
+    # never inherit a stale value from the caller's shell: the baseline
+    # must bench the true default compile
+    env.pop("MIDI_VAE_COMPILER_OPTIONS", None)
     if options:
         env["MIDI_VAE_COMPILER_OPTIONS"] = json.dumps(options)
     env["MIDI_VAE_BENCH_STEPS"] = str(steps)

@@ -172,6 +172,19 @@ def cli(argv=None) -> None:
     out_path = args.out or f"{args.mode}.png"
 
     conditional = getattr(model, "num_classes", 0) > 0
+    if args.label is not None:
+        if not conditional:
+            raise SystemExit(
+                "--label needs a conditional checkpoint (--conditional run); this one is "
+                "unconditional, so the label would be silently ignored"
+            )
+        if not (0 <= args.label < model.num_classes):
+            # out-of-range labels would one_hot to all-zeros — out-of-
+            # distribution conditioning that decodes garbage with no error
+            raise SystemExit(
+                f"--label must be in [0, {model.num_classes - 1}] "
+                f"(checkpoint has {model.num_classes} classes), got {args.label}"
+            )
 
     def labels_for(y_batch, n):
         """Labels for conditional models: --label wins, else batch labels."""

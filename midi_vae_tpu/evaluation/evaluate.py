@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from midi_vae_tpu.losses.elbo import bce_from_logits
+from midi_vae_tpu.models.vae import label_kwarg
 
 
 def make_eval_step(
@@ -77,7 +78,7 @@ def make_eval_step(
             x,
             train=False,
             rngs={"reparam": key},
-            **({"y": y} if conditional else {}),
+            **label_kwarg(y if conditional else None),
         )
         m = mask.reshape(-1, 1, 1, 1)
         elems_per_sample = float(np.prod(x.shape[1:]))
@@ -198,11 +199,11 @@ def evaluate(
     latents = []
     cond = getattr(step_fn, "conditional", False)
     for i, batch in enumerate(loader.epoch(1)):
-        k = jax.random.fold_in(base_key, i)
-        if cond:
-            res = step_fn(state.params, state.batch_stats, batch.x, batch.y, batch.mask, k)
+        step_key = jax.random.fold_in(base_key, i)  # `k` is the metric-name
+        if cond:                                    # loop variable below
+            res = step_fn(state.params, state.batch_stats, batch.x, batch.y, batch.mask, step_key)
         else:
-            res = step_fn(state.params, state.batch_stats, batch.x, batch.mask, k)
+            res = step_fn(state.params, state.batch_stats, batch.x, batch.mask, step_key)
         if collect_latents:
             valid = np.asarray(batch.mask) > 0
             latents.append(np.asarray(res.pop("latents"))[valid])

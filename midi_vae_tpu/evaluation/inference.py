@@ -15,10 +15,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _yk(y):
-    """Label kwarg, forwarded only when labels exist — unconditional models
-    (including duck-typed ones without a ``y`` parameter) never see it."""
-    return {} if y is None else {"y": y}
+from midi_vae_tpu.models.vae import label_kwarg as _yk  # shared CVAE-label rule
 
 
 @functools.partial(jax.jit, static_argnames=("model", "num_samples"))

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from midi_vae_tpu.models.vae import label_kwarg
 from midi_vae_tpu.losses.elbo import bce_from_logits, denormalized_targets
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -54,7 +55,7 @@ def make_iwae_step(model, chunk: int, target_denorm: Optional[Tuple] = None):
         variables = {"params": params, "batch_stats": batch_stats}
         # y is None exactly for unconditional models (iwae_bound gates on
         # num_classes), which may not have a y parameter at all
-        yk = {} if y is None else {"y": y}
+        yk = label_kwarg(y)
         enc = model.apply(variables, x, train=False, method=type(model).encode, **yk)
         mu = enc.mu.astype(jnp.float32)
         log_var = enc.log_var.astype(jnp.float32)
@@ -70,7 +71,7 @@ def make_iwae_step(model, chunk: int, target_denorm: Optional[Tuple] = None):
             method=type(model).decode_logits,
             # conditional models: each of the chunk draws decodes under its
             # sample's label (the bound is on p(x|y))
-            **({} if y is None else {"y": jnp.tile(y, chunk)}),
+            **label_kwarg(None if y is None else jnp.tile(y, chunk)),
         )
         logits = logits.reshape((chunk, b) + logits.shape[1:]).astype(jnp.float32)
 

@@ -52,11 +52,10 @@ def _serving_programs(model, params, batch_stats):
     Mirrors ``serving/server.py`` (`InferenceService`): posterior-mean
     reconstruct, concatenated-halves encode, sigmoid decode.
     """
+    from midi_vae_tpu.models.vae import label_kwarg as _yk
+
     variables = {"params": params, "batch_stats": batch_stats}
     conditional = getattr(model, "num_classes", 0) > 0
-
-    def _yk(y):
-        return {} if y is None else {"y": y}
 
     def reconstruct(x, y=None):
         enc = model.apply(variables, x, train=False, method=type(model).encode, **_yk(y))
@@ -117,11 +116,15 @@ def export_serving_programs(
         "latent_dim": latent_dim,
         "model": type(model).__name__,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
-        "calling_convention_version": jax_export.maximum_supported_calling_convention_version,
+        "calling_convention_version": 0,  # max over programs, set below
     }
     for name, fn in programs.items():
         specs = arg_specs[name] + ((y_spec,) if conditional else ())
         exported = jax_export.export(jax.jit(fn), **kwargs)(*specs)
+        manifest["calling_convention_version"] = max(
+            manifest["calling_convention_version"],
+            int(getattr(exported, "calling_convention_version", 0)),
+        )
         data = exported.serialize()
         path = os.path.join(out_dir, name + ARTIFACT_SUFFIX)
         with open(path, "w+b") as f:
@@ -148,12 +151,36 @@ class AOTServingBundle:
     def __init__(self, artifact_dir: str):
         with open(os.path.join(artifact_dir, MANIFEST_NAME)) as f:
             self.manifest = json.load(f)
+        self._validate_manifest()
         self.conditional = bool(self.manifest["conditional"])
         self.num_classes = int(self.manifest.get("num_classes", 0))
         for name, rec in self.manifest["programs"].items():
             with open(os.path.join(artifact_dir, rec["file"]), "rb") as f:
                 exported = jax_export.deserialize(bytearray(f.read()))
             setattr(self, name, self._wrap(exported))
+
+    def _validate_manifest(self):
+        """Fail at LOAD time, not first call: a platform or serialization
+        mismatch must not start a server that 500s its first request."""
+        m = self.manifest
+        platforms = [p.lower() for p in m.get("platforms", [])]
+        backend = jax.default_backend().lower()
+        # jax lowers TPU programs under the platform name "tpu" regardless
+        # of generation; cpu/cuda/rocm likewise match by family name
+        if platforms and backend not in platforms:
+            raise ValueError(
+                f"artifact was exported for platforms {platforms} but the current "
+                f"backend is '{backend}' — re-export with --platforms {backend} "
+                "(multi-platform artifacts list every target)"
+            )
+        version = int(m.get("calling_convention_version", 0))
+        if version > jax_export.maximum_supported_calling_convention_version:
+            raise ValueError(
+                f"artifact needs jax.export calling convention {version}, but this "
+                f"jax supports at most "
+                f"{jax_export.maximum_supported_calling_convention_version} — "
+                "upgrade jax on the serving box or re-export with the older jax"
+            )
 
     @staticmethod
     def _wrap(exported):

@@ -64,6 +64,16 @@ def trace_range(verbose: bool, name: str, x: jax.Array) -> None:
     )
 
 
+def label_kwarg(y) -> dict:
+    """``{"y": y}`` when labels exist, else ``{}`` — the one shared rule for
+    forwarding CVAE labels into ``model.apply``: unconditional models
+    (including duck-typed test models without a ``y`` parameter) must
+    never see the kwarg. Used by evaluation, IWAE, serving, and AOT
+    export so the forward-labels-only-when-present contract lives in
+    exactly one place."""
+    return {} if y is None else {"y": y}
+
+
 def conv_output_size(dim: int, num_layers: int, stride: int = 2) -> int:
     """Spatial size after ``num_layers`` stride-2 SAME convolutions.
 

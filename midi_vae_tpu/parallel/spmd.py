@@ -55,6 +55,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from midi_vae_tpu.models.vae import label_kwarg
 from midi_vae_tpu.core.types import LossOutput
 from midi_vae_tpu.parallel.collectives import psum_mean
 from midi_vae_tpu.parallel.mesh import DATA_AXIS, SLICE_AXIS
@@ -142,7 +143,7 @@ def make_spmd_train_step(
                 train=True,
                 rngs={"reparam": k},
                 mutable=["batch_stats"],
-                **({"y": ym} if conditional else {}),
+                **label_kwarg(ym if conditional else None),
             )
             lo = _loss(out, kl_schedule(state.step))
             return lo.loss, (lo, mutated["batch_stats"])

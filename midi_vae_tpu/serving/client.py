@@ -15,6 +15,11 @@ server's JSON error message (errors are always JSON, both wires).
     rolls = c.sample(n=16, seed=0)      # → [16,H,W,C]
     path = c.interpolate(a, b, steps=9) # → [9,H,W,C]
 
+Conditional checkpoints (``--conditional`` runs) require labels on every
+endpoint — pass ``labels=`` (scalar broadcasts; a list/array is
+per-item). On the npy wire they ride the query string, on the JSON wire
+the body, matching the server's contract.
+
 The reference has no serving layer at all (SURVEY §1); this client
 completes ours: server, batcher, wire format, and caller all in-tree.
 """
@@ -38,6 +43,26 @@ class ServingError(RuntimeError):
         super().__init__(f"HTTP {status}: {message}")
         self.status = status
         self.message = message
+
+
+def _label_query(labels) -> str:
+    """``labels`` → query-string suffix for the binary wire ('' when None)."""
+    if labels is None:
+        return ""
+    arr = np.asarray(labels, np.int32)
+    if arr.ndim == 0:
+        return f"label={int(arr)}"
+    return "labels=" + ",".join(str(int(v)) for v in arr)
+
+
+def _label_fields(labels) -> dict:
+    """``labels`` → JSON body fields for the JSON wire ({} when None)."""
+    if labels is None:
+        return {}
+    arr = np.asarray(labels, np.int32)
+    if arr.ndim == 0:
+        return {"label": int(arr)}
+    return {"labels": [int(v) for v in arr]}
 
 
 class ServingClient:
@@ -65,14 +90,17 @@ class ServingClient:
             return npy_loads(body)
         return json.loads(body)
 
-    def _post_tensor(self, path: str, x: np.ndarray):
-        """POST a tensor body on the configured wire."""
+    def _post_tensor(self, path: str, x: np.ndarray, labels=None):
+        """POST a tensor body on the configured wire (labels: query/body)."""
         x = np.asarray(x, np.float32)
         if self.wire == "npy":
-            return self._request(path, npy_dumps(x), {"Content-Type": NPY_CONTENT_TYPE})
+            q = _label_query(labels)
+            return self._request(
+                path + (f"?{q}" if q else ""), npy_dumps(x), {"Content-Type": NPY_CONTENT_TYPE}
+            )
         return self._request(
             path,
-            json.dumps({"images": x.tolist()}).encode(),
+            json.dumps({"images": x.tolist(), **_label_fields(labels)}).encode(),
             {"Content-Type": "application/json"},
         )
 
@@ -87,25 +115,26 @@ class ServingClient:
     def healthz(self) -> dict:
         return self._request("/healthz", None, {})
 
-    def reconstruct(self, x: np.ndarray) -> np.ndarray:
+    def reconstruct(self, x: np.ndarray, labels=None) -> np.ndarray:
         """[N,H,W,C] (or [H,W,C]) in [0,1] → posterior-mean reconstructions."""
-        out = self._post_tensor("/reconstruct", x)
+        out = self._post_tensor("/reconstruct", x, labels)
         return out if isinstance(out, np.ndarray) else np.asarray(out["reconstructions"], np.float32)
 
-    def encode(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    def encode(self, x: np.ndarray, labels=None) -> Tuple[np.ndarray, np.ndarray]:
         """[N,H,W,C] → (mu [N,D], log_var [N,D])."""
-        out = self._post_tensor("/encode", x)
+        out = self._post_tensor("/encode", x, labels)
         if isinstance(out, np.ndarray):  # npy wire: [N, 2D] mu ‖ log_var halves
             d = out.shape[-1] // 2
             return out[:, :d], out[:, d:]
         return np.asarray(out["mu"], np.float32), np.asarray(out["log_var"], np.float32)
 
-    def sample(self, n: int, seed: int = 0) -> np.ndarray:
-        out = self._post_params("/sample", {"n": int(n), "seed": int(seed)})
+    def sample(self, n: int, seed: int = 0, labels=None) -> np.ndarray:
+        params = {"n": int(n), "seed": int(seed), **_label_fields(labels)}
+        out = self._post_params("/sample", params)
         return out if isinstance(out, np.ndarray) else np.asarray(out["samples"], np.float32)
 
     def interpolate(
-        self, a: np.ndarray, b: np.ndarray, *, steps: int = 8, slerp: bool = False
+        self, a: np.ndarray, b: np.ndarray, *, steps: int = 8, slerp: bool = False, labels=None
     ) -> np.ndarray:
         """[H,W,C] endpoints → [steps,H,W,C] latent-space path."""
         if self.wire == "npy":
@@ -113,12 +142,16 @@ class ServingClient:
             # parameters ride the query string
             ends = np.stack([np.asarray(a, np.float32), np.asarray(b, np.float32)])
             path = f"/interpolate?steps={int(steps)}&slerp={int(bool(slerp))}"
+            q = _label_query(labels)
+            if q:
+                path += f"&{q}"
             return self._request(path, npy_dumps(ends), {"Content-Type": NPY_CONTENT_TYPE})
         params = {
             "a": np.asarray(a, np.float32).tolist(),
             "b": np.asarray(b, np.float32).tolist(),
             "steps": int(steps),
             "slerp": bool(slerp),
+            **_label_fields(labels),
         }
         out = self._post_params("/interpolate", params)
         return out if isinstance(out, np.ndarray) else np.asarray(out["path"], np.float32)

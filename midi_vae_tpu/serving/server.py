@@ -143,6 +143,8 @@ class InferenceService:
         self.num_classes = int(getattr(model, "num_classes", 0) or 0)
         self.conditional = self.num_classes > 0
 
+        from midi_vae_tpu.models.vae import label_kwarg
+
         @jax.jit
         def _reconstruct(x, y=None):
             # Posterior-MEAN decode: encode → mu → decode, no reparam draw.
@@ -151,7 +153,7 @@ class InferenceService:
             # noise to every request) and it is exactly the computation
             # benchmarks/serving_latency.py measures — the served path and
             # the benched path are one code path.
-            yk = {} if y is None else {"y": y}  # unconditional models take no y
+            yk = label_kwarg(y)
             enc = model.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=False,
                 method=type(model).encode, **yk,
@@ -165,7 +167,7 @@ class InferenceService:
         def _encode(x, y=None):
             enc = model.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=False,
-                method=type(model).encode, **({} if y is None else {"y": y}),
+                method=type(model).encode, **label_kwarg(y),
             )
             return jnp.concatenate([enc.mu, enc.log_var], axis=-1)
 
@@ -252,8 +254,8 @@ class InferenceService:
 
     def _interpolate_from_bundle(self, a, b, steps, mode, y) -> np.ndarray:
         """Compose /interpolate from the exported encode + decode programs
-        (posterior means = first half of the encode payload), matching
-        evaluation/inference.py:interpolate's lerp/slerp math."""
+        (posterior means = first half of the encode payload), reusing
+        evaluation/inference.py's lerp/slerp math — one implementation."""
         d = self.latent_dim
         x = np.stack([a, b]).astype(np.float32)
         yy = np.broadcast_to(y, (2,)).astype(np.int32) if y is not None else None
@@ -262,15 +264,10 @@ class InferenceService:
         ts = np.linspace(0.0, 1.0, steps, dtype=np.float32)
         if mode == "lerp":
             zs = (1.0 - ts[:, None]) * mu_a[None] + ts[:, None] * mu_b[None]
-        else:  # slerp — bit-for-bit the math of inference._slerp
-            na = np.linalg.norm(mu_a) + 1e-8
-            nb = np.linalg.norm(mu_b) + 1e-8
-            omega = np.arccos(np.clip(np.dot(mu_a / na, mu_b / nb), -1 + 1e-7, 1 - 1e-7))
-            so = np.sin(omega)
-            zs = (
-                np.sin((1.0 - ts)[:, None] * omega) / so * mu_a[None]
-                + np.sin(ts[:, None] * omega) / so * mu_b[None]
-            )
+        else:  # the live path's slerp helper, applied host-side
+            from midi_vae_tpu.evaluation.inference import _slerp
+
+            zs = np.asarray(_slerp(jnp.asarray(mu_a), jnp.asarray(mu_b), jnp.asarray(ts)[:, None]))
         zs = zs.astype(np.float32)
         ys = np.broadcast_to(y, (steps,)).astype(np.int32) if y is not None else None
         out = self._bundle.decode(*((zs, ys) if ys is not None else (zs,)))

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from midi_vae_tpu.models.vae import label_kwarg
 from midi_vae_tpu.core.types import LossOutput
 from midi_vae_tpu.losses.elbo import elbo_loss
 
@@ -307,7 +308,7 @@ def make_train_step(
                 train=True,
                 rngs={"reparam": k},
                 mutable=["batch_stats"],
-                **({"y": ym} if conditional else {}),
+                **label_kwarg(ym if conditional else None),
             )
             lo = _loss(out, kl_schedule(state.step))
             return lo.loss, (lo, mutated["batch_stats"])

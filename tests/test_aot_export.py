@@ -215,6 +215,37 @@ class TestArtifactServing:
             )
 
 
+class TestManifestValidation:
+    def test_platform_mismatch_fails_at_load(self, tmp_path):
+        """A tpu-only artifact must refuse to LOAD on a cpu backend (not
+        500 on the first request)."""
+        model, params, bs = _tiny_model()
+        out = str(tmp_path / "art")
+        export_serving_programs(model, params, bs, out, image_size=16, channels=1)
+        mpath = os.path.join(out, "manifest.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        manifest["platforms"] = ["tpu"]  # simulate a tpu-only export
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        with pytest.raises(ValueError, match="exported for platforms"):
+            AOTServingBundle(out)
+
+    def test_future_calling_convention_fails_at_load(self, tmp_path):
+        model, params, bs = _tiny_model()
+        out = str(tmp_path / "art")
+        export_serving_programs(model, params, bs, out, image_size=16, channels=1)
+        mpath = os.path.join(out, "manifest.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        assert manifest["calling_convention_version"] >= 1  # the real version
+        manifest["calling_convention_version"] = 10_000
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        with pytest.raises(ValueError, match="calling convention"):
+            AOTServingBundle(out)
+
+
 class TestCLI:
     def test_cli_exports_from_checkpoint(self, tmp_path):
         from midi_vae_tpu.interop.aot_export import main

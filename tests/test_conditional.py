@@ -177,6 +177,26 @@ class TestConditionalTraining:
                            y=jnp.array([1, 2], jnp.int32))
         assert out.shape == (2, image_size, image_size, channels)
 
+        # the generate CLI validates --label range (out-of-range one_hots
+        # to all-zeros = silent out-of-distribution conditioning)
+        from midi_vae_tpu.cli.generate import cli as generate_cli
+
+        with pytest.raises(SystemExit, match="--label must be in"):
+            generate_cli(["--checkpoint", config.checkpoint_path, "--mode", "sample",
+                          "-n", "2", "--label", str(config.num_classes), "--cpu",
+                          "--out", str(tmp_path / "x.png")])
+
+    def test_generate_label_rejected_for_unconditional(self, tmp_path):
+        from midi_vae_tpu.cli.generate import cli as generate_cli
+        from midi_vae_tpu.train.loop import run
+
+        config = self._config(tmp_path, "uncond", conditional=False)
+        run(config)
+        with pytest.raises(SystemExit, match="unconditional"):
+            generate_cli(["--checkpoint", config.checkpoint_path, "--mode", "sample",
+                          "-n", "2", "--label", "0", "--cpu",
+                          "--out", str(tmp_path / "x.png")])
+
     def test_device_resident_scan_threads_labels(self, tmp_path):
         """The scan-chunked device-resident epoch must feed the gathered
         labels into the conditional step (pipeline.py run_chunk)."""
@@ -347,6 +367,27 @@ class TestConditionalServing:
         with pytest.raises(urllib.error.HTTPError) as e:
             _post_json(f"{url}/sample", {"n": 1, "label": num_classes})
         assert e.value.code == 400
+
+    def test_serving_client_threads_labels_on_both_wires(self, cond_server):
+        """The in-tree client can drive every endpoint of a conditional
+        checkpoint (labels= on reconstruct/encode/sample/interpolate)."""
+        from midi_vae_tpu.serving.client import ServingClient, ServingError
+
+        url, num_classes = cond_server
+        x = np.zeros((2, 32, 32, 1), np.float32)
+        for wire in ("npy", "json"):
+            c = ServingClient(url, wire=wire)
+            r = c.reconstruct(x, labels=[0, 1])
+            assert r.shape == (2, 32, 32, 1)
+            mu, log_var = c.encode(x, labels=1)  # scalar broadcasts
+            assert mu.shape == log_var.shape == (2, 8)
+            s = c.sample(2, seed=0, labels=[0, 1])
+            assert s.shape == (2, 32, 32, 1)
+            path = c.interpolate(x[0], x[1], steps=3, labels=0)
+            assert path.shape == (3, 32, 32, 1)
+            with pytest.raises(ServingError) as e:
+                c.reconstruct(x)  # labels required
+            assert e.value.status == 400
 
     def test_binary_wire_labels_ride_the_query_string(self, cond_server):
         """The npy wire has no JSON body; ?labels=csv carries the condition."""
