@@ -46,6 +46,14 @@ def get_parser() -> argparse.ArgumentParser:
                              "(IWAE, nats/sample; tightens toward log p(x) as K grows). Computed "
                              "against de-normalized [0,1] pixels so the Bernoulli likelihood is "
                              "well-defined regardless of the checkpoint's --bce-targets mode.")
+    parser.add_argument("--mig", action="store_true",
+                        help="Also report the Mutual Information Gap (Chen et al. 2018) of the "
+                             "posterior means against the dataset's class labels — the "
+                             "disentanglement number the --loss beta-tc objective targets. "
+                             "NaN when the partition has a single class (zero label entropy).")
+    parser.add_argument("--mig-bins", type=int, default=20, metavar="B",
+                        help="Histogram bins per latent dimension for the MIG MI estimator "
+                             "(default: %(default)s)")
     parser.add_argument("--latents-out", type=str, default=None,
                         help="Also collect per-sample posterior latents and write them to this .npz")
     parser.add_argument("--json", dest="json_out", type=str, default=None,
@@ -148,6 +156,20 @@ def cli(argv=None) -> None:
         )
         if args.latents_out:
             collected[name] = out.pop("latents")
+        if args.mig:
+            from midi_vae_tpu.evaluation.disentanglement import mig_from_loader
+
+            import math as _math
+
+            mig = mig_from_loader(loader, model, state, bins=args.mig_bins)
+            out["mig"] = mig["mig"]
+            top = ", ".join(
+                f"factor{k}→z{int(d)}" for k, d in enumerate(mig["top_dims"])
+            )
+            if _math.isnan(mig["mig"]):
+                print("  mig ................... nan (single-class partition: zero label entropy)")
+            else:
+                print(f"  {'mig ':.<24s} {mig['mig']:9.5f}  ({top})")
         if args.iwae_samples:
             from midi_vae_tpu.evaluation.iwae import iwae_bound
 
