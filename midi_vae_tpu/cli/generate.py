@@ -51,6 +51,12 @@ def get_parser() -> argparse.ArgumentParser:
                              "per class in the grid); other modes use the fetched batch labels.")
     parser.add_argument("--cpu", action="store_true",
                         help="Force the CPU backend (backend symmetry with the other CLIs)")
+    parser.add_argument("--prior", type=str, default=None,
+                        help="VQ-VAE checkpoints, --mode sample: a trained code prior "
+                             "(cli/train_prior.py) for structured ancestral sampling instead "
+                             "of the i.i.d. EMA-marginal draw")
+    parser.add_argument("--temperature", type=float, default=1.0,
+                        help="Sampling temperature for --prior draws. Default: %(default)s")
     return parser
 
 
@@ -85,6 +91,8 @@ def _load_model_and_state(checkpoint_path: str, use_ema: bool = True, payload=No
         torch_compat=bool(cfg.get("torch_compat", False)),
         norm=cfg.get("norm") or "batch",
         num_classes=num_classes,
+        codebook_size=int(cfg.get("codebook_size") or 512),
+        vq_decay=float(cfg.get("vq_decay") or 0.99),
     )
     sample = jnp.zeros((2, image_size, image_size, channels), jnp.float32)
     init_kwargs = {"y": jnp.zeros((2,), jnp.int32)} if num_classes else {}
@@ -194,7 +202,31 @@ def cli(argv=None) -> None:
             return jnp.full((n,), int(args.label), jnp.int32)
         return y_batch[:n]
 
-    if args.mode == "sample":
+    if args.prior is not None and not (
+        args.mode == "sample" and getattr(model, "latent_kind", "gaussian") == "vq"
+    ):
+        raise SystemExit("--prior applies to --mode sample on VQVAE checkpoints only")
+
+    if args.mode == "sample" and args.prior is not None:
+        # two-stage VQ sampling: PixelCNN code draws → decode_indices
+        from midi_vae_tpu.cli.train_prior import load_prior
+        from midi_vae_tpu.models.prior import sample_codes_autoregressive
+        from midi_vae_tpu.models.vq import VQVAE
+
+        prior, pparams, pcfg = load_prior(args.prior)
+        if int(pcfg["num_codes"]) != int(model.codebook_size) or int(pcfg["grid"]) != model.last_conv_size:
+            raise SystemExit(
+                f"prior geometry (K={pcfg['num_codes']}, grid={pcfg['grid']}) does not match "
+                f"the checkpoint (K={model.codebook_size}, grid={model.last_conv_size})"
+            )
+        idx = sample_codes_autoregressive(
+            prior, pparams, key, args.num_samples, model.last_conv_size,
+            temperature=args.temperature,
+        )
+        images = model.apply(
+            {"params": params, "batch_stats": batch_stats}, idx, method=VQVAE.decode_indices
+        )
+    elif args.mode == "sample":
         y = None
         if conditional:
             # --label K = all samples class K; default = cycle the classes so
@@ -225,6 +257,14 @@ def cli(argv=None) -> None:
     else:  # traverse: one row per latent dimension, varied across ±2.5σ
         from midi_vae_tpu.evaluation.inference import traverse
 
+        if getattr(model, "latent_kind", "gaussian") == "vq":
+            # the VQ latent is a [s, s, D] grid (hundreds of dims with no
+            # posterior σ) — per-dimension traversal is meaningless and the
+            # [dims × steps] output grid would be enormous
+            raise SystemExit(
+                "--mode traverse applies to Gaussian-latent models; for a VQVAE "
+                "checkpoint use sample/reconstruct/interpolate"
+            )
         x, yb, _ = _fetch_eval_batch(dataset, data_dir, image_size, 1, cfg)
         grid_rows = traverse(model, params, batch_stats, x, steps=args.steps, y=labels_for(yb, 1))
         images = grid_rows.reshape(-1, *grid_rows.shape[2:])

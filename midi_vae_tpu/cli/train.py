@@ -230,10 +230,16 @@ def get_parser() -> argparse.ArgumentParser:
                             " Default: flat 1-D data mesh.")
     group.add_argument("--bf16", dest="bf16", action="store_true",
                        help="Use bfloat16 compute (float32 params).")
-    group.add_argument("--loss-type", type=str, default="elbo", choices=("elbo", "beta-tc"),
-                       help="Training objective: plain ELBO or beta-TC-VAE (Chen et al. 2018).")
+    group.add_argument("--loss-type", type=str, default="elbo", choices=("elbo", "beta-tc", "vq"),
+                       help="Training objective: plain ELBO, beta-TC-VAE (Chen et al. 2018), or the"
+                            " VQ-VAE reconstruction+commitment objective (auto-selected for"
+                            " --model VQVAE).")
     group.add_argument("--tc-beta", type=float, default=6.0,
                        help="Total-correlation penalty for --loss-type beta-tc. Default: %(default)s")
+    group.add_argument("--codebook-size", type=int, default=512,
+                       help="VQ-VAE codebook entries (--model VQVAE). Default: %(default)s")
+    group.add_argument("--vq-decay", type=float, default=0.99,
+                       help="EMA decay of the VQ codebook statistics. Default: %(default)s")
     group.add_argument("--fused", action="store_true",
                        help="Use the Pallas fused reparameterization + ELBO kernels.")
     group.add_argument("--step-impl", type=str, default="auto", choices=("auto", "shard_map"),
@@ -408,6 +414,8 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         step_impl=args.step_impl,
         loss_type=args.loss_type,
         tc_beta=args.tc_beta,
+        codebook_size=args.codebook_size,
+        vq_decay=args.vq_decay,
         log_interval=args.log_interval,
         print_interval=args.print_interval,
         log_wandb=args.log_wandb,

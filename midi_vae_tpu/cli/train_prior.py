@@ -1,0 +1,176 @@
+"""Train an autoregressive prior over a VQ-VAE checkpoint's code grids.
+
+The second stage of the VQ-VAE pipeline (van den Oord et al. 2017 §3.3):
+with the VQ-VAE frozen, encode the training corpus to ``[s, s]`` index
+grids and fit a PixelCNN (``models/prior.py:CodePrior``) by maximum
+likelihood. The resulting ``prior_latest.msgpack`` plugs into the
+generate CLI (``--prior``) for structured sampling: prior code draws →
+``VQVAE.decode_indices``.
+
+Usage::
+
+    python -m midi_vae_tpu.cli.train_prior --checkpoint CKPT [--epochs 20]
+
+No reference equivalent (the reference has no discrete models).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PRIOR_LATEST = "prior_latest.msgpack"
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--checkpoint", required=True, help="Trained VQ-VAE checkpoint (msgpack)")
+    p.add_argument("--out", default=None,
+                   help=f"Output path. Default: {PRIOR_LATEST} next to the checkpoint")
+    p.add_argument("--dataset", default=None, help="Override the checkpoint's dataset")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--features", type=int, default=128, help="Prior conv width")
+    p.add_argument("--layers", type=int, default=6, help="Masked-conv layers")
+    p.add_argument("--kernel-size", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="Force the CPU backend")
+    return p
+
+
+def encode_corpus(model, params, batch_stats, loader) -> np.ndarray:
+    """Run the frozen VQ encoder over a loader → [N, s, s] int32 grids."""
+    from midi_vae_tpu.models.vq import VQVAE
+
+    @jax.jit
+    def enc(x):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, method=VQVAE.encode_indices
+        )
+
+    grids = []
+    for batch in loader.epoch(1):
+        idx = np.asarray(jax.device_get(enc(batch.x)))
+        valid = np.asarray(batch.mask) > 0
+        grids.append(idx[valid])
+    return np.concatenate(grids, axis=0)
+
+
+def cli(argv=None) -> None:
+    args = get_parser().parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import optax
+
+    from midi_vae_tpu.cli.generate import _load_model_and_state
+    from midi_vae_tpu.data.fetch import fetch_dataset
+    from midi_vae_tpu.data.pipeline import make_loader
+    from midi_vae_tpu.data.transforms import VALID_TRANSFORMS, get_transform
+    from midi_vae_tpu.io.checkpoint import save_checkpoint
+    from midi_vae_tpu.models.prior import CodePrior, make_prior_train_step
+
+    model, params, batch_stats, cfg, image_size, channels, ckpt_dataset = _load_model_and_state(
+        args.checkpoint
+    )
+    if getattr(model, "latent_kind", "gaussian") != "vq":
+        raise SystemExit(
+            "the autoregressive prior models DISCRETE code grids; "
+            f"this checkpoint is a {type(model).__name__} (Gaussian latent — its prior "
+            "is already N(0, I), sample with the generate CLI directly)"
+        )
+    grid = model.last_conv_size
+    num_codes = int(model.codebook_size)
+
+    # Encode the train partition under eval-condition transforms (the
+    # frozen encoder sees clean rolls, like the evaluate CLI's sweeps).
+    dataset = args.dataset or ckpt_dataset
+    data_dir = args.data_dir or cfg.get("data_dir")
+    targs = {"normalization": dataset} if dataset in VALID_TRANSFORMS else {}
+    _, transform_eval = get_transform(cfg.get("transform_type", "digits"), image_size, targs)
+    train, _, _, _ = fetch_dataset(
+        dataset, root=data_dir, prototyping=bool(cfg.get("prototyping", False)),
+        transform_train=transform_eval, transform_eval=transform_eval,
+        protoval_split_id=int(cfg.get("protoval_split_id") or 0),
+    )
+    loader = make_loader(train, min(args.batch_size, len(train)), train=False)
+    t0 = time.time()
+    grids = encode_corpus(model, params, batch_stats, loader)
+    if hasattr(loader, "release"):
+        loader.release()
+    print(f"encoded {len(grids)} [{grid}x{grid}] code grids in {time.time() - t0:.1f}s "
+          f"({len(np.unique(grids))} distinct codes in use)")
+
+    prior = CodePrior(
+        num_codes=num_codes, features=args.features,
+        num_layers=args.layers, kernel_size=args.kernel_size,
+    )
+    key = jax.random.PRNGKey(args.seed)
+    pparams = prior.init(key, jnp.zeros((1, grid, grid), jnp.int32))["params"]
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(pparams)
+    step = make_prior_train_step(prior, tx)
+
+    n = len(grids)
+    bs = min(args.batch_size, n)
+    rng = np.random.default_rng(args.seed)
+    nll = float("nan")
+    for epoch in range(1, args.epochs + 1):
+        order = rng.permutation(n)
+        tot, batches = 0.0, 0
+        for i in range(0, n - bs + 1, bs):  # drop ragged tail; reshuffled every epoch
+            idx = jnp.asarray(grids[order[i:i + bs]])
+            pparams, opt_state, nll = step(pparams, opt_state, idx)
+            tot += float(nll)
+            batches += 1
+        print(f"epoch {epoch}/{args.epochs}: nll {tot / max(batches, 1):.4f} nats/position")
+
+    out = args.out or os.path.join(os.path.dirname(os.path.abspath(args.checkpoint)), PRIOR_LATEST)
+    save_checkpoint(
+        out,
+        {"params": pparams},
+        config={
+            "kind": "vq-code-prior",
+            "num_codes": num_codes,
+            "grid": grid,
+            "features": args.features,
+            "layers": args.layers,
+            "kernel_size": args.kernel_size,
+            "vq_checkpoint": os.path.abspath(args.checkpoint),
+            "final_nll": float(nll),
+        },
+    )
+    print(f"saved prior to {out}")
+
+
+def load_prior(path: str):
+    """Load a trained code prior → (CodePrior, params, config)."""
+    from flax import serialization
+
+    from midi_vae_tpu.io.checkpoint import load_checkpoint
+    from midi_vae_tpu.models.prior import CodePrior
+
+    payload = load_checkpoint(path)
+    pcfg = payload.get("config", {})
+    if pcfg.get("kind") != "vq-code-prior":
+        raise ValueError(f"{path} is not a VQ code-prior checkpoint (kind={pcfg.get('kind')!r})")
+    prior = CodePrior(
+        num_codes=int(pcfg["num_codes"]), features=int(pcfg["features"]),
+        num_layers=int(pcfg["layers"]), kernel_size=int(pcfg["kernel_size"]),
+    )
+    template = prior.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, int(pcfg["grid"]), int(pcfg["grid"])), jnp.int32)
+    )["params"]
+    params = serialization.from_state_dict(template, payload["state"]["params"])
+    return prior, params, pcfg
+
+
+if __name__ == "__main__":
+    cli()

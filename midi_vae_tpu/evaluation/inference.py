@@ -25,7 +25,16 @@ def sample_prior(model, params, batch_stats, key, num_samples: int, y=None) -> j
     Conditional models (``num_classes > 0``) require ``y``: int labels
     ``[num_samples]`` selecting the class each sample is drawn for —
     class-conditional generation, the CVAE's reason to exist.
+
+    Discrete-latent models (``latent_kind == "vq"``) have no Gaussian
+    prior; their ``sample`` method draws code grids from the EMA
+    code-usage marginal instead (models/vq.py:VQVAE.sample).
     """
+    if getattr(model, "latent_kind", "gaussian") == "vq":
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, key, num_samples,
+            method=type(model).sample,
+        )
     z = jax.random.normal(key, (num_samples, model.latent_dim), dtype=jnp.float32)
     return model.apply(
         {"params": params, "batch_stats": batch_stats}, z, train=False,

@@ -106,6 +106,12 @@ def iwae_bound(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if getattr(model, "latent_kind", "gaussian") == "vq":
+        raise ValueError(
+            "the IWAE bound assumes a Gaussian posterior q(z|x); a VQ-VAE's "
+            "posterior is a point mass on the nearest code — use the "
+            "reconstruction metrics / codebook perplexity instead"
+        )
     chunk = min(chunk, k)
     n_chunks, rem = divmod(k, chunk)
     sizes = [chunk] * n_chunks + ([rem] if rem else [])

@@ -89,7 +89,9 @@ def export_serving_programs(
     either backend at load time).
     """
     programs, conditional = _serving_programs(model, params, batch_stats)
-    latent_dim = int(model.latent_dim)
+    # the wire dim of encode/decode: VQ models carry the flattened [s·s·D]
+    # latent grid through the public API (models/vq.py), not the per-code D
+    latent_dim = int(getattr(model, "flat_latent_dim", model.latent_dim))
 
     # one symbolic batch dim shared by every program: the artifact serves
     # any batch size, like the live server's bucketed batcher
@@ -114,6 +116,7 @@ def export_serving_programs(
         "image_size": image_size,
         "channels": channels,
         "latent_dim": latent_dim,
+        "latent_kind": getattr(model, "latent_kind", "gaussian"),
         "model": type(model).__name__,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "calling_convention_version": 0,  # max over programs, set below

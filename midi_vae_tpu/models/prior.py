@@ -1,0 +1,162 @@
+"""Autoregressive prior over VQ-VAE code grids (PixelCNN stage).
+
+The second stage of the VQ-VAE pipeline (van den Oord et al. 2017 §3.3,
+"Prior"): with the VQ-VAE frozen, a masked-convolution autoregressive
+model learns p(codes) over the discrete ``[s, s]`` index grids the
+encoder produces, replacing the i.i.d. EMA-marginal sampler
+(``models/vq.py:VQVAE.sample_codes``) with a prior that captures the
+SPATIAL structure of real code grids — the difference between "piano
+rolls with realistic local texture" and "piano rolls with realistic
+global structure".
+
+TPU-first design:
+
+- masked convolutions are ordinary XLA convs with a constant-masked
+  kernel (the mask multiplies the kernel at apply time — no scatter, no
+  dynamic shapes), so the whole log-likelihood step jits into one
+  program on the MXU;
+- ancestral sampling is a ``lax.scan`` over the s² grid positions with
+  a full forward per step — static shapes, one compiled program
+  (s² ≤ 64 for every supported geometry: 32 px → 2×2, 128 px → 8×8);
+- the code grid enters as one-hot planes [B, s, s, K] so the first conv
+  is an MXU contraction over K, not an embedding gather.
+
+Reference: no equivalent (the reference has no discrete models at all —
+SURVEY §2 covers only the Gaussian VanillaVAE). PixelCNN masking
+follows van den Oord et al. 2016 ("Pixel Recurrent Neural Networks"
+§3.4): mask A excludes the center pixel in the first layer, mask B
+includes it thereafter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from midi_vae_tpu.models.vae import _xavier
+
+
+def causal_mask(kh: int, kw: int, include_center: bool) -> jnp.ndarray:
+    """[kh, kw, 1, 1] raster-order causal mask for a conv kernel.
+
+    Rows above the center are visible; on the center row, positions left
+    of center (plus the center itself for mask B) are visible.
+    """
+    m = jnp.zeros((kh, kw), jnp.float32)
+    ch, cw = kh // 2, kw // 2
+    m = m.at[:ch, :].set(1.0)
+    m = m.at[ch, :cw].set(1.0)
+    if include_center:
+        m = m.at[ch, cw].set(1.0)
+    return m[:, :, None, None]
+
+
+class MaskedConv(nn.Module):
+    """SAME conv whose kernel is multiplied by a raster-order causal mask."""
+
+    features: int
+    kernel_size: int = 5
+    include_center: bool = False  # False = mask A (first layer), True = mask B
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.param(
+            "kernel", _xavier, (self.kernel_size, self.kernel_size, x.shape[-1], self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        mask = causal_mask(self.kernel_size, self.kernel_size, self.include_center)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            (k * mask).astype(self.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b.astype(self.dtype)
+
+
+class CodePrior(nn.Module):
+    """PixelCNN over ``[s, s]`` grids of ``num_codes`` discrete indices.
+
+    ``__call__(idx)`` returns next-code logits [B, s, s, K]; position
+    (i, j)'s logits depend only on indices earlier in raster order, so
+    ``sum(log softmax(logits)[idx])`` is a valid autoregressive
+    log-likelihood and ancestral sampling is exact.
+    """
+
+    num_codes: int = 512
+    features: int = 128
+    num_layers: int = 6
+    kernel_size: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, idx: jax.Array) -> jax.Array:
+        x = jax.nn.one_hot(idx, self.num_codes, dtype=self.dtype)  # [B, s, s, K]
+        h = MaskedConv(self.features, self.kernel_size, include_center=False, dtype=self.dtype)(x)
+        for _ in range(self.num_layers - 1):
+            r = nn.relu(h)
+            r = MaskedConv(self.features, self.kernel_size, include_center=True, dtype=self.dtype)(r)
+            h = h + r  # residual: mask-B layers preserve causality
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (1, 1), kernel_init=_xavier, dtype=self.dtype)(h)
+        h = nn.relu(h)
+        return nn.Conv(self.num_codes, (1, 1), kernel_init=_xavier, dtype=self.dtype)(h)
+
+    def log_likelihood(self, idx: jax.Array) -> jax.Array:
+        """Mean per-grid log-likelihood (nats) of index grids [B, s, s]."""
+        logits = self(idx)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        picked = jnp.take_along_axis(logp, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        return jnp.mean(jnp.sum(picked, axis=(1, 2)))
+
+
+def make_prior_train_step(prior: CodePrior, tx):
+    """(params, opt_state, idx_batch) → (params, opt_state, nll) — jitted
+    maximum-likelihood step over code grids."""
+    import optax
+
+    @jax.jit
+    def step(params, opt_state, idx):
+        def loss_fn(p):
+            logits = prior.apply({"params": p}, idx)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            picked = jnp.take_along_axis(logp, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
+            return -jnp.mean(picked)  # mean nats per position
+
+        nll, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, nll
+
+    return step
+
+
+def sample_codes_autoregressive(
+    prior: CodePrior, params, key: jax.Array, num_samples: int, grid: int, temperature: float = 1.0
+) -> jax.Array:
+    """Exact ancestral sampling: [num_samples, grid, grid] int32 code grids.
+
+    One compiled program: ``lax.scan`` over the grid² raster positions,
+    each step a full masked forward (causality makes the not-yet-sampled
+    positions irrelevant to position t's logits). grid² is ≤ 64 for all
+    supported image sizes, so the sequential chain is short.
+    """
+    t_inv = jnp.float32(1.0 / max(temperature, 1e-6))
+
+    def body(carry, t):
+        idx, k = carry
+        logits = prior.apply({"params": params}, idx)  # [N, s, s, K]
+        i, j = t // grid, t % grid
+        k, sub = jax.random.split(k)
+        draw = jax.random.categorical(sub, logits[:, i, j, :].astype(jnp.float32) * t_inv, axis=-1)
+        idx = idx.at[:, i, j].set(draw.astype(jnp.int32))
+        return (idx, k), None
+
+    idx0 = jnp.zeros((num_samples, grid, grid), jnp.int32)
+    (idx, _), _ = jax.lax.scan(body, (idx0, key), jnp.arange(grid * grid))
+    return idx

@@ -12,11 +12,13 @@ from typing import Any, Callable, Dict
 from midi_vae_tpu.models.folded import FoldedVAE
 from midi_vae_tpu.models.mlp import MLPVAE
 from midi_vae_tpu.models.vae import VanillaVAE
+from midi_vae_tpu.models.vq import VQVAE
 
 MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     "vanillavae": VanillaVAE,
     "mlpvae": MLPVAE,
     "foldedvae": FoldedVAE,
+    "vqvae": VQVAE,
 }
 
 
@@ -43,6 +45,8 @@ def build_model(
     output_logit_bias=None,
     norm: str = "batch",
     num_classes: int = 0,
+    codebook_size: int = 512,
+    vq_decay: float = 0.99,
 ):
     """Construct a model by architecture name (case-insensitive).
 
@@ -54,7 +58,17 @@ def build_model(
     if key not in MODEL_REGISTRY:
         raise ValueError(f"Unrecognised architecture: {arch}. Known: {sorted(MODEL_REGISTRY)}")
     ctor = MODEL_REGISTRY[key]
+    if key == "vqvae":
+        if torch_compat:
+            raise ValueError("torch_compat is reference-parity mode; the reference has no VQ-VAE")
+        if fused_reparam:
+            raise ValueError("VQVAE has no reparameterization; drop --fused")
+        if num_classes:
+            raise ValueError("VQVAE has no conditional variant; use --model VanillaVAE for --conditional")
     kwargs = dict(in_channels=in_channels, latent_dim=latent_dim, input_dim=input_dim)
+    if key == "vqvae":
+        kwargs["codebook_size"] = int(codebook_size)
+        kwargs["vq_decay"] = float(vq_decay)
     if hidden_dims is not None:
         kwargs["hidden_dims"] = tuple(hidden_dims)
     if dtype is not None:

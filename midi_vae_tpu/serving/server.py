@@ -110,6 +110,7 @@ class InferenceService:
         self.config, self.dataset = {}, None
         self.image_size, self.channels = int(m["image_size"]), int(m["channels"])
         self.latent_dim = int(m["latent_dim"])
+        self.latent_kind = m.get("latent_kind", "gaussian")
         self.num_classes = bundle.num_classes
         self.conditional = bundle.conditional
         self._bundle = bundle
@@ -180,7 +181,10 @@ class InferenceService:
             _encode, max_batch=max_batch, max_wait_ms=max_wait_ms, item_shape=item_shape,
             labeled=self.conditional,
         )
-        self.latent_dim = self.model.latent_dim
+        # the dim of the vectors crossing the encode/decode wire: for VQ
+        # models that's the flattened [s·s·D] latent grid, not the per-code D
+        self.latent_dim = int(getattr(self.model, "flat_latent_dim", self.model.latent_dim))
+        self.latent_kind = getattr(self.model, "latent_kind", "gaussian")
 
     MAX_SAMPLES = 1024  # same bound rationale as MAX_INTERPOLATE_STEPS
 
@@ -219,6 +223,16 @@ class InferenceService:
         if y is not None and b > n:
             y = np.concatenate([y, np.zeros(b - n, np.int32)])
         if self._bundle is not None:
+            if self.latent_kind == "vq":
+                # the VQ prior is the EMA code-usage marginal, which lives in
+                # the checkpoint's quantizer stats — the artifact exports only
+                # reconstruct/encode/decode (a Gaussian draw pushed through the
+                # exported decode would sample a different, quantized-Gaussian
+                # distribution and silently misrepresent the model's prior)
+                raise ValueError(
+                    "/sample is unavailable for VQ-VAE artifacts; serve the "
+                    "checkpoint (--checkpoint) for prior sampling"
+                )
             # AOT path: the artifact exports decode; the prior draw happens
             # here (same key convention as sample_prior)
             z = jax.random.normal(jax.random.PRNGKey(seed), (b, self.latent_dim), jnp.float32)

@@ -62,8 +62,13 @@ class TrainConfig:
     kl_ramp_fraction: float = 0.5  # cyclical: fraction of the period spent ramping
     kl_growth: float = 1.005  # multiplicative: per-step growth (models.py:218-219)
     kl_cap: float = 1.0  # multiplicative: ceiling
-    loss_type: str = "elbo"  # elbo | beta-tc (losses/tcvae.py)
+    loss_type: str = "elbo"  # elbo | beta-tc (losses/tcvae.py) | vq (losses/vq.py)
     tc_beta: float = 6.0  # TC penalty for loss_type=beta-tc
+    # VQ-VAE bottleneck (--model VQVAE, models/vq.py): codebook entries and
+    # the EMA decay of the codebook statistics. kld_weight doubles as the
+    # commitment β for loss_type=vq (paper default 0.25).
+    codebook_size: int = 512
+    vq_decay: float = 0.99
     log_var_clamp: Optional[Tuple[float, float]] = None
     # Per-dimension KL floor in nats (free bits, Kingma et al. 2016) —
     # the anti-posterior-collapse tool for sparse corpora (RESULTS.md

@@ -47,6 +47,7 @@ from midi_vae_tpu.io.checkpoint import (
 from midi_vae_tpu.io.logging import MetricLogger, PhaseTimer, generate_id, print_epoch_summary
 from midi_vae_tpu.losses.schedules import kl_weight_schedule
 from midi_vae_tpu.models.registry import build_model
+from midi_vae_tpu.models.vq import codebook_metrics
 from midi_vae_tpu.models.vae import param_group_label
 from midi_vae_tpu.parallel.mesh import batch_sharding, make_mesh, make_mesh_multislice, replicate
 from midi_vae_tpu.train.config import TrainConfig
@@ -195,6 +196,16 @@ def run(config: TrainConfig) -> dict:
                 )
             config.num_classes = int(max(int(a.max()) for a in label_arrays)) + 1
         print(f"Conditional VAE over {config.num_classes} classes")
+    # VQ-VAE ↔ VQ objective pairing: the discrete family trains only under
+    # its reconstruction+commitment loss (losses/vq.py) and vice versa.
+    if config.arch.lower() == "vqvae":
+        if config.loss_type == "elbo":
+            config.loss_type = "vq"
+            print("--model VQVAE: selecting the VQ objective (loss_type=vq)")
+        elif config.loss_type != "vq":
+            raise ValueError(f"--model VQVAE trains with loss_type=vq, not {config.loss_type!r}")
+    elif config.loss_type == "vq":
+        raise ValueError("loss_type=vq requires --model VQVAE")
     print(f"loading model '{config.arch}' for '{config.dataset_name}' dataset @ {config.image_size}px")
     model = build_model(
         config.arch,
@@ -213,6 +224,19 @@ def run(config: TrainConfig) -> dict:
         output_logit_bias=output_bias,
         norm=config.norm,
         num_classes=config.num_classes if config.conditional else 0,
+        codebook_size=config.codebook_size,
+        vq_decay=config.vq_decay,
+        # Under the explicit shard_map step the VQ quantizer psums its
+        # per-shard cluster statistics over the mesh axes BEFORE the EMA
+        # update (models/vq.py), so the codebook matches the auto path
+        # exactly — unlike BN running stats, the codebook is the model's
+        # discrete vocabulary and must not drift per shard. The axis names
+        # are only referenced under train=True inside the shard_map body.
+        bn_axis_name=(
+            tuple(mesh.axis_names)
+            if (config.step_impl == "shard_map" and config.arch.lower() == "vqvae")
+            else None
+        ),
     )
 
     seed = config.seed if config.seed is not None else int(time.time()) % 100000
@@ -495,6 +519,10 @@ def run(config: TrainConfig) -> dict:
             )
             duration_val = time.time() - t_start_val
             eval_stats["throughput"] = loader_val.num_samples / max(duration_val, 1e-9)
+            # VQ models: codebook health from the EMA stats (perplexity /
+            # active codes — the discrete analogue of the latent-health
+            # metrics). No-op {} for the Gaussian families.
+            eval_stats.update(codebook_metrics(state.batch_stats))
             print_epoch_summary("Evaluating", epoch, config.epochs, eval_stats, duration_val)
 
             # Latent-collapse alarm (operational guard — RESULTS.md "posterior
@@ -635,7 +663,11 @@ def run(config: TrainConfig) -> dict:
     print(f"\nEvaluating final model (epoch {last_epoch}) performance")
     print("\nEvaluating final model on test set...")
     test_stats = evaluate(loader_test, model, eval_view(state), partition_name="Test", seed=seed, eval_step=eval_step)
-    if config.final_iwae and jax.process_count() > 1:
+    test_stats.update(codebook_metrics(state.batch_stats))  # VQ models; {} otherwise
+    if config.final_iwae and getattr(model, "latent_kind", "gaussian") == "vq":
+        print("Skipping --final-iwae: the IWAE bound assumes a Gaussian posterior "
+              "(VQ-VAE reports reconstruction metrics + codebook perplexity instead)")
+    elif config.final_iwae and jax.process_count() > 1:
         # iwae_bound materializes per-batch host values, which requires the
         # sharded arrays to be fully addressable — true in any single-process
         # run (incl. multi-device), not under multi-controller SPMD. Evaluate

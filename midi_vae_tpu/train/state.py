@@ -192,18 +192,29 @@ def make_loss(
     per-shard latents must be all-gathered over the mesh axes first.
     The auto path leaves it None (jit already sees the global batch).
     """
-    if loss_type not in ("elbo", "beta-tc"):
+    if loss_type not in ("elbo", "beta-tc", "vq"):
         raise ValueError(f"unknown loss_type: {loss_type}")
-    if loss_type == "beta-tc" and fused_loss:
-        raise ValueError("fused Pallas loss implements the plain ELBO only; drop --fused for beta-tc")
+    if loss_type != "elbo" and fused_loss:
+        raise ValueError("fused Pallas loss implements the plain ELBO only; drop --fused")
     if free_bits is not None and (fused_loss or loss_type != "elbo"):
         raise ValueError("--free-bits is implemented on the plain (non-fused) ELBO path")
+    if loss_type == "vq" and log_var_clamp is not None:
+        raise ValueError("--log-var-clamp has no effect on the VQ objective (no posterior variance)")
     if pos_weight is not None and fused_loss:
         raise ValueError("the fused Pallas BCE implements the unweighted reference formula; drop --fused for --bce-pos-weight")
     if target_denorm is not None and fused_loss:
         raise ValueError("the fused Pallas BCE consumes normalized targets; drop --fused for --bce-targets raw")
 
     def _loss(out, w) -> LossOutput:
+        if loss_type == "vq":
+            from midi_vae_tpu.losses.vq import vq_loss
+
+            # w (the scheduled "KL weight") is the commitment β here —
+            # the schedules apply to the non-reconstruction term of
+            # whichever objective is selected
+            return vq_loss(
+                out, commitment_weight=w, pos_weight=pos_weight, target_denorm=target_denorm
+            )
         if loss_type == "beta-tc":
             from midi_vae_tpu.losses.tcvae import beta_tc_elbo_loss
 

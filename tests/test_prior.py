@@ -1,0 +1,174 @@
+"""PixelCNN code prior (models/prior.py + cli/train_prior.py).
+
+Pins the autoregressive contract: raster-order causality of the masked
+convs, exact ancestral sampling, likelihood improvement on structured
+data, and the end-to-end two-stage pipeline (VQ-VAE checkpoint → prior
+training → structured sampling through decode_indices).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from midi_vae_tpu.models.prior import (
+    CodePrior,
+    causal_mask,
+    make_prior_train_step,
+    sample_codes_autoregressive,
+)
+
+
+def test_causal_mask_raster_order():
+    m = np.asarray(causal_mask(3, 3, include_center=False))[:, :, 0, 0]
+    np.testing.assert_array_equal(m, [[1, 1, 1], [1, 0, 0], [0, 0, 0]])
+    mb = np.asarray(causal_mask(3, 3, include_center=True))[:, :, 0, 0]
+    np.testing.assert_array_equal(mb, [[1, 1, 1], [1, 1, 0], [0, 0, 0]])
+
+
+def test_prior_is_causal():
+    """Changing the code at position t must not change logits at any
+    position <= t (raster order) — the autoregressive factorization."""
+    prior = CodePrior(num_codes=8, features=16, num_layers=3, kernel_size=3)
+    key = jax.random.PRNGKey(0)
+    idx = jax.random.randint(key, (1, 4, 4), 0, 8)
+    params = prior.init(key, idx)["params"]
+    base = np.asarray(prior.apply({"params": params}, idx))
+
+    t = 9  # position (2, 1)
+    i, j = t // 4, t % 4
+    idx2 = idx.at[0, i, j].set((idx[0, i, j] + 3) % 8)
+    pert = np.asarray(prior.apply({"params": params}, idx2))
+    flat_base = base.reshape(-1, 8)
+    flat_pert = pert.reshape(-1, 8)
+    # positions 0..t unchanged (position t's own logits depend only on <t)
+    np.testing.assert_allclose(flat_pert[: t + 1], flat_base[: t + 1], atol=1e-5)
+    # strictly-later positions in the receptive field DO see the change
+    assert np.abs(flat_pert[t + 1:] - flat_base[t + 1:]).max() > 1e-6
+
+
+def test_prior_learns_structure():
+    """On grids with a deterministic pattern the NLL must collapse toward 0,
+    far below the uniform-code entropy."""
+    import optax
+
+    K, s = 6, 4
+    # pattern: code = (row + col) % K — fully predictable from position
+    rows, cols = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    grid = ((rows + cols) % K).astype(np.int32)
+    batch = jnp.asarray(np.tile(grid[None], (32, 1, 1)))
+
+    prior = CodePrior(num_codes=K, features=32, num_layers=3, kernel_size=3)
+    params = prior.init(jax.random.PRNGKey(0), batch)["params"]
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+    step = make_prior_train_step(prior, tx)
+    nll0 = None
+    for _ in range(150):
+        params, opt_state, nll = step(params, opt_state, batch)
+        if nll0 is None:
+            nll0 = float(nll)
+    assert float(nll) < 0.2 < nll0  # residual: the unconditioned first position
+    ll = prior.apply({"params": params}, batch[:1], method=CodePrior.log_likelihood)
+    np.testing.assert_allclose(float(ll), -float(nll) * s * s, rtol=0.3)
+
+    # ancestral samples then reproduce the pattern away from position (0,0)
+    draws = sample_codes_autoregressive(prior, params, jax.random.PRNGKey(1), 8, s)
+    draws = np.asarray(draws)
+    assert draws.shape == (8, s, s) and draws.dtype == np.int32
+    match = (draws[:, 1:, :] == grid[None, 1:, :]).mean()
+    assert match > 0.9, f"samples diverge from the learned pattern (match={match:.2f})"
+
+
+def test_sample_codes_range_and_determinism():
+    prior = CodePrior(num_codes=5, features=8, num_layers=2, kernel_size=3)
+    params = prior.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 3), jnp.int32))["params"]
+    a = sample_codes_autoregressive(prior, params, jax.random.PRNGKey(2), 4, 3)
+    b = sample_codes_autoregressive(prior, params, jax.random.PRNGKey(2), 4, 3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(jnp.min(a)) >= 0 and int(jnp.max(a)) < 5
+
+
+def test_prior_cli_end_to_end(tmp_path):
+    """VQ-VAE train run → prior CLI → generate --prior: the full two-stage
+    pipeline through the real entry points."""
+    import os
+
+    from midi_vae_tpu.cli.generate import cli as generate_cli
+    from midi_vae_tpu.cli.train_prior import cli as prior_cli, load_prior
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        arch="VQVAE",
+        n_features=8,
+        hidden_dims=(8, 16, 32, 32),
+        codebook_size=16,
+        kld_weight=0.25,
+        epochs=1,
+        batch_size_per_device=16,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "models"),
+        run_name="vqp", run_id="p1",
+        log_images=False,
+    )
+    run(config)
+    ckpt = os.path.join(
+        str(tmp_path / "models"), "vae-lines-synthetic", "vqp__p1", "checkpoint_latest.msgpack"
+    )
+    prior_cli(["--checkpoint", ckpt, "--epochs", "2", "--batch-size", "64",
+               "--features", "16", "--layers", "2", "--kernel-size", "3"])
+    prior_path = os.path.join(os.path.dirname(ckpt), "prior_latest.msgpack")
+    assert os.path.isfile(prior_path)
+    prior, params, pcfg = load_prior(prior_path)
+    assert pcfg["num_codes"] == 16 and pcfg["grid"] == 2
+    assert np.isfinite(pcfg["final_nll"])
+
+    out_png = str(tmp_path / "prior_samples.png")
+    generate_cli(["--checkpoint", ckpt, "--mode", "sample", "--prior", prior_path,
+                  "-n", "4", "--out", out_png])
+    assert os.path.isfile(out_png)
+
+
+def test_load_prior_rejects_non_prior_checkpoint(tmp_path):
+    from midi_vae_tpu.cli.train_prior import load_prior
+    from midi_vae_tpu.io.checkpoint import save_checkpoint
+
+    path = str(tmp_path / "not_a_prior.msgpack")
+    save_checkpoint(path, {"params": {}}, config={"kind": "something-else"})
+    with pytest.raises(ValueError, match="not a VQ code-prior"):
+        load_prior(path)
+
+
+def test_generate_prior_flag_guards(tmp_path):
+    """--prior on a Gaussian checkpoint (or a non-sample mode) is refused."""
+    import os
+
+    from midi_vae_tpu.cli.generate import cli as generate_cli
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        arch="MLPVAE",
+        n_features=4,
+        hidden_dims=(32,),
+        epochs=1,
+        batch_size_per_device=16,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "m"),
+        run_name="g", run_id="g1",
+        log_images=False,
+    )
+    run(config)
+    ckpt = os.path.join(str(tmp_path / "m"), "vae-lines-synthetic", "g__g1",
+                        "checkpoint_latest.msgpack")
+    with pytest.raises(SystemExit, match="VQVAE"):
+        generate_cli(["--checkpoint", ckpt, "--mode", "sample", "--prior", "whatever.msgpack"])
