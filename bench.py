@@ -106,10 +106,14 @@ def setup(
     devices = jax.devices()
     n_chips = len(devices)
     mesh = make_mesh(n_chips)
+    # the discrete families train under their own objective: reconstruction +
+    # commitment (losses/vq.py; the weight is the paper's beta=0.25)
+    vq = arch.lower() in ("vqvae", "foldedvqvae")
     model = build_model(
         arch,
         in_channels=1,
-        latent_dim=10,
+        # VQ: latent_dim is the code embedding dim — configs/vqvae.yaml's 16
+        latent_dim=16 if vq else 10,
         input_dim=IMAGE_SIZE,
         hidden_dims=tuple(hidden_dims),
         fused_reparam=fused,
@@ -128,7 +132,10 @@ def setup(
     )
     state = replicate(state, mesh)
     train_step = make_train_step(
-        model, bundle.tx, kl_weight_schedule("constant", 2.5e-4), fused_loss=fused, grad_accum=grad_accum
+        model, bundle.tx,
+        kl_weight_schedule("constant", 0.25 if vq else 2.5e-4),
+        fused_loss=fused, grad_accum=grad_accum,
+        loss_type="vq" if vq else "elbo",
     )
     return {
         "model": model,
@@ -203,9 +210,11 @@ def measure_sampling(ctx, iters=50, repeats=1):
     z_sharding = NamedSharding(ctx["mesh"], PartitionSpec("data", None))
     base_key = jax.random.PRNGKey(2)
 
+    latent_dim = int(getattr(model, "flat_latent_dim", model.latent_dim))  # VQ: [s·s·D]
+
     @functools.partial(jax.jit, compiler_options=COMPILER_OPTIONS)
     def sample_step(key):
-        z = jax.random.normal(key, (sample_batch, model.latent_dim), jnp.float32)
+        z = jax.random.normal(key, (sample_batch, latent_dim), jnp.float32)
         z = jax.lax.with_sharding_constraint(z, z_sharding)
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -270,7 +279,11 @@ def main():
     # the reference-parity arch keeps the reference's (32, 64, 128, 256)
     if ARCH.lower() == "vanillavae":
         stem, head, default_hidden = STEM, HEAD, "32,64,128,256"
+    elif ARCH.lower() == "vqvae":
+        # the discrete family keeps the reference trunk; stem/head apply
+        stem, head, default_hidden = STEM, HEAD, "32,64,128,256"
     else:
+        # folded layouts (FoldedVAE / FoldedVQVAE): own stem/head, flagship widths
         stem, head, default_hidden = "conv", "deconv", "48,64,128,256"
     hidden = tuple(int(h) for h in (HIDDEN_ENV or default_hidden).split(","))
     ctx = setup(

@@ -53,6 +53,17 @@ VARIANTS = {
     # is its quality gate (conv stacks + AdamW often train fine un-normed
     # at this depth, but it must be measured, not assumed)
     "fold8m_nn": dict(arch="FoldedVAE", fold=8, hidden_dims=(48, 64, 128, 256), norm="none"),
+    # discrete-latent family (models/vq.py): reference trunk + EMA-codebook
+    # bottleneck, trained under the VQ objective (kld_weight = commitment
+    # beta 0.25, the paper default). The table's kl column reports the
+    # commitment distance for this row; active_units reports the encoder
+    # output's variability (codebook health is in the extra columns).
+    "vq": dict(arch="VQVAE", loss_type="vq", n_features=16, codebook_size=512, kld_weight=0.25),
+    # discrete bottleneck on the folded flagship trunk (models/vq.py
+    # FoldedVQVAE): same quantizer grid, flagship compute layout
+    "vq_fold8": dict(arch="FoldedVQVAE", loss_type="vq", fold=8,
+                     hidden_dims=(48, 64, 128, 256), n_features=16,
+                     codebook_size=512, kld_weight=0.25),
 }
 
 
@@ -60,8 +71,7 @@ def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: st
     from midi_vae_tpu.train.config import TrainConfig
     from midi_vae_tpu.train.loop import run
 
-    kw = VARIANTS[name]
-    config = TrainConfig(
+    base = dict(
         dataset_name="vae-lines-synthetic",
         transform_type="noaug",
         image_size=image_size,
@@ -76,10 +86,12 @@ def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: st
         run_name=name,
         run_id="qual",
         final_iwae=iwae_k,
-        **kw,
     )
+    base.update(VARIANTS[name])  # variant keys (incl. kld_weight for vq) win
+    config = TrainConfig(**base)
     results = run(config)
     t = results["final_test"]
+    iwae_val = t.get(f"iwae-{iwae_k}") if iwae_k else None  # absent for vq (skipped)
     return {
         "variant": name,
         "bce_nats": round(float(t["cross-entropy"]), 4),
@@ -87,7 +99,15 @@ def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: st
         "mae_pct": round(float(t["mae"]), 2),
         "kl_nats": round(float(t["kl"]), 3),
         "active_units": int(t["active-units"]),
-        **({f"iwae{iwae_k}_nats": round(float(t[f"iwae-{iwae_k}"]), 2)} if iwae_k else {}),
+        **({f"iwae{iwae_k}_nats": round(float(iwae_val), 2)} if iwae_val is not None else {}),
+        **(
+            {
+                "codebook_perplexity": round(float(t["codebook-perplexity"]), 1),
+                "active_codes": int(t["active-codes"]),
+            }
+            if "codebook-perplexity" in t
+            else {}
+        ),
     }
 
 

@@ -12,14 +12,17 @@ from typing import Any, Callable, Dict
 from midi_vae_tpu.models.folded import FoldedVAE
 from midi_vae_tpu.models.mlp import MLPVAE
 from midi_vae_tpu.models.vae import VanillaVAE
-from midi_vae_tpu.models.vq import VQVAE
+from midi_vae_tpu.models.vq import VQVAE, FoldedVQVAE
 
 MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     "vanillavae": VanillaVAE,
     "mlpvae": MLPVAE,
     "foldedvae": FoldedVAE,
     "vqvae": VQVAE,
+    "foldedvqvae": FoldedVQVAE,
 }
+
+VQ_ARCHS = ("vqvae", "foldedvqvae")
 
 
 def register_model(name: str, ctor: Callable[..., Any]) -> None:
@@ -58,7 +61,7 @@ def build_model(
     if key not in MODEL_REGISTRY:
         raise ValueError(f"Unrecognised architecture: {arch}. Known: {sorted(MODEL_REGISTRY)}")
     ctor = MODEL_REGISTRY[key]
-    if key == "vqvae":
+    if key in VQ_ARCHS:
         if torch_compat:
             raise ValueError("torch_compat is reference-parity mode; the reference has no VQ-VAE")
         if fused_reparam:
@@ -66,7 +69,7 @@ def build_model(
         if num_classes:
             raise ValueError("VQVAE has no conditional variant; use --model VanillaVAE for --conditional")
     kwargs = dict(in_channels=in_channels, latent_dim=latent_dim, input_dim=input_dim)
-    if key == "vqvae":
+    if key in VQ_ARCHS:
         kwargs["codebook_size"] = int(codebook_size)
         kwargs["vq_decay"] = float(vq_decay)
     if hidden_dims is not None:
@@ -83,7 +86,7 @@ def build_model(
         kwargs["stem"] = stem
     if head != "deconv":
         kwargs["head"] = head
-    if key == "foldedvae" and fold != 4:
+    if key in ("foldedvae", "foldedvqvae") and fold != 4:
         kwargs["fold"] = fold
     if verbose:
         kwargs["verbose"] = True

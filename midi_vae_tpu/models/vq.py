@@ -201,23 +201,17 @@ class VQVAE(nn.Module):
     def decoded_size(self) -> int:
         return self.last_conv_size * (2 ** len(self.hidden_dims))
 
-    def setup(self):
+    def _validate_vq(self):
         if self.num_classes > 0:
             raise ValueError(
                 "VQVAE has no conditional variant yet (the label would need to enter "
                 "as spatial planes; use --model VanillaVAE for --conditional)"
             )
-        rev = tuple(reversed(self.hidden_dims))
-        enc_cls = nn.remat(Encoder, static_argnums=(2,)) if self.remat else Encoder
-        dec_cls = nn.remat(Decoder, static_argnums=(2,)) if self.remat else Decoder
-        fin_cls = nn.remat(FinalLayer, static_argnums=(2,)) if self.remat else FinalLayer
-        d2s_cls = nn.remat(D2SHead, static_argnums=(2,)) if self.remat else D2SHead
-        self.encoder = enc_cls(
-            self.hidden_dims, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-            stem=self.stem, norm=self.norm,
-        )
-        # 1×1 projections into/out of the code space (kept conv so the
-        # latent stays spatial — no dense flatten at the bottleneck)
+
+    def _setup_bottleneck(self):
+        """1×1 projections into/out of the code space around the quantizer
+        (kept conv so the latent stays spatial — no dense flatten), shared
+        by the conv and folded trunks."""
         self.to_latent = nn.Conv(
             self.latent_dim, kernel_size=(1, 1), kernel_init=_xavier,
             bias_init=nn.initializers.zeros, dtype=self.dtype,
@@ -232,6 +226,19 @@ class VQVAE(nn.Module):
             self.hidden_dims[-1], kernel_size=(1, 1), kernel_init=_xavier,
             bias_init=nn.initializers.zeros, dtype=self.dtype,
         )
+
+    def setup(self):
+        self._validate_vq()
+        rev = tuple(reversed(self.hidden_dims))
+        enc_cls = nn.remat(Encoder, static_argnums=(2,)) if self.remat else Encoder
+        dec_cls = nn.remat(Decoder, static_argnums=(2,)) if self.remat else Decoder
+        fin_cls = nn.remat(FinalLayer, static_argnums=(2,)) if self.remat else FinalLayer
+        d2s_cls = nn.remat(D2SHead, static_argnums=(2,)) if self.remat else D2SHead
+        self.encoder = enc_cls(
+            self.hidden_dims, dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+            stem=self.stem, norm=self.norm,
+        )
+        self._setup_bottleneck()
         self.decoder = dec_cls(rev, dtype=self.dtype, bn_axis_name=self.bn_axis_name, norm=self.norm)
         head_cls = d2s_cls if self.head == "d2s" else fin_cls
         self.final_layer = head_cls(
@@ -342,6 +349,65 @@ class VQVAE(nn.Module):
     def sample(self, key: jax.Array, num_samples: int) -> jax.Array:
         """Prior samples: marginal code draws → decode. Returns [num, H, W, C]."""
         return self.decode_indices(self.sample_codes(key, num_samples))
+
+
+class FoldedVQVAE(VQVAE):
+    """VQ-VAE on the folded compute layout (``models/folded.py``).
+
+    The TPU-native trunk — space-to-depth fold of the whole input, every
+    conv at ≤32² spatial with ≥16 channels — carrying the same discrete
+    bottleneck as :class:`VQVAE`: identical quantizer grid (the folded
+    encoder's stride plan lands on the same ``input/2^L`` spatial size),
+    identical code API, identical objective. Measured rationale: the VQ
+    bottleneck costs ~nothing at matched trunk, so the family's
+    throughput is set by the trunk layout — this is the fast one
+    (benchmarks/RESULTS.md "VQ-VAE").
+    """
+
+    fold: int = 4
+
+    name_tag = "FoldedVQVAE"
+
+    @property
+    def decoded_size(self) -> int:
+        from midi_vae_tpu.models.folded import _log2_int
+
+        n_up = len(self.hidden_dims) - _log2_int(self.fold)
+        return self.last_conv_size * (2**n_up) * self.fold
+
+    def setup(self):
+        from midi_vae_tpu.models.folded import FoldedDecoder, FoldedEncoder, FoldedHead, _log2_int
+
+        self._validate_vq()
+        if self.stem != "conv" or self.head != "deconv":
+            raise ValueError("FoldedVQVAE has its own layout; stem/head do not apply")
+        if self.fold < 2:
+            raise ValueError(f"FoldedVQVAE needs fold >= 2, got {self.fold}")
+        if self.input_dim % self.fold:
+            raise ValueError(f"input_dim={self.input_dim} not divisible by fold={self.fold}")
+        _log2_int(self.fold)  # validates power-of-two
+        rev = tuple(reversed(self.hidden_dims))
+        enc_cls = nn.remat(FoldedEncoder, static_argnums=(2,)) if self.remat else FoldedEncoder
+        dec_cls = nn.remat(FoldedDecoder, static_argnums=(2,)) if self.remat else FoldedDecoder
+        head_cls = nn.remat(FoldedHead, static_argnums=(2,)) if self.remat else FoldedHead
+        self.encoder = enc_cls(
+            self.hidden_dims, fold=self.fold, dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name, norm=self.norm,
+        )
+        self._setup_bottleneck()
+        self.decoder = dec_cls(
+            rev, fold=self.fold, dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name, norm=self.norm,
+        )
+        self.final_layer = head_cls(
+            rev[-1],
+            self.out_channels or self.in_channels,
+            fold=self.fold,
+            dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name,
+            output_logit_bias=self.output_logit_bias,
+            norm=self.norm,
+        )
 
 
 def codebook_metrics(batch_stats: dict) -> dict:

@@ -196,16 +196,18 @@ def run(config: TrainConfig) -> dict:
                 )
             config.num_classes = int(max(int(a.max()) for a in label_arrays)) + 1
         print(f"Conditional VAE over {config.num_classes} classes")
-    # VQ-VAE ↔ VQ objective pairing: the discrete family trains only under
-    # its reconstruction+commitment loss (losses/vq.py) and vice versa.
-    if config.arch.lower() == "vqvae":
+    # VQ-VAE ↔ VQ objective pairing: the discrete families train only under
+    # their reconstruction+commitment loss (losses/vq.py) and vice versa.
+    from midi_vae_tpu.models.registry import VQ_ARCHS
+
+    if config.arch.lower() in VQ_ARCHS:
         if config.loss_type == "elbo":
             config.loss_type = "vq"
-            print("--model VQVAE: selecting the VQ objective (loss_type=vq)")
+            print(f"--model {config.arch}: selecting the VQ objective (loss_type=vq)")
         elif config.loss_type != "vq":
-            raise ValueError(f"--model VQVAE trains with loss_type=vq, not {config.loss_type!r}")
+            raise ValueError(f"--model {config.arch} trains with loss_type=vq, not {config.loss_type!r}")
     elif config.loss_type == "vq":
-        raise ValueError("loss_type=vq requires --model VQVAE")
+        raise ValueError("loss_type=vq requires a VQ architecture (--model VQVAE|FoldedVQVAE)")
     print(f"loading model '{config.arch}' for '{config.dataset_name}' dataset @ {config.image_size}px")
     model = build_model(
         config.arch,
@@ -234,7 +236,7 @@ def run(config: TrainConfig) -> dict:
         # are only referenced under train=True inside the shard_map body.
         bn_axis_name=(
             tuple(mesh.axis_names)
-            if (config.step_impl == "shard_map" and config.arch.lower() == "vqvae")
+            if (config.step_impl == "shard_map" and config.arch.lower() in VQ_ARCHS)
             else None
         ),
     )

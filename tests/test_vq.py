@@ -284,6 +284,57 @@ def test_vq_spmd_step_matches_auto_path(eight_devices):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+# -- folded trunk ------------------------------------------------------------
+
+
+def test_folded_vqvae_contracts_and_training():
+    """FoldedVQVAE: same quantizer grid and code API as the conv trunk,
+    folded compute layout — and it trains."""
+    import optax
+
+    model = build_model(
+        "FoldedVQVAE", in_channels=1, latent_dim=8, input_dim=32,
+        hidden_dims=(8, 16, 32, 32), codebook_size=32, fold=8,
+    )
+    assert model.last_conv_size == 2  # 32 / 2^4 — identical to the conv trunk
+    variables, x = _init(model, batch=8)
+    out = model.apply(variables, x, train=False)
+    assert out.output.shape == x.shape
+    assert out.latents.shape == (8, model.flat_latent_dim)
+    idx = model.apply(variables, x, method=VQVAE.encode_indices)
+    assert idx.shape == (8, 2, 2)
+    via_idx = model.apply(variables, idx, method=VQVAE.decode_indices)
+    assert via_idx.shape == x.shape
+
+    tx = optax.adam(2e-3)
+    key = jax.random.PRNGKey(0)
+    state = create_train_state(model, tx, key, x)
+    step = make_train_step(model, tx, COMMIT, loss_type="vq")
+    first = None
+    for _ in range(20):
+        state, lo, _ = step(state, x, key)
+        if first is None:
+            first = float(lo.loss)
+    assert float(lo.loss) < first
+
+
+def test_folded_vqvae_guards():
+    kw = dict(in_channels=1, latent_dim=8, input_dim=32, hidden_dims=(8, 16, 32, 32))
+    with pytest.raises(ValueError, match="fold >= 2"):
+        build_model("FoldedVQVAE", fold=1, **kw).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)), train=False
+        )
+    with pytest.raises(ValueError, match="stem/head"):
+        build_model("FoldedVQVAE", stem="s2d", **kw).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)), train=False
+        )
+    with pytest.raises(ValueError, match="not divisible"):
+        build_model("FoldedVQVAE", fold=8, input_dim=28, latent_dim=8,
+                    in_channels=1, hidden_dims=(8, 16, 32, 32)).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)), train=False
+        )
+
+
 # -- end-to-end --------------------------------------------------------------
 
 
