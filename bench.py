@@ -311,7 +311,7 @@ def main():
                     "fused": FUSED,
                     "dtype": "bfloat16" if BF16 else "float32",
                     "arch": ARCH,
-                    "fold": FOLD if ARCH.lower() == "foldedvae" else None,
+                    "fold": FOLD if ARCH.lower() in ("foldedvae", "foldedvqvae") else None,
                     "hidden_dims": list(hidden),
                     "stem": stem,
                     "head": head,

@@ -39,6 +39,12 @@ TRAIN_CONFIGS = [
     ("bf16, s2d stem + d2s head", dict(bf16=True, fused=False, stem="s2d", head="d2s")),
     ("f32, reference arch", dict(bf16=False, fused=False, stem="conv")),
     ("f32 + Pallas fused loss", dict(bf16=False, fused=True, stem="conv")),
+    # discrete-latent family (models/vq.py; trains under the VQ objective,
+    # so final_loss is recon+commitment — compare throughput, not loss)
+    ("bf16, VQVAE d2s head (discrete bottleneck, reference trunk)",
+     dict(bf16=True, fused=False, arch="VQVAE", head="d2s")),
+    ("bf16, FoldedVQVAE fold=8 (48,64,128,256)",
+     dict(bf16=True, fused=False, arch="FoldedVQVAE", fold=8, hidden_dims=(48, 64, 128, 256))),
 ]
 
 

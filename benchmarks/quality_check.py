@@ -196,9 +196,17 @@ def splice_results(epochs: int, image_size: int, rows) -> None:
     ]
     for r in rows:
         iwae_cell = f" {r[iwae_col]:.2f} |" if iwae_col else ""
+        if "codebook_perplexity" in r:
+            # VQ rows: the Gaussian KL of z_e is not a KL (point-mass
+            # posterior) — report the codebook health instead
+            kl_cell = "— (VQ)"
+            active_cell = f"perplexity {r['codebook_perplexity']:.0f}, {r['active_codes']}/512 codes"
+        else:
+            kl_cell = f"{r['kl_nats']:.3f}"
+            active_cell = f"{r['active_units']}/10"
         lines.append(
             f"| {r['variant']} | {r['bce_nats']:.4f} | {r['mse_pct']:.2f} | "
-            f"{r['mae_pct']:.2f} | {r['kl_nats']:.3f} | {r['active_units']}/10 |" + iwae_cell
+            f"{r['mae_pct']:.2f} | {kl_cell} | {active_cell} |" + iwae_cell
         )
     lines.append(
         f"\n({epochs}-epoch synthetic-lines runs at {image_size} px, matched hyperparameters, "
