@@ -56,6 +56,11 @@ def get_parser() -> argparse.ArgumentParser:
                              "(default: %(default)s)")
     parser.add_argument("--latents-out", type=str, default=None,
                         help="Also collect per-sample posterior latents and write them to this .npz")
+    parser.add_argument("--codes-out", type=str, default=None,
+                        help="VQ checkpoints: write each partition's [N, s, s] int32 codebook-index "
+                             "grids (+ labels when present) to this .npz — the tokenized corpus for "
+                             "downstream symbolic-music models (the prior CLI consumes the same "
+                             "encoding internally)")
     parser.add_argument("--json", dest="json_out", type=str, default=None,
                         help="Write the results dict as JSON to this path")
     parser.add_argument("--cpu", action="store_true", help="Force the CPU backend")
@@ -141,8 +146,15 @@ def cli(argv=None) -> None:
         occupancy_denorm=(tuple(transform_eval.mean), tuple(transform_eval.std)),
     )
 
+    if args.codes_out and getattr(model, "latent_kind", "gaussian") != "vq":
+        raise SystemExit(
+            "--codes-out exports discrete codebook-index grids; this checkpoint is a "
+            f"{type(model).__name__} (Gaussian latent — use --latents-out instead)"
+        )
+
     results = {}
     collected = {}
+    codes = {}
     for name, ds in partitions:
         loader = make_loader(ds, min(args.batch_size, len(ds)), train=False)
         out = evaluate(
@@ -156,6 +168,15 @@ def cli(argv=None) -> None:
         )
         if args.latents_out:
             collected[name] = out.pop("latents")
+        if args.codes_out:
+            from midi_vae_tpu.cli.train_prior import encode_corpus
+
+            grids, labels = encode_corpus(
+                model, state.params, state.batch_stats, loader, with_labels=True
+            )
+            codes[f"codes_{name}"] = grids
+            if labels is not None:
+                codes[f"labels_{name}"] = labels
         if args.mig:
             from midi_vae_tpu.evaluation.disentanglement import mig_from_loader
 
@@ -189,6 +210,12 @@ def cli(argv=None) -> None:
 
         np.savez(args.latents_out, **{f"latents_{k}": v for k, v in collected.items()})
         print(f"wrote latents for {list(collected)} to {args.latents_out}")
+    if args.codes_out:
+        import numpy as np
+
+        np.savez(args.codes_out, **codes)
+        shapes = {k: v.shape for k, v in codes.items()}
+        print(f"wrote code grids to {args.codes_out}: {shapes}")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(results, f, indent=1)

@@ -45,8 +45,14 @@ def get_parser() -> argparse.ArgumentParser:
     return p
 
 
-def encode_corpus(model, params, batch_stats, loader) -> np.ndarray:
-    """Run the frozen VQ encoder over a loader → [N, s, s] int32 grids."""
+def encode_corpus(model, params, batch_stats, loader, with_labels: bool = False):
+    """Run the frozen VQ encoder over a loader → [N, s, s] int32 grids.
+
+    ``with_labels=True`` returns ``(grids, labels-or-None)`` — the
+    evaluate CLI's ``--codes-out`` tokenized-corpus export rides this
+    same path, so the prior's training encoding and the exported codes
+    cannot drift.
+    """
     from midi_vae_tpu.models.vq import VQVAE
 
     @jax.jit
@@ -55,12 +61,17 @@ def encode_corpus(model, params, batch_stats, loader) -> np.ndarray:
             {"params": params, "batch_stats": batch_stats}, x, method=VQVAE.encode_indices
         )
 
-    grids = []
+    grids, labels = [], []
     for batch in loader.epoch(1):
         idx = np.asarray(jax.device_get(enc(batch.x)))
         valid = np.asarray(batch.mask) > 0
         grids.append(idx[valid])
-    return np.concatenate(grids, axis=0)
+        if with_labels and getattr(batch, "y", None) is not None:
+            labels.append(np.asarray(batch.y)[valid])
+    grids = np.concatenate(grids, axis=0)
+    if not with_labels:
+        return grids
+    return grids, (np.concatenate(labels, axis=0) if labels else None)
 
 
 def cli(argv=None) -> None:

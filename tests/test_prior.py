@@ -133,6 +133,16 @@ def test_prior_cli_end_to_end(tmp_path):
                   "-n", "4", "--out", out_png])
     assert os.path.isfile(out_png)
 
+    # tokenized-corpus export rides the same encoding path (--codes-out)
+    from midi_vae_tpu.cli.evaluate import cli as evaluate_cli
+
+    codes_npz = str(tmp_path / "codes.npz")
+    evaluate_cli(["--checkpoint", ckpt, "--partition", "test", "--codes-out", codes_npz])
+    z = np.load(codes_npz)
+    assert z["codes_test"].dtype == np.int32
+    assert z["codes_test"].shape[1:] == (2, 2)
+    assert z["codes_test"].min() >= 0 and z["codes_test"].max() < 16
+
 
 def test_load_prior_rejects_non_prior_checkpoint(tmp_path):
     from midi_vae_tpu.cli.train_prior import load_prior
@@ -172,3 +182,10 @@ def test_generate_prior_flag_guards(tmp_path):
                         "checkpoint_latest.msgpack")
     with pytest.raises(SystemExit, match="VQVAE"):
         generate_cli(["--checkpoint", ckpt, "--mode", "sample", "--prior", "whatever.msgpack"])
+
+    # --codes-out needs a discrete checkpoint too
+    from midi_vae_tpu.cli.evaluate import cli as evaluate_cli
+
+    with pytest.raises(SystemExit, match="Gaussian latent"):
+        evaluate_cli(["--checkpoint", ckpt, "--partition", "test",
+                      "--codes-out", str(tmp_path / "c.npz")])
