@@ -46,7 +46,8 @@ def get_parser() -> argparse.ArgumentParser:
                              "carries EMA weights (runs trained with --ema-decay). Default: "
                              "EMA weights are preferred when present.")
     parser.add_argument("--label", type=int, default=None,
-                        help="Conditional checkpoints (--conditional runs): generate this class. "
+                        help="Conditional checkpoints (--conditional runs) or class-conditional "
+                             "code priors (train_prior --conditional): generate this class. "
                              "Default for --mode sample: cycle through all classes (one column "
                              "per class in the grid); other modes use the fetched batch labels.")
     parser.add_argument("--cpu", action="store_true",
@@ -180,7 +181,10 @@ def cli(argv=None) -> None:
     out_path = args.out or f"{args.mode}.png"
 
     conditional = getattr(model, "num_classes", 0) > 0
-    if args.label is not None:
+    if args.label is not None and not (args.prior is not None and args.mode == "sample"):
+        # With --prior, conditioning may live in the PRIOR instead (class-
+        # conditional code prior over an unconditional VQ-VAE) — validated
+        # against the prior's class count once it is loaded below.
         if not conditional:
             raise SystemExit(
                 "--label needs a conditional checkpoint (--conditional run); this one is "
@@ -219,9 +223,31 @@ def cli(argv=None) -> None:
                 f"prior geometry (K={pcfg['num_codes']}, grid={pcfg['grid']}) does not match "
                 f"the checkpoint (K={model.codebook_size}, grid={model.last_conv_size})"
             )
+        prior_classes = int(pcfg.get("num_classes") or 0)
+        y = None
+        if prior_classes > 0:
+            # class control lives in the prior (train_prior --conditional):
+            # --label K = all samples class K; default = one class per
+            # grid column, same sweep convention as CVAE sampling
+            if args.label is not None and not (0 <= args.label < prior_classes):
+                raise SystemExit(
+                    f"--label must be in [0, {prior_classes - 1}] "
+                    f"(prior has {prior_classes} classes), got {args.label}"
+                )
+            y = (
+                jnp.full((args.num_samples,), int(args.label), jnp.int32)
+                if args.label is not None
+                else jnp.arange(args.num_samples, dtype=jnp.int32) % prior_classes
+            )
+            print(f"conditional prior sampling: labels {np.asarray(y).tolist()}")
+        elif args.label is not None:
+            raise SystemExit(
+                "--label needs a class-conditional prior (train_prior --conditional); "
+                "this prior is unconditional, so the label would be silently ignored"
+            )
         idx = sample_codes_autoregressive(
             prior, pparams, key, args.num_samples, model.last_conv_size,
-            temperature=args.temperature,
+            temperature=args.temperature, y=y,
         )
         images = model.apply(
             {"params": params, "batch_stats": batch_stats}, idx, method=VQVAE.decode_indices

@@ -40,6 +40,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--features", type=int, default=128, help="Prior conv width")
     p.add_argument("--layers", type=int, default=6, help="Masked-conv layers")
     p.add_argument("--kernel-size", type=int, default=5)
+    p.add_argument("--conditional", action="store_true",
+                   help="Fit a class-conditional prior p(codes | y) from the dataset's labels "
+                        "(van den Oord 2017 §5.1: the VQ-VAE stays unconditional; class "
+                        "control lives in the prior). Sampling then takes --label.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="Force the CPU backend")
     return p
@@ -113,18 +117,32 @@ def cli(argv=None) -> None:
     )
     loader = make_loader(train, min(args.batch_size, len(train)), train=False)
     t0 = time.time()
-    grids = encode_corpus(model, params, batch_stats, loader)
+    grids, labels = encode_corpus(model, params, batch_stats, loader, with_labels=True)
     if hasattr(loader, "release"):
         loader.release()
     print(f"encoded {len(grids)} [{grid}x{grid}] code grids in {time.time() - t0:.1f}s "
           f"({len(np.unique(grids))} distinct codes in use)")
 
+    num_classes = 0
+    if args.conditional:
+        if labels is None:
+            raise SystemExit(
+                f"--conditional needs labels, but dataset '{dataset}' exposes none"
+            )
+        from midi_vae_tpu.data.registry import image_dataset_sizes
+
+        n_class = image_dataset_sizes(dataset)[0]
+        num_classes = int(n_class) if n_class and n_class > 0 else int(labels.max()) + 1
+        print(f"conditional prior over {num_classes} classes")
+
     prior = CodePrior(
         num_codes=num_codes, features=args.features,
         num_layers=args.layers, kernel_size=args.kernel_size,
+        num_classes=num_classes,
     )
     key = jax.random.PRNGKey(args.seed)
-    pparams = prior.init(key, jnp.zeros((1, grid, grid), jnp.int32))["params"]
+    y0 = jnp.zeros((1,), jnp.int32) if num_classes else None
+    pparams = prior.init(key, jnp.zeros((1, grid, grid), jnp.int32), y0)["params"]
     tx = optax.adam(args.lr)
     opt_state = tx.init(pparams)
     step = make_prior_train_step(prior, tx)
@@ -137,8 +155,10 @@ def cli(argv=None) -> None:
         order = rng.permutation(n)
         tot, batches = 0.0, 0
         for i in range(0, n - bs + 1, bs):  # drop ragged tail; reshuffled every epoch
-            idx = jnp.asarray(grids[order[i:i + bs]])
-            pparams, opt_state, nll = step(pparams, opt_state, idx)
+            sel = order[i:i + bs]
+            idx = jnp.asarray(grids[sel])
+            y = jnp.asarray(labels[sel], jnp.int32) if num_classes else None
+            pparams, opt_state, nll = step(pparams, opt_state, idx, y)
             tot += float(nll)
             batches += 1
         print(f"epoch {epoch}/{args.epochs}: nll {tot / max(batches, 1):.4f} nats/position")
@@ -154,6 +174,7 @@ def cli(argv=None) -> None:
             "features": args.features,
             "layers": args.layers,
             "kernel_size": args.kernel_size,
+            "num_classes": num_classes,
             "vq_checkpoint": os.path.abspath(args.checkpoint),
             "final_nll": float(nll),
         },
@@ -172,12 +193,16 @@ def load_prior(path: str):
     pcfg = payload.get("config", {})
     if pcfg.get("kind") != "vq-code-prior":
         raise ValueError(f"{path} is not a VQ code-prior checkpoint (kind={pcfg.get('kind')!r})")
+    num_classes = int(pcfg.get("num_classes") or 0)
     prior = CodePrior(
         num_codes=int(pcfg["num_codes"]), features=int(pcfg["features"]),
         num_layers=int(pcfg["layers"]), kernel_size=int(pcfg["kernel_size"]),
+        num_classes=num_classes,
     )
     template = prior.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, int(pcfg["grid"]), int(pcfg["grid"])), jnp.int32)
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, int(pcfg["grid"]), int(pcfg["grid"])), jnp.int32),
+        jnp.zeros((1,), jnp.int32) if num_classes else None,
     )["params"]
     params = serialization.from_state_dict(template, payload["state"]["params"])
     return prior, params, pcfg

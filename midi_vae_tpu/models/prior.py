@@ -26,6 +26,16 @@ SURVEY §2 covers only the Gaussian VanillaVAE). PixelCNN masking
 follows van den Oord et al. 2016 ("Pixel Recurrent Neural Networks"
 §3.4): mask A excludes the center pixel in the first layer, mask B
 includes it thereafter.
+
+Class-conditional variant (``num_classes > 0``): p(codes | y), the
+construction of van den Oord et al. 2016 ("Conditional Image Generation
+with PixelCNN Decoders" eq. 3) adapted to the ReLU-residual stack — a
+learned per-class projection enters every masked layer as a
+spatially-constant pre-activation bias. The VQ-VAE itself stays
+UNCONDITIONAL (its job is compression); class control lives entirely in
+the prior, exactly as in van den Oord et al. 2017 §5.1's
+class-conditioned ImageNet sampling. One [B, C] one-hot × [C, features]
+matmul per layer — negligible next to the masked convs.
 """
 
 from __future__ import annotations
@@ -86,44 +96,75 @@ class CodePrior(nn.Module):
     (i, j)'s logits depend only on indices earlier in raster order, so
     ``sum(log softmax(logits)[idx])`` is a valid autoregressive
     log-likelihood and ancestral sampling is exact.
+
+    ``num_classes > 0`` makes the prior class-conditional: ``__call__``
+    then requires int labels y [B], and every masked layer receives a
+    learned class bias (see module docstring). Labels never touch the
+    causal path, so the masking guarantees are unchanged.
     """
 
     num_codes: int = 512
     features: int = 128
     num_layers: int = 6
     kernel_size: int = 5
+    num_classes: int = 0  # > 0 = class-conditional p(codes | y)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, idx: jax.Array) -> jax.Array:
+    def __call__(self, idx: jax.Array, y: jax.Array | None = None) -> jax.Array:
+        if self.num_classes > 0 and y is None:
+            raise ValueError(
+                f"this CodePrior is class-conditional over {self.num_classes} classes; "
+                "__call__ needs int labels y [B]"
+            )
+        cond = (
+            jax.nn.one_hot(y, self.num_classes, dtype=self.dtype)  # [B, C]
+            if self.num_classes > 0
+            else None
+        )
+
+        def class_bias(h: jax.Array) -> jax.Array:
+            # spatially-constant per-class pre-activation bias (cond. PixelCNN eq. 3)
+            if cond is None:
+                return h
+            return h + nn.Dense(self.features, kernel_init=_xavier, dtype=self.dtype)(cond)[
+                :, None, None, :
+            ]
+
         x = jax.nn.one_hot(idx, self.num_codes, dtype=self.dtype)  # [B, s, s, K]
-        h = MaskedConv(self.features, self.kernel_size, include_center=False, dtype=self.dtype)(x)
+        h = class_bias(
+            MaskedConv(self.features, self.kernel_size, include_center=False, dtype=self.dtype)(x)
+        )
         for _ in range(self.num_layers - 1):
             r = nn.relu(h)
-            r = MaskedConv(self.features, self.kernel_size, include_center=True, dtype=self.dtype)(r)
+            r = class_bias(
+                MaskedConv(self.features, self.kernel_size, include_center=True, dtype=self.dtype)(r)
+            )
             h = h + r  # residual: mask-B layers preserve causality
         h = nn.relu(h)
         h = nn.Conv(self.features, (1, 1), kernel_init=_xavier, dtype=self.dtype)(h)
         h = nn.relu(h)
         return nn.Conv(self.num_codes, (1, 1), kernel_init=_xavier, dtype=self.dtype)(h)
 
-    def log_likelihood(self, idx: jax.Array) -> jax.Array:
+    def log_likelihood(self, idx: jax.Array, y: jax.Array | None = None) -> jax.Array:
         """Mean per-grid log-likelihood (nats) of index grids [B, s, s]."""
-        logits = self(idx)
+        logits = self(idx, y)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         picked = jnp.take_along_axis(logp, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
         return jnp.mean(jnp.sum(picked, axis=(1, 2)))
 
 
 def make_prior_train_step(prior: CodePrior, tx):
-    """(params, opt_state, idx_batch) → (params, opt_state, nll) — jitted
-    maximum-likelihood step over code grids."""
+    """(params, opt_state, idx_batch[, y]) → (params, opt_state, nll) —
+    jitted maximum-likelihood step over code grids. Conditional priors
+    take the label batch as the fourth argument (``y=None`` otherwise —
+    an empty pytree, so one jitted program serves both)."""
     import optax
 
     @jax.jit
-    def step(params, opt_state, idx):
+    def step(params, opt_state, idx, y=None):
         def loss_fn(p):
-            logits = prior.apply({"params": p}, idx)
+            logits = prior.apply({"params": p}, idx, y)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             picked = jnp.take_along_axis(logp, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
             return -jnp.mean(picked)  # mean nats per position
@@ -137,7 +178,13 @@ def make_prior_train_step(prior: CodePrior, tx):
 
 
 def sample_codes_autoregressive(
-    prior: CodePrior, params, key: jax.Array, num_samples: int, grid: int, temperature: float = 1.0
+    prior: CodePrior,
+    params,
+    key: jax.Array,
+    num_samples: int,
+    grid: int,
+    temperature: float = 1.0,
+    y: jax.Array | None = None,
 ) -> jax.Array:
     """Exact ancestral sampling: [num_samples, grid, grid] int32 code grids.
 
@@ -145,12 +192,13 @@ def sample_codes_autoregressive(
     each step a full masked forward (causality makes the not-yet-sampled
     positions irrelevant to position t's logits). grid² is ≤ 64 for all
     supported image sizes, so the sequential chain is short.
+    Conditional priors take int labels ``y`` [num_samples].
     """
     t_inv = jnp.float32(1.0 / max(temperature, 1e-6))
 
     def body(carry, t):
         idx, k = carry
-        logits = prior.apply({"params": params}, idx)  # [N, s, s, K]
+        logits = prior.apply({"params": params}, idx, y)  # [N, s, s, K]
         i, j = t // grid, t % grid
         k, sub = jax.random.split(k)
         draw = jax.random.categorical(sub, logits[:, i, j, :].astype(jnp.float32) * t_inv, axis=-1)

@@ -80,6 +80,61 @@ def test_prior_learns_structure():
     assert match > 0.9, f"samples diverge from the learned pattern (match={match:.2f})"
 
 
+def test_conditional_prior_causal_and_label_sensitive():
+    """The class bias must not break raster-order causality, and it must
+    actually reach every position (changing y changes all logits)."""
+    prior = CodePrior(num_codes=8, features=16, num_layers=3, kernel_size=3, num_classes=4)
+    key = jax.random.PRNGKey(0)
+    idx = jax.random.randint(key, (1, 4, 4), 0, 8)
+    y = jnp.asarray([2], jnp.int32)
+    params = prior.init(key, idx, y)["params"]
+    base = np.asarray(prior.apply({"params": params}, idx, y))
+
+    t = 9  # position (2, 1)
+    idx2 = idx.at[0, 2, 1].set((idx[0, 2, 1] + 3) % 8)
+    pert = np.asarray(prior.apply({"params": params}, idx2, y))
+    np.testing.assert_allclose(
+        pert.reshape(-1, 8)[: t + 1], base.reshape(-1, 8)[: t + 1], atol=1e-5
+    )
+
+    other = np.asarray(prior.apply({"params": params}, idx, jnp.asarray([3], jnp.int32)))
+    assert np.abs(other - base).reshape(-1, 8).max(axis=-1).min() > 1e-7, \
+        "class bias should reach every grid position"
+
+    with pytest.raises(ValueError, match="class-conditional"):
+        prior.apply({"params": params}, idx)
+
+
+def test_conditional_prior_learns_class_structure():
+    """Two classes with disjoint deterministic grids: samples conditioned
+    on class c must reproduce class c's pattern — the point of p(codes|y)."""
+    import optax
+
+    K, s = 6, 4
+    rows, cols = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    patterns = [((rows + cols) % K).astype(np.int32), ((2 * rows) % K).astype(np.int32)]
+    batch = jnp.asarray(np.concatenate([np.tile(p[None], (16, 1, 1)) for p in patterns]))
+    y = jnp.asarray(np.repeat([0, 1], 16), jnp.int32)
+
+    prior = CodePrior(num_codes=K, features=32, num_layers=3, kernel_size=3, num_classes=2)
+    params = prior.init(jax.random.PRNGKey(0), batch, y)["params"]
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+    step = make_prior_train_step(prior, tx)
+    for _ in range(200):
+        params, opt_state, nll = step(params, opt_state, batch, y)
+    assert float(nll) < 0.2
+
+    for c, pattern in enumerate(patterns):
+        draws = np.asarray(sample_codes_autoregressive(
+            prior, params, jax.random.PRNGKey(1), 8, s,
+            y=jnp.full((8,), c, jnp.int32),
+        ))
+        # away from the unconditioned first row the class pattern must win
+        match = (draws[:, 1:, :] == pattern[None, 1:, :]).mean()
+        assert match > 0.9, f"class {c} samples diverge (match={match:.2f})"
+
+
 def test_sample_codes_range_and_determinism():
     prior = CodePrior(num_codes=5, features=8, num_layers=2, kernel_size=3)
     params = prior.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 3), jnp.int32))["params"]
@@ -142,6 +197,27 @@ def test_prior_cli_end_to_end(tmp_path):
     assert z["codes_test"].dtype == np.int32
     assert z["codes_test"].shape[1:] == (2, 2)
     assert z["codes_test"].min() >= 0 and z["codes_test"].max() < 16
+
+    # class-conditional prior over the same (unconditional) VQ-VAE:
+    # labels come from the dataset; --label steers sampling
+    cond_path = str(tmp_path / "prior_cond.msgpack")
+    prior_cli(["--checkpoint", ckpt, "--epochs", "2", "--batch-size", "64",
+               "--features", "16", "--layers", "2", "--kernel-size", "3",
+               "--conditional", "--out", cond_path])
+    _, _, ccfg = load_prior(cond_path)
+    assert ccfg["num_classes"] > 0
+    out_cond = str(tmp_path / "cond_samples.png")
+    generate_cli(["--checkpoint", ckpt, "--mode", "sample", "--prior", cond_path,
+                  "-n", "4", "--label", "1", "--out", out_cond])
+    assert os.path.isfile(out_cond)
+
+    # guards: --label with an unconditional prior; out-of-range label
+    with pytest.raises(SystemExit, match="class-conditional prior"):
+        generate_cli(["--checkpoint", ckpt, "--mode", "sample", "--prior", prior_path,
+                      "-n", "2", "--label", "1", "--out", str(tmp_path / "x.png")])
+    with pytest.raises(SystemExit, match="--label must be in"):
+        generate_cli(["--checkpoint", ckpt, "--mode", "sample", "--prior", cond_path,
+                      "-n", "2", "--label", "99", "--out", str(tmp_path / "x.png")])
 
 
 def test_load_prior_rejects_non_prior_checkpoint(tmp_path):
