@@ -37,9 +37,17 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--lr", type=float, default=3e-4)
-    p.add_argument("--features", type=int, default=128, help="Prior conv width")
-    p.add_argument("--layers", type=int, default=6, help="Masked-conv layers")
-    p.add_argument("--kernel-size", type=int, default=5)
+    p.add_argument("--prior-arch", choices=("pixelcnn", "transformer"), default="pixelcnn",
+                   help="Prior architecture: masked-conv PixelCNN (local texture, "
+                        "van den Oord 2016) or a decoder-only transformer over the "
+                        "raster-ordered codes (global structure, ImageGPT-style). "
+                        "Both share the training/sampling machinery.")
+    p.add_argument("--features", type=int, default=128,
+                   help="Prior width (conv features / transformer d_model)")
+    p.add_argument("--layers", type=int, default=6,
+                   help="Masked-conv layers / transformer blocks")
+    p.add_argument("--kernel-size", type=int, default=5, help="PixelCNN only")
+    p.add_argument("--heads", type=int, default=4, help="Transformer attention heads")
     p.add_argument("--conditional", action="store_true",
                    help="Fit a class-conditional prior p(codes | y) from the dataset's labels "
                         "(van den Oord 2017 §5.1: the VQ-VAE stays unconditional; class "
@@ -90,7 +98,7 @@ def cli(argv=None) -> None:
     from midi_vae_tpu.data.pipeline import make_loader
     from midi_vae_tpu.data.transforms import VALID_TRANSFORMS, get_transform
     from midi_vae_tpu.io.checkpoint import save_checkpoint
-    from midi_vae_tpu.models.prior import CodePrior, make_prior_train_step
+    from midi_vae_tpu.models.prior import make_prior_train_step
 
     model, params, batch_stats, cfg, image_size, channels, ckpt_dataset = _load_model_and_state(
         args.checkpoint
@@ -135,9 +143,9 @@ def cli(argv=None) -> None:
         num_classes = int(n_class) if n_class and n_class > 0 else int(labels.max()) + 1
         print(f"conditional prior over {num_classes} classes")
 
-    prior = CodePrior(
-        num_codes=num_codes, features=args.features,
-        num_layers=args.layers, kernel_size=args.kernel_size,
+    prior = build_prior(
+        args.prior_arch, num_codes=num_codes, features=args.features,
+        layers=args.layers, kernel_size=args.kernel_size, heads=args.heads,
         num_classes=num_classes,
     )
     key = jax.random.PRNGKey(args.seed)
@@ -169,11 +177,13 @@ def cli(argv=None) -> None:
         {"params": pparams},
         config={
             "kind": "vq-code-prior",
+            "arch": args.prior_arch,
             "num_codes": num_codes,
             "grid": grid,
             "features": args.features,
             "layers": args.layers,
             "kernel_size": args.kernel_size,
+            "heads": args.heads,
             "num_classes": num_classes,
             "vq_checkpoint": os.path.abspath(args.checkpoint),
             "final_nll": float(nll),
@@ -182,22 +192,48 @@ def cli(argv=None) -> None:
     print(f"saved prior to {out}")
 
 
+def build_prior(arch: str, *, num_codes: int, features: int, layers: int,
+                kernel_size: int = 5, heads: int = 4, num_classes: int = 0):
+    """Construct a code-prior module by architecture name.
+
+    One constructor serves the train CLI and ``load_prior`` so a saved
+    checkpoint always rebuilds the exact module that trained it.
+    """
+    from midi_vae_tpu.models.prior import CodePrior, TransformerCodePrior
+
+    if arch == "pixelcnn":
+        return CodePrior(
+            num_codes=num_codes, features=features, num_layers=layers,
+            kernel_size=kernel_size, num_classes=num_classes,
+        )
+    if arch == "transformer":
+        return TransformerCodePrior(
+            num_codes=num_codes, features=features, num_layers=layers,
+            num_heads=heads, num_classes=num_classes,
+        )
+    raise ValueError(f"unknown prior architecture {arch!r}")
+
+
 def load_prior(path: str):
-    """Load a trained code prior → (CodePrior, params, config)."""
+    """Load a trained code prior → (module, params, config).
+
+    Dispatches on the checkpoint's ``arch`` field (absent in pre-round-3
+    checkpoints → pixelcnn, the original architecture).
+    """
     from flax import serialization
 
     from midi_vae_tpu.io.checkpoint import load_checkpoint
-    from midi_vae_tpu.models.prior import CodePrior
 
     payload = load_checkpoint(path)
     pcfg = payload.get("config", {})
     if pcfg.get("kind") != "vq-code-prior":
         raise ValueError(f"{path} is not a VQ code-prior checkpoint (kind={pcfg.get('kind')!r})")
     num_classes = int(pcfg.get("num_classes") or 0)
-    prior = CodePrior(
+    prior = build_prior(
+        str(pcfg.get("arch") or "pixelcnn"),
         num_codes=int(pcfg["num_codes"]), features=int(pcfg["features"]),
-        num_layers=int(pcfg["layers"]), kernel_size=int(pcfg["kernel_size"]),
-        num_classes=num_classes,
+        layers=int(pcfg["layers"]), kernel_size=int(pcfg.get("kernel_size") or 5),
+        heads=int(pcfg.get("heads") or 4), num_classes=num_classes,
     )
     template = prior.init(
         jax.random.PRNGKey(0),

@@ -40,7 +40,7 @@ matmul per layer — negligible next to the masked convs.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -148,13 +148,107 @@ class CodePrior(nn.Module):
 
     def log_likelihood(self, idx: jax.Array, y: jax.Array | None = None) -> jax.Array:
         """Mean per-grid log-likelihood (nats) of index grids [B, s, s]."""
-        logits = self(idx, y)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        picked = jnp.take_along_axis(logp, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
-        return jnp.mean(jnp.sum(picked, axis=(1, 2)))
+        return grid_log_likelihood(self(idx, y), idx)
 
 
-def make_prior_train_step(prior: CodePrior, tx):
+def grid_log_likelihood(logits: jax.Array, idx: jax.Array) -> jax.Array:
+    """Mean per-grid log-likelihood (nats) from [B, s, s, K] logits."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, idx[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    return jnp.mean(jnp.sum(picked, axis=(1, 2)))
+
+
+class TransformerCodePrior(nn.Module):
+    """Decoder-only transformer over ``[s, s]`` code grids (raster order).
+
+    Same contract as ``CodePrior`` — ``__call__(idx[, y])`` returns
+    next-code logits [B, s, s, K] where position t depends only on codes
+    earlier in raster order — so ``make_prior_train_step``,
+    ``sample_codes_autoregressive``, the train-prior CLI, and the
+    generate CLI all serve both architectures through one interface.
+
+    TPU-first construction:
+
+    - the code grid enters as one-hot planes so the token embedding is a
+      [B·L, K] × [K, d] MXU contraction (no gather);
+    - causality comes from shifting the sequence right by one learned
+      BOS embedding and a causal attention mask — full self-attention is
+      exact and cheap here (L = s² ≤ 64 for every supported geometry,
+      so the [L, L] score matrix is tiny and flash-style tiling would
+      be pure overhead);
+    - pre-LN residual blocks (attention + GELU MLP), all matmuls in
+      ``dtype``, LayerNorm statistics in f32 (flax default upcast).
+
+    Class-conditional variant (``num_classes > 0``): a learned per-class
+    projection is added to every token embedding — spatially constant,
+    off the causal path, mirroring ``CodePrior``'s conditioning rule.
+
+    Reference: no equivalent (SURVEY §2 — the reference has no discrete
+    models); this is the van den Oord et al. 2017 §3.3 prior stage with
+    the PixelCNN swapped for the now-standard transformer factorization
+    (cf. Chen et al. 2020 "ImageGPT"; Esser et al. 2021 §3.2 samples VQ
+    codes with exactly this decoder-only shape).
+    """
+
+    num_codes: int = 512
+    features: int = 128
+    num_layers: int = 4
+    num_heads: int = 4
+    mlp_ratio: int = 4
+    num_classes: int = 0  # > 0 = class-conditional p(codes | y)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, idx: jax.Array, y: jax.Array | None = None) -> jax.Array:
+        if self.num_classes > 0 and y is None:
+            raise ValueError(
+                f"this TransformerCodePrior is class-conditional over {self.num_classes} "
+                "classes; __call__ needs int labels y [B]"
+            )
+        b, s1, s2 = idx.shape
+        length = s1 * s2
+        tok = jax.nn.one_hot(idx.reshape(b, length), self.num_codes, dtype=self.dtype)
+        h = nn.Dense(self.features, kernel_init=_xavier, dtype=self.dtype, name="embed")(tok)
+        # shift right: logits at flat position t see tokens [BOS, x_0 .. x_{t-1}]
+        bos = self.param("bos", nn.initializers.normal(0.02), (self.features,))
+        h = jnp.concatenate(
+            [jnp.broadcast_to(bos.astype(self.dtype), (b, 1, self.features)), h[:, :-1]], axis=1
+        )
+        pos = self.param("pos_embed", nn.initializers.normal(0.02), (length, self.features))
+        h = h + pos.astype(self.dtype)[None]
+        if self.num_classes > 0:
+            cond = jax.nn.one_hot(y, self.num_classes, dtype=self.dtype)  # [B, C]
+            h = h + nn.Dense(
+                self.features, kernel_init=_xavier, dtype=self.dtype, name="class_bias"
+            )(cond)[:, None, :]
+
+        mask = nn.make_causal_mask(jnp.ones((b, length)))
+        for _ in range(self.num_layers):
+            a = nn.LayerNorm()(h)
+            a = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                qkv_features=self.features,
+                kernel_init=_xavier,
+                dtype=self.dtype,
+            )(a, mask=mask)
+            h = h + a
+            m = nn.LayerNorm()(h)
+            m = nn.Dense(
+                self.features * self.mlp_ratio, kernel_init=_xavier, dtype=self.dtype
+            )(m)
+            m = nn.gelu(m)
+            m = nn.Dense(self.features, kernel_init=_xavier, dtype=self.dtype)(m)
+            h = h + m
+        h = nn.LayerNorm()(h)
+        logits = nn.Dense(self.num_codes, kernel_init=_xavier, dtype=self.dtype)(h)
+        return logits.reshape(b, s1, s2, self.num_codes)
+
+    def log_likelihood(self, idx: jax.Array, y: jax.Array | None = None) -> jax.Array:
+        """Mean per-grid log-likelihood (nats) of index grids [B, s, s]."""
+        return grid_log_likelihood(self(idx, y), idx)
+
+
+def make_prior_train_step(prior: "CodePrior | TransformerCodePrior", tx):
     """(params, opt_state, idx_batch[, y]) → (params, opt_state, nll) —
     jitted maximum-likelihood step over code grids. Conditional priors
     take the label batch as the fourth argument (``y=None`` otherwise —
@@ -178,7 +272,7 @@ def make_prior_train_step(prior: CodePrior, tx):
 
 
 def sample_codes_autoregressive(
-    prior: CodePrior,
+    prior: "CodePrior | TransformerCodePrior",
     params,
     key: jax.Array,
     num_samples: int,
