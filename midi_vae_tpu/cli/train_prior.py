@@ -52,9 +52,34 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Fit a class-conditional prior p(codes | y) from the dataset's labels "
                         "(van den Oord 2017 §5.1: the VQ-VAE stays unconditional; class "
                         "control lives in the prior). Sampling then takes --label.")
+    p.add_argument("--no-eval", action="store_true",
+                   help="Skip the held-out test-partition NLL after training "
+                        "(reported in nats/position and bits/code, stored in the "
+                        "checkpoint as test_nll — the standard prior-quality metric).")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="Force the CPU backend")
     return p
+
+
+def held_out_nll(prior, params, grids: np.ndarray, labels: np.ndarray | None,
+                 bs: int) -> float:
+    """Mean NLL (nats/position) of a code-grid corpus under a trained prior.
+
+    Ragged tail included: batches are per-grid means weighted by batch
+    size, so every held-out grid counts exactly once.
+    """
+    @jax.jit
+    def batch_nll(idx, y=None):
+        return -prior.apply({"params": params}, idx, y, method=type(prior).log_likelihood)
+
+    total, count = 0.0, 0
+    for i in range(0, len(grids), bs):
+        idx = jnp.asarray(grids[i:i + bs])
+        y = jnp.asarray(labels[i:i + bs], jnp.int32) if labels is not None else None
+        total += float(batch_nll(idx, y)) * idx.shape[0]
+        count += int(idx.shape[0])
+    positions = grids.shape[1] * grids.shape[2]
+    return total / max(count, 1) / positions
 
 
 def encode_corpus(model, params, batch_stats, loader, with_labels: bool = False):
@@ -118,7 +143,7 @@ def cli(argv=None) -> None:
     data_dir = args.data_dir or cfg.get("data_dir")
     targs = {"normalization": dataset} if dataset in VALID_TRANSFORMS else {}
     _, transform_eval = get_transform(cfg.get("transform_type", "digits"), image_size, targs)
-    train, _, _, _ = fetch_dataset(
+    train, _, test, _ = fetch_dataset(
         dataset, root=data_dir, prototyping=bool(cfg.get("prototyping", False)),
         transform_train=transform_eval, transform_eval=transform_eval,
         protoval_split_id=int(cfg.get("protoval_split_id") or 0),
@@ -130,6 +155,14 @@ def cli(argv=None) -> None:
         loader.release()
     print(f"encoded {len(grids)} [{grid}x{grid}] code grids in {time.time() - t0:.1f}s "
           f"({len(np.unique(grids))} distinct codes in use)")
+    test_grids = test_labels = None
+    if not args.no_eval and test is not None and len(test) > 0:
+        tloader = make_loader(test, min(args.batch_size, len(test)), train=False)
+        test_grids, test_labels = encode_corpus(
+            model, params, batch_stats, tloader, with_labels=True
+        )
+        if hasattr(tloader, "release"):
+            tloader.release()
 
     num_classes = 0
     if args.conditional:
@@ -171,6 +204,19 @@ def cli(argv=None) -> None:
             batches += 1
         print(f"epoch {epoch}/{args.epochs}: nll {tot / max(batches, 1):.4f} nats/position")
 
+    test_nll = None
+    if test_grids is not None and num_classes and test_labels is None:
+        print("skipping held-out NLL: conditional prior but the test partition has no labels")
+        test_grids = None
+    if test_grids is not None:
+        test_nll = held_out_nll(
+            prior, pparams, test_grids,
+            test_labels if num_classes else None, bs=min(args.batch_size, len(test_grids)),
+        )
+        print(f"held-out test nll: {test_nll:.4f} nats/position "
+              f"({test_nll / np.log(2.0):.4f} bits/code, {len(test_grids)} grids; "
+              f"uniform = {np.log(num_codes):.4f} nats)")
+
     out = args.out or os.path.join(os.path.dirname(os.path.abspath(args.checkpoint)), PRIOR_LATEST)
     save_checkpoint(
         out,
@@ -187,6 +233,7 @@ def cli(argv=None) -> None:
             "num_classes": num_classes,
             "vq_checkpoint": os.path.abspath(args.checkpoint),
             "final_nll": float(nll),
+            "test_nll": test_nll,
         },
     )
     print(f"saved prior to {out}")

@@ -421,3 +421,57 @@ def test_load_prior_defaults_to_pixelcnn_for_legacy_checkpoints(tmp_path):
     np.testing.assert_allclose(
         np.asarray(loaded.apply({"params": lparams}, idx)),
         np.asarray(prior.apply({"params": params}, idx)), atol=1e-6)
+
+
+def test_held_out_nll_ragged_and_stored(tmp_path):
+    """held_out_nll weights every grid once (ragged tail included) and the
+    CLI stores test_nll in the prior checkpoint."""
+    import os
+
+    from midi_vae_tpu.cli.train_prior import cli as prior_cli, held_out_nll, load_prior
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    # unit: ragged batching must equal one full-batch evaluation
+    prior = CodePrior(num_codes=8, features=16, num_layers=2, kernel_size=3)
+    params = prior.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 3), jnp.int32))["params"]
+    grids = np.asarray(jax.random.randint(jax.random.PRNGKey(1), (7, 3, 3), 0, 8), np.int32)
+    full = held_out_nll(prior, params, grids, None, bs=7)
+    ragged = held_out_nll(prior, params, grids, None, bs=3)  # 3 + 3 + 1
+    np.testing.assert_allclose(ragged, full, rtol=1e-5)
+
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        arch="VQVAE",
+        n_features=8,
+        hidden_dims=(8, 16, 32, 32),
+        codebook_size=16,
+        kld_weight=0.25,
+        epochs=1,
+        batch_size_per_device=16,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "models"),
+        run_name="vqn", run_id="n1",
+        log_images=False,
+    )
+    run(config)
+    ckpt = os.path.join(
+        str(tmp_path / "models"), "vae-lines-synthetic", "vqn__n1", "checkpoint_latest.msgpack"
+    )
+    out = str(tmp_path / "prior_nll.msgpack")
+    prior_cli(["--checkpoint", ckpt, "--epochs", "2", "--batch-size", "64",
+               "--features", "16", "--layers", "2", "--kernel-size", "3", "--out", out])
+    _, _, pcfg = load_prior(out)
+    assert pcfg["test_nll"] is not None and np.isfinite(pcfg["test_nll"])
+    assert 0.0 < pcfg["test_nll"] < np.log(16) * 2  # nats/position, sane range
+
+    # --no-eval skips it
+    out2 = str(tmp_path / "prior_noeval.msgpack")
+    prior_cli(["--checkpoint", ckpt, "--epochs", "1", "--batch-size", "64",
+               "--features", "16", "--layers", "2", "--kernel-size", "3",
+               "--no-eval", "--out", out2])
+    _, _, pcfg2 = load_prior(out2)
+    assert pcfg2["test_nll"] is None
