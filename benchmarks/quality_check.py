@@ -21,8 +21,36 @@ import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# Per-dataset training protocol. The synthetic-lines rows are the
+# round-2/3 published table (reference MIDI hyperparameters, matched
+# across variants). The midi-synthetic rows are the round-3 sparse-probe
+# protocol (RESULTS.md "posterior collapse: FIXED"): the 1.3%-fill
+# held-out-MIDI corpus with the anti-collapse recipe — raw-space BCE
+# targets, base-rate output bias, and linear KL warmup — which every
+# variant needs to survive 60 epochs on 98.7%-empty rolls.
+DATASETS = {
+    "vae-lines-synthetic": dict(transform_type="noaug"),
+    "midi-synthetic": dict(
+        transform_type="pianoroll",
+        bce_targets="raw",
+        output_bias_init="auto",
+        kl_schedule="linear",
+        kl_warmup_steps=2000,
+    ),
+}
+
 VARIANTS = {
     "ref": dict(arch="VanillaVAE"),
+    # the no-KL-anneal control: on the midi protocol (which anneals by
+    # default) this row isolates what the linear warmup contributes —
+    # the reference's own constant-β semantics (models.py:218-219 left
+    # the annealing commented out)
+    "ref_const": dict(arch="VanillaVAE", kl_schedule="constant"),
+    # β-TC-VAE on the reference trunk (configs/beta_tc_vae.yaml): the
+    # objective exists to improve MIG — this row is measured against
+    # `ref`'s MIG (same trunk, plain ELBO)
+    "beta_tc": dict(arch="VanillaVAE", loss_type="beta-tc", tc_beta=6.0,
+                    kld_weight=1.0, kl_schedule="constant", dtype="float32"),
     "s2d": dict(arch="VanillaVAE", stem="s2d"),
     "d2s": dict(arch="VanillaVAE", head="d2s"),
     "fold2": dict(arch="FoldedVAE", fold=2),
@@ -58,22 +86,26 @@ VARIANTS = {
     # beta 0.25, the paper default). The table's kl column reports the
     # commitment distance for this row; active_units reports the encoder
     # output's variability (codebook health is in the extra columns).
-    "vq": dict(arch="VQVAE", loss_type="vq", n_features=16, codebook_size=512, kld_weight=0.25),
+    # (VQ rows pin kl_schedule=constant: under the midi protocol the
+    # linear warmup would otherwise anneal the commitment β, which is
+    # not a KL weight — the paper trains it constant at 0.25)
+    "vq": dict(arch="VQVAE", loss_type="vq", n_features=16, codebook_size=512,
+               kld_weight=0.25, kl_schedule="constant"),
     # discrete bottleneck on the folded flagship trunk (models/vq.py
     # FoldedVQVAE): same quantizer grid, flagship compute layout
     "vq_fold8": dict(arch="FoldedVQVAE", loss_type="vq", fold=8,
                      hidden_dims=(48, 64, 128, 256), n_features=16,
-                     codebook_size=512, kld_weight=0.25),
+                     codebook_size=512, kld_weight=0.25, kl_schedule="constant"),
 }
 
 
-def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: str, iwae_k=None):
+def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: str,
+                iwae_k=None, dataset="vae-lines-synthetic", mig_bins=None):
     from midi_vae_tpu.train.config import TrainConfig
     from midi_vae_tpu.train.loop import run
 
     base = dict(
-        dataset_name="vae-lines-synthetic",
-        transform_type="noaug",
+        dataset_name=dataset,
         image_size=image_size,
         epochs=epochs,
         batch_size_per_device=100,
@@ -86,12 +118,15 @@ def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: st
         run_name=name,
         run_id="qual",
         final_iwae=iwae_k,
+        final_mig=mig_bins,
     )
+    base.update(DATASETS[dataset])  # per-dataset protocol (transform, anti-collapse recipe)
     base.update(VARIANTS[name])  # variant keys (incl. kld_weight for vq) win
     config = TrainConfig(**base)
     results = run(config)
     t = results["final_test"]
     iwae_val = t.get(f"iwae-{iwae_k}") if iwae_k else None  # absent for vq (skipped)
+    mig_val = t.get("mig") if mig_bins else None
     return {
         "variant": name,
         "bce_nats": round(float(t["cross-entropy"]), 4),
@@ -99,7 +134,11 @@ def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: st
         "mae_pct": round(float(t["mae"]), 2),
         "kl_nats": round(float(t["kl"]), 3),
         "active_units": int(t["active-units"]),
+        # raw-target runs (the midi protocol) also report the BCE in the
+        # trained objective's space — the number the probe tables quote
+        **({"bce_objective": round(float(t["bce-objective"]), 4)} if "bce-objective" in t else {}),
         **({f"iwae{iwae_k}_nats": round(float(iwae_val), 2)} if iwae_val is not None else {}),
+        **({"mig": round(float(mig_val), 4)} if mig_val is not None else {}),
         **(
             {
                 "codebook_perplexity": round(float(t["codebook-perplexity"]), 1),
@@ -115,10 +154,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--image-size", type=int, default=128)
+    ap.add_argument("--dataset", default="vae-lines-synthetic", choices=sorted(DATASETS),
+                    help="training corpus + protocol: the published lines table, or the "
+                         "held-out-MIDI quality dossier (sparse-probe protocol)")
     ap.add_argument("--variants", nargs="+", default=["ref", "fold4", "fold8"],
                     choices=sorted(VARIANTS))
     ap.add_argument("--iwae", type=int, default=None, metavar="K",
                     help="also report the K-sample IWAE bound per variant (nats/sample)")
+    ap.add_argument("--mig", type=int, default=None, metavar="BINS",
+                    help="also report each variant's MIG against the dataset labels")
     ap.add_argument("--f32", action="store_true", help="float32 compute (default bfloat16)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--workdir", default=None)
@@ -133,7 +177,8 @@ def main():
     rows = []
     for name in args.variants:
         print(f"=== training variant: {name} ===", flush=True)
-        rows.append(run_variant(name, args.epochs, args.image_size, not args.f32, workdir, iwae_k=args.iwae))
+        rows.append(run_variant(name, args.epochs, args.image_size, not args.f32, workdir,
+                                iwae_k=args.iwae, dataset=args.dataset, mig_bins=args.mig))
         print(json.dumps(rows[-1]), flush=True)
 
     print("\nvariant      BCE(nats)   mse%    mae%    KL     active")
@@ -141,7 +186,9 @@ def main():
         print(f"{r['variant']:<12s} {r['bce_nats']:>8.4f} {r['mse_pct']:>7.2f} "
               f"{r['mae_pct']:>7.2f} {r['kl_nats']:>7.3f} {r['active_units']:>5d}")
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "quality.json")
+    midi = args.dataset != "vae-lines-synthetic"
+    fname = "quality_midi.json" if midi else "quality.json"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     # merge with prior rows measured at the same epochs/size, so partial
     # re-runs update their variants without dropping the rest of the table
     dropped = []
@@ -166,7 +213,8 @@ def main():
         # must not clobber it; park the data in a settings-named side file
         path = path.replace(".json", f"_{args.epochs}e_{args.image_size}px.json")
     with open(path, "w") as f:
-        json.dump({"epochs": args.epochs, "image_size": args.image_size, "rows": rows}, f, indent=1)
+        json.dump({"dataset": args.dataset, "epochs": args.epochs,
+                   "image_size": args.image_size, "rows": rows}, f, indent=1)
     print(f"wrote {path}")
     if dropped:
         print(
@@ -176,26 +224,34 @@ def main():
             "to update the table."
         )
         return
-    splice_results(args.epochs, args.image_size, rows)
+    splice_results(args.epochs, args.image_size, rows, dataset=args.dataset)
 
 
-def splice_results(epochs: int, image_size: int, rows) -> None:
+def splice_results(epochs: int, image_size: int, rows, dataset="vae-lines-synthetic") -> None:
     """Rewrite the AUTOGEN QUALITY section of RESULTS.md (same pattern as
-    measure.py: published tables only ever contain regenerated numbers)."""
+    measure.py: published tables only ever contain regenerated numbers).
+    The midi dossier writes its own AUTOGEN QUALITY MIDI section."""
     import re
 
+    midi = dataset != "vae-lines-synthetic"
     results_md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.md")
-    begin, end = "<!-- BEGIN AUTOGEN QUALITY -->", "<!-- END AUTOGEN QUALITY -->"
-    iwae_col = next((k for k in rows[0] if k.startswith("iwae")), None)
-    if iwae_col and not all(iwae_col in r for r in rows):
+    marker = "AUTOGEN QUALITY MIDI" if midi else "AUTOGEN QUALITY"
+    begin, end = f"<!-- BEGIN {marker} -->", f"<!-- END {marker} -->"
+    iwae_col = next((k for r in rows for k in r if k.startswith("iwae")), None)
+    if iwae_col and not all(iwae_col in r for r in rows if "codebook_perplexity" not in r):
         iwae_col = None  # partial re-runs without --iwae keep the plain table
-    iwae_hdr = f" {iwae_col.replace('_nats', '')} (nats/sample) |" if iwae_col else ""
-    lines = [
-        f"| variant | BCE (nats) | mse % | mae % | KL (nats) | active units |{iwae_hdr}",
-        "|---|---|---|---|---|---|" + ("---|" if iwae_col else ""),
-    ]
+    mig_col = all("mig" in r for r in rows)
+    obj_col = all("bce_objective" in r for r in rows)
+    hdr = "| variant | BCE (nats) |" + (" objective BCE |" if obj_col else "") + " mse % | mae % | KL (nats) | active units |"
+    sep = "|---|---|" + ("---|" if obj_col else "") + "---|---|---|---|"
+    if iwae_col:
+        hdr += f" {iwae_col.replace('_nats', '')} (nats/sample) |"
+        sep += "---|"
+    if mig_col:
+        hdr += " MIG |"
+        sep += "---|"
+    lines = [hdr, sep]
     for r in rows:
-        iwae_cell = f" {r[iwae_col]:.2f} |" if iwae_col else ""
         if "codebook_perplexity" in r:
             # VQ rows: the Gaussian KL of z_e is not a KL (point-mass
             # posterior) — report the codebook health instead
@@ -204,13 +260,19 @@ def splice_results(epochs: int, image_size: int, rows) -> None:
         else:
             kl_cell = f"{r['kl_nats']:.3f}"
             active_cell = f"{r['active_units']}/10"
-        lines.append(
-            f"| {r['variant']} | {r['bce_nats']:.4f} | {r['mse_pct']:.2f} | "
-            f"{r['mae_pct']:.2f} | {kl_cell} | {active_cell} |" + iwae_cell
-        )
+        row = (f"| {r['variant']} | {r['bce_nats']:.4f} | "
+               + (f"{r['bce_objective']:.4f} | " if obj_col else "")
+               + f"{r['mse_pct']:.2f} | {r['mae_pct']:.2f} | {kl_cell} | {active_cell} |")
+        if iwae_col:
+            row += f" {r[iwae_col]:.2f} |" if iwae_col in r else " — (VQ: point-mass posterior) |"
+        if mig_col:
+            row += f" {r['mig']:.3f} |"
+        lines.append(row)
+    corpus = ("held-out midi-synthetic (1.3%-fill sparse rolls, anti-collapse protocol)"
+              if midi else "synthetic-lines")
     lines.append(
-        f"\n({epochs}-epoch synthetic-lines runs at {image_size} px, matched hyperparameters, "
-        "regenerated by `benchmarks/quality_check.py`)"
+        f"\n({epochs}-epoch {corpus} runs at {image_size} px, matched hyperparameters, "
+        f"regenerated by `benchmarks/quality_check.py{' --dataset ' + dataset if midi else ''}`)"
     )
     block = f"{begin}\n" + "\n".join(lines) + f"\n{end}"
     with open(results_md) as f:

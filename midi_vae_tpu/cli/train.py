@@ -150,6 +150,9 @@ def get_parser() -> argparse.ArgumentParser:
     group.add_argument("--final-iwae", type=int, default=None, metavar="K",
                        help="Report the K-sample importance-weighted log-likelihood bound (IWAE, "
                             "nats/sample) on the final test sweep. Default: off")
+    group.add_argument("--final-mig", type=int, default=None, metavar="BINS",
+                       help="Report the MIG disentanglement score (test posterior means vs dataset "
+                            "labels, BINS-bin discretization) on the final test sweep. Default: off")
     group.add_argument("--early-stop-patience", type=int, default=None, metavar="N",
                        help="Stop training when the best-model validation metric hasn't improved "
                             "for N consecutive epochs (counts across resumes via the checkpoint's "
@@ -382,6 +385,7 @@ def args_to_config(args: argparse.Namespace, argv=None) -> TrainConfig:
         stop_after_epochs=args.stop_after_epochs,
         early_stop_patience=args.early_stop_patience,
         final_iwae=args.final_iwae,
+        final_mig=args.final_mig,
         lr_relative=args.lr_relative,
         lr_encoder_mult=args.lr_encoder_mult,
         lr_decoder_mult=args.lr_decoder_mult,

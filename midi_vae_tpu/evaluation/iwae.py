@@ -132,10 +132,15 @@ def iwae_bound(
             )
             offset += size
             lse = part if lse is None else jnp.logaddexp(lse, part)
-        bound = np.asarray(lse - math.log(k))  # single host sync per batch
-        valid = np.asarray(batch.mask) > 0
-        total += float(bound[valid].sum())
-        count += int(valid.sum())
+        # Mask + reduce ON DEVICE: the per-sample [B] bound may be sharded
+        # across processes under multi-controller SPMD (not addressable
+        # from any one host), but its masked SUM is a replicated scalar —
+        # XLA inserts the cross-shard collective, and every process reads
+        # the same value. This is what makes --final-iwae work on pods.
+        mask = jnp.asarray(batch.mask) > 0
+        bound = jnp.where(mask, lse - math.log(k), 0.0)
+        total += float(bound.sum())  # single host sync per batch
+        count += int(jnp.sum(mask))
     if count == 0:
         raise ValueError("empty evaluation stream")
     return total / count

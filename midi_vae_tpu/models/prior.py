@@ -222,7 +222,9 @@ class TransformerCodePrior(nn.Module):
                 self.features, kernel_init=_xavier, dtype=self.dtype, name="class_bias"
             )(cond)[:, None, :]
 
-        mask = nn.make_causal_mask(jnp.ones((b, length)))
+        # [1, 1, L, L]: identical across the batch — attention broadcasts
+        # the batch dim, so a per-batch copy would be pure HBM waste
+        mask = nn.make_causal_mask(jnp.ones((1, length)))
         for _ in range(self.num_layers):
             a = nn.LayerNorm()(h)
             a = nn.MultiHeadDotProductAttention(

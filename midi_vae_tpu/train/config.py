@@ -100,6 +100,10 @@ class TrainConfig:
     # Report the K-sample IWAE log-likelihood bound on the final test
     # sweep (evaluation/iwae.py). None = off.
     final_iwae: Optional[int] = None
+    # Report the MIG disentanglement score of the test-partition posterior
+    # means against the dataset labels on the final sweep, discretized
+    # into this many bins (evaluation/disentanglement.py). None = off.
+    final_mig: Optional[int] = None
     lr_relative: float = 0.01
     lr_encoder_mult: float = 1.0
     lr_decoder_mult: float = 1.0

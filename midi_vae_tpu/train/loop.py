@@ -669,14 +669,10 @@ def run(config: TrainConfig) -> dict:
     if config.final_iwae and getattr(model, "latent_kind", "gaussian") == "vq":
         print("Skipping --final-iwae: the IWAE bound assumes a Gaussian posterior "
               "(VQ-VAE reports reconstruction metrics + codebook perplexity instead)")
-    elif config.final_iwae and jax.process_count() > 1:
-        # iwae_bound materializes per-batch host values, which requires the
-        # sharded arrays to be fully addressable — true in any single-process
-        # run (incl. multi-device), not under multi-controller SPMD. Evaluate
-        # post-hoc instead: cli.evaluate --iwae-samples K on the checkpoint.
-        print("Skipping --final-iwae under multi-process SPMD; "
-              "run cli.evaluate --iwae-samples on the checkpoint instead")
     elif config.final_iwae:
+        # works under multi-controller SPMD too: iwae_bound reduces the
+        # masked per-sample bounds ON DEVICE to replicated scalars, so no
+        # host ever needs the sharded per-batch values (round-4 fix)
         from midi_vae_tpu.evaluation.iwae import iwae_bound
 
         # held-out density estimate (nats/sample); computed against the
@@ -687,6 +683,18 @@ def run(config: TrainConfig) -> dict:
             target_denorm=(tuple(transform_eval.mean), tuple(transform_eval.std)),
         )
         print(f"  {f'iwae-{config.final_iwae} ':.<24s} {test_stats[f'iwae-{config.final_iwae}']:9.5f} nat/sample")
+    if config.final_mig and jax.process_count() > 1:
+        # same fully-addressable-array constraint as --final-iwae above
+        print("Skipping --final-mig under multi-process SPMD; "
+              "run cli.evaluate --mig on the checkpoint instead")
+    elif config.final_mig:
+        from midi_vae_tpu.evaluation.disentanglement import mig_from_loader
+
+        # disentanglement of the test posterior means against the dataset
+        # labels (works for VQ models too: mu is the pre-quantized z_e)
+        mig = mig_from_loader(loader_test, model, eval_view(state), bins=config.final_mig)
+        test_stats["mig"] = mig["mig"]
+        print(f"  {'mig ':.<24s} {mig['mig']:9.5f}")
     logger.log({f"eval/test/{k}": v for k, v in test_stats.items() if k != "latents"}, step=total_step)
     results["final_test"] = test_stats
 

@@ -113,6 +113,14 @@ def main() -> None:
     total_valid = sum(float(jnp.sum(b.mask)) for b in eval_loader.epoch(1))
     assert total_valid == 10.0, f"eval mask accounted for {total_valid} of 10 samples"
 
+    # --final-iwae under real multi-controller SPMD (round-4 fix): the
+    # masked per-sample bounds reduce ON DEVICE to replicated scalars, so
+    # every process computes the bound without addressing remote shards.
+    # The parent compares the value across process topologies.
+    from midi_vae_tpu.evaluation.iwae import iwae_bound
+
+    iwae = iwae_bound(eval_loader, model, state, k=4, chunk=2, seed=7)
+
     # Native RRD loader vs in-memory loader: identical global batch content
     # under this topology (exercises _multiproc_epoch_indices for real).
     rrd_status = "skipped"
@@ -196,6 +204,7 @@ def main() -> None:
             params=flat,
             losses=np.asarray(losses, np.float64),
             rrd_status=rrd_status,
+            iwae=np.float64(iwae),
         )
     print(f"worker {process_id}/{num_processes}: OK ({len(losses)} steps, rrd={rrd_status})")
 

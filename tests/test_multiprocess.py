@@ -109,6 +109,10 @@ def test_two_processes_match_single_process(tmp_path):
     diff = np.abs(multi["params"] - single["params"])
     assert diff.max() < 5e-3, f"param drift {diff.max()} exceeds rounding-level bound"
     assert (diff > 1e-6).mean() < 0.05, f"{(diff > 1e-6).mean():.1%} of params drifted >1e-6"
+    # The IWAE bound (device-side masked reductions) is topology-invariant:
+    # 2-process and 1-process runs over the same mesh compute the same
+    # held-out bound (this is the --final-iwae-on-pods contract).
+    np.testing.assert_allclose(multi["iwae"], single["iwae"], rtol=0, atol=1e-5)
     if rrd_path:
         assert str(multi["rrd_status"]) == "ok"
         assert str(single["rrd_status"]) == "ok"

@@ -390,3 +390,27 @@ class TestFinalIWAE:
         results = run(config)
         bound = results["final_test"]["iwae-2"]
         assert np.isfinite(bound) and bound < 0.0  # a log-likelihood of binary images
+
+    def test_bound_computed_on_the_mesh(self, tmp_path, eight_devices):
+        """--final-iwae on an 8-device mesh (round-4: no longer skipped on
+        sharded runs — the masked bounds reduce on device). The mesh value
+        must equal a single-device run of the same config."""
+        sharded = run(small_config(tmp_path, epochs=1, final_iwae=2, num_devices=8,
+                                   batch_size_per_device=2, run_name="fim", run_id="f8"))
+        single = run(small_config(tmp_path, epochs=1, final_iwae=2, num_devices=1,
+                                  batch_size_per_device=16, run_name="fis", run_id="f2"))
+        a = sharded["final_test"]["iwae-2"]
+        b = single["final_test"]["iwae-2"]
+        assert np.isfinite(a)
+        # same global batch (16), same draws → same bound up to the f32
+        # reduction-order noise the 8-way sharded training accumulates
+        assert abs(a - b) < 1e-3 * max(1.0, abs(b)), (a, b)
+
+
+class TestFinalMIG:
+    def test_mig_reported(self, tmp_path):
+        config = small_config(tmp_path, epochs=1, final_mig=10, run_name="fm", run_id="m1")
+        results = run(config)
+        mig = results["final_test"]["mig"]
+        # lines labels (line counts) are multi-class → MIG is defined
+        assert np.isfinite(mig) and 0.0 <= mig <= 1.0
