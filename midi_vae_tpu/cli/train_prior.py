@@ -2,10 +2,29 @@
 
 The second stage of the VQ-VAE pipeline (van den Oord et al. 2017 §3.3):
 with the VQ-VAE frozen, encode the training corpus to ``[s, s]`` index
-grids and fit a PixelCNN (``models/prior.py:CodePrior``) by maximum
+grids and fit a PixelCNN or transformer (``models/prior.py``) by maximum
 likelihood. The resulting ``prior_latest.msgpack`` plugs into the
-generate CLI (``--prior``) for structured sampling: prior code draws →
-``VQVAE.decode_indices``.
+generate CLI (``--prior``) and the serving stack for structured
+sampling: prior code draws → ``VQVAE.decode_indices``.
+
+Framework-grade training (same contracts as the main trainer):
+
+- **preemption resume**: the prior checkpoint is written every
+  ``--save-every`` epochs with optimizer state and counters; rerunning
+  with the same ``--out`` continues the NLL curve exactly where it
+  stopped (reference resume semantics, ``train.py:320-329``) and a
+  resumed run reproduces an uninterrupted one (epoch-keyed host RNG,
+  ``core/rng.py``);
+- **device-resident corpus + scan chunking**: the encoded code grids
+  live on device once; ``--scan-steps`` train steps fuse into one
+  compiled ``lax.scan`` program (the ``data/pipeline.py:322`` pattern),
+  so epochs run with near-zero host dispatch;
+- **data parallelism**: ``--num-devices`` shards the batch over a
+  ``jax.sharding.Mesh`` data axis (XLA inserts the gradient psum);
+- **observability**: ``metrics.jsonl`` + optional wandb under the
+  reference's ``training/{stepwise,epochwise}`` namespaces, written to a
+  ``prior/`` subdirectory next to the VQ checkpoint;
+- ``--bf16`` compute (loss math stays f32, as the main trainer).
 
 Usage::
 
@@ -19,6 +38,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -26,16 +46,25 @@ import numpy as np
 
 PRIOR_LATEST = "prior_latest.msgpack"
 
+# Architecture/config fields that must come from the checkpoint on
+# resume: training continues the SAME model, so the checkpoint wins and
+# differing CLI values only warn (reference restore semantics flipped
+# for identity fields — a changed width would make the params unloadable).
+RESUME_ARCH_KEYS = ("arch", "features", "layers", "kernel_size", "heads", "num_classes")
+
 
 def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--checkpoint", required=True, help="Trained VQ-VAE checkpoint (msgpack)")
     p.add_argument("--out", default=None,
-                   help=f"Output path. Default: {PRIOR_LATEST} next to the checkpoint")
+                   help=f"Prior checkpoint path (resumed if it already exists). "
+                        f"Default: {PRIOR_LATEST} next to the VQ checkpoint")
     p.add_argument("--dataset", default=None, help="Override the checkpoint's dataset")
     p.add_argument("--data-dir", default=None)
-    p.add_argument("--epochs", type=int, default=20)
-    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=20,
+                   help="TOTAL epochs (a resumed run trains only the remainder)")
+    p.add_argument("--batch-size", type=int, default=256,
+                   help="Global batch (rounded down to a multiple of --num-devices)")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--prior-arch", choices=("pixelcnn", "transformer"), default="pixelcnn",
                    help="Prior architecture: masked-conv PixelCNN (local texture, "
@@ -56,6 +85,24 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Skip the held-out test-partition NLL after training "
                         "(reported in nats/position and bits/code, stored in the "
                         "checkpoint as test_nll — the standard prior-quality metric).")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (f32 params and f32 loss math, like the "
+                        "main trainer's --dtype bfloat16)")
+    p.add_argument("--num-devices", type=int, default=None,
+                   help="Data-parallel mesh size (default: 1). Batches shard over the "
+                        "data axis; XLA inserts the gradient reduction.")
+    p.add_argument("--scan-steps", type=int, default=16,
+                   help="Train steps fused per compiled scan chunk (device-resident "
+                        "corpus dispatch, data/pipeline.py pattern). 1 = step-per-call.")
+    p.add_argument("--save-every", type=int, default=1, metavar="N",
+                   help="Checkpoint the prior (params + optimizer state + counters) "
+                        "every N epochs for preemption resume. Default: 1")
+    p.add_argument("--log-interval", type=int, default=10,
+                   help="Stepwise metric cadence (training/stepwise/* every N steps)")
+    p.add_argument("--log-wandb", action="store_true")
+    p.add_argument("--wandb-entity", default=None)
+    p.add_argument("--wandb-project", default="midi_vae_tpu")
+    p.add_argument("--run-name", default=None, help="wandb run name (default: prior-<arch>)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="Force the CPU backend")
     return p
@@ -80,6 +127,26 @@ def held_out_nll(prior, params, grids: np.ndarray, labels: np.ndarray | None,
         count += int(idx.shape[0])
     positions = grids.shape[1] * grids.shape[2]
     return total / max(count, 1) / positions
+
+
+def validate_labels(grids: np.ndarray, labels: np.ndarray | None, num_classes: int,
+                    partition: str):
+    """Drop grids whose labels fall outside ``[0, num_classes)``.
+
+    An out-of-range label one-hots to an all-zero conditioning row — the
+    grid would silently evaluate as if *unconditional*, skewing the NLL.
+    Returns the filtered ``(grids, labels)`` and prints what was dropped.
+    """
+    if labels is None or num_classes <= 0:
+        return grids, labels
+    ok = (labels >= 0) & (labels < num_classes)
+    if not bool(ok.all()):
+        dropped = int((~ok).sum())
+        print(f"dropping {dropped}/{len(labels)} {partition} grids with labels outside "
+              f"[0, {num_classes}) — an out-of-range label would one-hot to a zero row "
+              f"and evaluate as unconditional")
+        return grids[ok], labels[ok]
+    return grids, labels
 
 
 def encode_corpus(model, params, batch_stats, loader, with_labels: bool = False):
@@ -111,19 +178,73 @@ def encode_corpus(model, params, batch_stats, loader, with_labels: bool = False)
     return grids, (np.concatenate(labels, axis=0) if labels else None)
 
 
+def make_chunk_step(prior, tx, x_sharding, conditional: bool):
+    """Compiled scan chunk: ``scan_steps`` maximum-likelihood updates over
+    a device-resident corpus.
+
+    ``(params, opt_state, grids, labels, sel)`` → ``(params, opt_state,
+    nll[steps])`` where ``sel`` is ``[steps, bs]`` int32 indices into the
+    resident ``grids`` (and ``labels``). The gather + forward + backward
+    + update for the whole chunk is ONE XLA program — zero host dispatch
+    between steps (the ``data/pipeline.py`` scan-chunking pattern).
+    Batches are sharded over the mesh data axis; params stay replicated
+    and XLA inserts the gradient reduction.
+    """
+    import optax
+
+    def body_factory(grids, labels):
+        def body(carry, sel):
+            params, opt_state = carry
+            idx = jax.lax.with_sharding_constraint(jnp.take(grids, sel, axis=0), x_sharding)
+            y = None
+            if conditional:
+                y = jax.lax.with_sharding_constraint(jnp.take(labels, sel, axis=0), x_sharding)
+
+            def loss_fn(p):
+                logits = prior.apply({"params": p}, idx, y)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                picked = jnp.take_along_axis(
+                    logp, idx[..., None].astype(jnp.int32), axis=-1
+                )[..., 0]
+                return -jnp.mean(picked)  # mean nats per position
+
+            nll, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), nll
+
+        return body
+
+    @jax.jit
+    def run_chunk(params, opt_state, grids, labels, sel):
+        (params, opt_state), nlls = jax.lax.scan(
+            body_factory(grids, labels), (params, opt_state), sel
+        )
+        return params, opt_state, nlls
+
+    return run_chunk
+
+
 def cli(argv=None) -> None:
     args = get_parser().parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.prior_arch == "transformer" and args.features % args.heads:
+        raise SystemExit(
+            f"--features ({args.features}) must be divisible by --heads ({args.heads}) "
+            "for the transformer prior (qkv_features = features)"
+        )
 
     import optax
+    from flax import serialization
 
     from midi_vae_tpu.cli.generate import _load_model_and_state
     from midi_vae_tpu.data.fetch import fetch_dataset
     from midi_vae_tpu.data.pipeline import make_loader
     from midi_vae_tpu.data.transforms import VALID_TRANSFORMS, get_transform
-    from midi_vae_tpu.io.checkpoint import save_checkpoint
-    from midi_vae_tpu.models.prior import make_prior_train_step
+    from midi_vae_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from midi_vae_tpu.io.logging import MetricLogger, generate_id
+    from midi_vae_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 
     model, params, batch_stats, cfg, image_size, channels, ckpt_dataset = _load_model_and_state(
         args.checkpoint
@@ -136,6 +257,42 @@ def cli(argv=None) -> None:
         )
     grid = model.last_conv_size
     num_codes = int(model.codebook_size)
+    out = args.out or os.path.join(os.path.dirname(os.path.abspath(args.checkpoint)), PRIOR_LATEST)
+
+    # -- preemption resume (reference train.py:67-71,320-329 semantics) ---
+    resume = None
+    if os.path.isfile(out):
+        payload = load_checkpoint(out)
+        if payload.get("config", {}).get("kind") == "vq-code-prior":
+            resume = payload
+            rcfg = resume["config"]
+            for key in RESUME_ARCH_KEYS:
+                live = {"arch": args.prior_arch, "num_classes": None}.get(
+                    key, getattr(args, key, None)
+                )
+                ckpt_val = rcfg.get(key)
+                if key == "num_classes":
+                    continue  # re-derived below; the checkpoint's value wins there
+                if live is not None and ckpt_val is not None and live != ckpt_val:
+                    warnings.warn(
+                        f"prior {key} differs from the resumed checkpoint: {live} (CLI) "
+                        f"vs {ckpt_val} (checkpoint) — the checkpoint wins (same model "
+                        "must continue training)",
+                        UserWarning, stacklevel=2,
+                    )
+            args.prior_arch = str(rcfg.get("arch") or "pixelcnn")
+            args.features = int(rcfg["features"])
+            args.layers = int(rcfg["layers"])
+            args.kernel_size = int(rcfg.get("kernel_size") or 5)
+            args.heads = int(rcfg.get("heads") or 4)
+            if int(rcfg.get("num_classes") or 0) > 0:
+                args.conditional = True
+            print(f"Resuming prior training from {out} "
+                  f"(epoch {int(resume.get('epoch', 0))}, step {int(resume.get('total_step', 0))})")
+        else:
+            raise SystemExit(f"{out} exists but is not a VQ code-prior checkpoint")
+    else:
+        print(f"No prior checkpoint at {out} yet; starting fresh")
 
     # Encode the train partition under eval-condition transforms (the
     # frozen encoder sees clean rolls, like the evaluate CLI's sweeps).
@@ -170,58 +327,82 @@ def cli(argv=None) -> None:
             raise SystemExit(
                 f"--conditional needs labels, but dataset '{dataset}' exposes none"
             )
-        from midi_vae_tpu.data.registry import image_dataset_sizes
+        if resume is not None and int(resume["config"].get("num_classes") or 0) > 0:
+            num_classes = int(resume["config"]["num_classes"])
+        else:
+            from midi_vae_tpu.data.registry import image_dataset_sizes
 
-        n_class = image_dataset_sizes(dataset)[0]
-        num_classes = int(n_class) if n_class and n_class > 0 else int(labels.max()) + 1
+            n_class = image_dataset_sizes(dataset)[0]
+            num_classes = int(n_class) if n_class and n_class > 0 else int(labels.max()) + 1
         print(f"conditional prior over {num_classes} classes")
+        if int(labels.max()) >= num_classes or int(labels.min()) < 0:
+            raise SystemExit(
+                f"train labels span [{int(labels.min())}, {int(labels.max())}] — outside "
+                f"[0, {num_classes}); an out-of-range label one-hots to a zero row and "
+                "trains as unconditional. Fix the dataset registry's class count."
+            )
+        if test_grids is not None and test_labels is not None:
+            test_grids, test_labels = validate_labels(
+                test_grids, test_labels, num_classes, "held-out"
+            )
 
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     prior = build_prior(
         args.prior_arch, num_codes=num_codes, features=args.features,
         layers=args.layers, kernel_size=args.kernel_size, heads=args.heads,
-        num_classes=num_classes,
+        num_classes=num_classes, dtype=dtype,
     )
     key = jax.random.PRNGKey(args.seed)
     y0 = jnp.zeros((1,), jnp.int32) if num_classes else None
     pparams = prior.init(key, jnp.zeros((1, grid, grid), jnp.int32), y0)["params"]
     tx = optax.adam(args.lr)
     opt_state = tx.init(pparams)
-    step = make_prior_train_step(prior, tx)
+    start_epoch, total_step = 0, 0
+    if resume is not None:
+        state_dict = resume["state"]
+        pparams = serialization.from_state_dict(pparams, state_dict["params"])
+        if "opt_state" in state_dict:
+            opt_state = serialization.from_state_dict(opt_state, state_dict["opt_state"])
+        else:  # pre-round-4 prior checkpoint: params only
+            print("resumed checkpoint has no optimizer state (older format); "
+                  "optimizer restarts fresh")
+        start_epoch = int(resume.get("epoch", 0))
+        total_step = int(resume.get("total_step", 0))
 
+    # -- device placement: mesh + resident corpus --------------------------
+    mesh = make_mesh(args.num_devices or 1)
+    n_dev = mesh.devices.size
+    rep = replicated(mesh)
+    x_sharding = batch_sharding(mesh)
     n = len(grids)
+    if n < n_dev:
+        raise SystemExit(f"corpus has {n} grids but the mesh has {n_dev} devices; "
+                         "reduce --num-devices")
     bs = min(args.batch_size, n)
-    rng = np.random.default_rng(args.seed)
-    nll = float("nan")
-    for epoch in range(1, args.epochs + 1):
-        order = rng.permutation(n)
-        tot, batches = 0.0, 0
-        for i in range(0, n - bs + 1, bs):  # drop ragged tail; reshuffled every epoch
-            sel = order[i:i + bs]
-            idx = jnp.asarray(grids[sel])
-            y = jnp.asarray(labels[sel], jnp.int32) if num_classes else None
-            pparams, opt_state, nll = step(pparams, opt_state, idx, y)
-            tot += float(nll)
-            batches += 1
-        print(f"epoch {epoch}/{args.epochs}: nll {tot / max(batches, 1):.4f} nats/position")
+    bs = max(n_dev, bs - bs % n_dev)  # global batch divisible by the mesh
+    grids_dev = jax.device_put(jnp.asarray(grids, jnp.int32), rep)
+    labels_dev = (
+        jax.device_put(jnp.asarray(labels, jnp.int32), rep) if num_classes else grids_dev[:, 0, 0]
+    )  # unconditional: a dummy resident array keeps one program signature
+    pparams = jax.device_put(pparams, rep)
+    opt_state = jax.device_put(opt_state, rep)
+    if n_dev > 1:
+        print(f"data-parallel prior training over {n_dev} devices (global batch {bs})")
 
-    test_nll = None
-    if test_grids is not None and num_classes and test_labels is None:
-        print("skipping held-out NLL: conditional prior but the test partition has no labels")
-        test_grids = None
-    if test_grids is not None:
-        test_nll = held_out_nll(
-            prior, pparams, test_grids,
-            test_labels if num_classes else None, bs=min(args.batch_size, len(test_grids)),
-        )
-        print(f"held-out test nll: {test_nll:.4f} nats/position "
-              f"({test_nll / np.log(2.0):.4f} bits/code, {len(test_grids)} grids; "
-              f"uniform = {np.log(num_codes):.4f} nats)")
+    run_chunk = make_chunk_step(prior, tx, x_sharding, conditional=bool(num_classes))
 
-    out = args.out or os.path.join(os.path.dirname(os.path.abspath(args.checkpoint)), PRIOR_LATEST)
-    save_checkpoint(
-        out,
-        {"params": pparams},
-        config={
+    logger = MetricLogger(
+        output_dir=os.path.join(os.path.dirname(os.path.abspath(out)), "prior"),
+        use_wandb=args.log_wandb,
+        wandb_entity=args.wandb_entity,
+        wandb_project=args.wandb_project,
+        run_name=args.run_name or f"prior-{args.prior_arch}",
+        run_id=generate_id(),
+        config={**vars(args), "num_codes": num_codes, "grid": grid},
+    )
+
+    def prior_config(final_nll, test_nll):
+        return {
             "kind": "vq-code-prior",
             "arch": args.prior_arch,
             "num_codes": num_codes,
@@ -231,16 +412,90 @@ def cli(argv=None) -> None:
             "kernel_size": args.kernel_size,
             "heads": args.heads,
             "num_classes": num_classes,
+            "bf16": bool(args.bf16),
+            "seed": args.seed,
+            "lr": args.lr,
+            "batch_size": bs,
+            "epochs": args.epochs,
+            "dataset": dataset,
             "vq_checkpoint": os.path.abspath(args.checkpoint),
-            "final_nll": float(nll),
+            "final_nll": final_nll,
             "test_nll": test_nll,
-        },
-    )
+        }
+
+    def save(epoch, nll, test_nll=None):
+        save_checkpoint(
+            out,
+            {"params": pparams, "opt_state": opt_state},
+            config=prior_config(float(nll), test_nll),
+            epoch=epoch,
+            total_step=total_step,
+        )
+
+    from midi_vae_tpu.core.rng import host_rng
+
+    steps = max(n // bs, 1)
+    nll = float(resume["config"].get("final_nll", float("nan"))) if resume else float("nan")
+    if start_epoch >= args.epochs:
+        print(f"checkpoint already at epoch {start_epoch} >= --epochs {args.epochs}; "
+              "skipping training (held-out eval still runs)")
+    positions = grid * grid
+    for epoch in range(start_epoch + 1, args.epochs + 1):
+        # epoch-keyed host RNG: a resumed run replays exactly the
+        # permutations an uninterrupted run would have used (core/rng.py)
+        order = host_rng(args.seed, epoch).permutation(n)[: steps * bs].reshape(steps, bs)
+        t0 = time.time()
+        epoch_nlls = []
+        for c0 in range(0, steps, args.scan_steps):
+            sel = jax.device_put(
+                jnp.asarray(order[c0:c0 + args.scan_steps], jnp.int32), rep
+            )
+            pparams, opt_state, nlls = run_chunk(pparams, opt_state, grids_dev, labels_dev, sel)
+            nlls = np.asarray(nlls)  # one host sync per chunk
+            epoch_nlls.append(nlls)
+            for k, v in enumerate(nlls):
+                total_step += 1
+                if total_step % args.log_interval == 0:
+                    logger.log_namespaced(
+                        "training/stepwise", {"nll": float(v), "epoch": epoch}, total_step
+                    )
+        duration = time.time() - t0
+        nll = float(np.concatenate(epoch_nlls).mean()) if epoch_nlls else nll
+        throughput = steps * bs / max(duration, 1e-9)
+        print(f"epoch {epoch}/{args.epochs}: nll {nll:.4f} nats/position "
+              f"({throughput:,.0f} grids/sec)")
+        logger.log_namespaced(
+            "training/epochwise",
+            {"nll": nll, "throughput": throughput, "duration": duration, "epoch": epoch},
+            total_step,
+        )
+        if epoch % max(args.save_every, 1) == 0 or epoch == args.epochs:
+            save(epoch, nll)
+
+    test_nll = None
+    if test_grids is not None and num_classes and test_labels is None:
+        print("skipping held-out NLL: conditional prior but the test partition has no labels")
+        test_grids = None
+    if test_grids is not None and len(test_grids) > 0:
+        test_nll = held_out_nll(
+            prior, pparams, test_grids,
+            test_labels if num_classes else None, bs=min(bs, len(test_grids)),
+        )
+        print(f"held-out test nll: {test_nll:.4f} nats/position "
+              f"({test_nll / np.log(2.0):.4f} bits/code, {len(test_grids)} grids; "
+              f"uniform = {np.log(num_codes):.4f} nats)")
+        logger.log_namespaced(
+            "eval/test", {"nll": test_nll, "nll-per-grid": test_nll * positions}, total_step
+        )
+
+    save(max(start_epoch, args.epochs), nll, test_nll)
+    logger.close()
     print(f"saved prior to {out}")
 
 
 def build_prior(arch: str, *, num_codes: int, features: int, layers: int,
-                kernel_size: int = 5, heads: int = 4, num_classes: int = 0):
+                kernel_size: int = 5, heads: int = 4, num_classes: int = 0,
+                dtype=jnp.float32):
     """Construct a code-prior module by architecture name.
 
     One constructor serves the train CLI and ``load_prior`` so a saved
@@ -251,12 +506,12 @@ def build_prior(arch: str, *, num_codes: int, features: int, layers: int,
     if arch == "pixelcnn":
         return CodePrior(
             num_codes=num_codes, features=features, num_layers=layers,
-            kernel_size=kernel_size, num_classes=num_classes,
+            kernel_size=kernel_size, num_classes=num_classes, dtype=dtype,
         )
     if arch == "transformer":
         return TransformerCodePrior(
             num_codes=num_codes, features=features, num_layers=layers,
-            num_heads=heads, num_classes=num_classes,
+            num_heads=heads, num_classes=num_classes, dtype=dtype,
         )
     raise ValueError(f"unknown prior architecture {arch!r}")
 
@@ -265,7 +520,9 @@ def load_prior(path: str):
     """Load a trained code prior → (module, params, config).
 
     Dispatches on the checkpoint's ``arch`` field (absent in pre-round-3
-    checkpoints → pixelcnn, the original architecture).
+    checkpoints → pixelcnn, the original architecture). Params are
+    always f32 (``--bf16`` affects compute dtype only), so inference
+    modules load at full precision regardless of how they trained.
     """
     from flax import serialization
 

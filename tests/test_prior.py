@@ -475,3 +475,173 @@ def test_held_out_nll_ragged_and_stored(tmp_path):
                "--no-eval", "--out", out2])
     _, _, pcfg2 = load_prior(out2)
     assert pcfg2["test_nll"] is None
+
+
+# -- framework-grade prior trainer (round 4) --------------------------------
+# Mid-training checkpointing with exact preemption resume, scan-chunked
+# device-resident dispatch, data parallelism, bf16, and the conditional
+# label-validation guards.
+
+
+@pytest.fixture(scope="module")
+def vq_ckpt(tmp_path_factory):
+    """One tiny trained VQ-VAE shared by the prior-trainer tests."""
+    import os
+
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    root = tmp_path_factory.mktemp("vq_for_prior")
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        arch="VQVAE",
+        n_features=8,
+        hidden_dims=(8, 16, 32, 32),
+        codebook_size=16,
+        kld_weight=0.25,
+        epochs=1,
+        batch_size_per_device=32,
+        num_devices=1,
+        seed=0,
+        models_dir=str(root / "models"),
+        run_name="vqf", run_id="f1",
+        log_images=False,
+    )
+    run(config)
+    return os.path.join(
+        str(root / "models"), "vae-lines-synthetic", "vqf__f1", "checkpoint_latest.msgpack"
+    )
+
+
+def _prior_args(ckpt, out, epochs, extra=()):
+    return ["--checkpoint", ckpt, "--epochs", str(epochs), "--batch-size", "64",
+            "--features", "16", "--layers", "2", "--kernel-size", "3",
+            "--out", out, *extra]
+
+
+def _max_param_diff(pa, pb):
+    la, lb = jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)
+    return max(float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(la, lb))
+
+
+def test_prior_resume_matches_uninterrupted(tmp_path, vq_ckpt):
+    """kill-9 contract: train 2 epochs, resume to 4 == one 4-epoch run.
+
+    Epoch-keyed host permutations + checkpointed optimizer state make the
+    resumed curve bitwise-continue (the main trainer's resume guarantee,
+    reference train.py:320-329 semantics)."""
+    from midi_vae_tpu.cli.train_prior import cli as prior_cli, load_prior
+
+    a = str(tmp_path / "a.msgpack")
+    prior_cli(_prior_args(vq_ckpt, a, 2, ["--no-eval", "--scan-steps", "4"]))
+    prior_cli(_prior_args(vq_ckpt, a, 4, ["--scan-steps", "4"]))  # resumes from epoch 2
+    b = str(tmp_path / "b.msgpack")
+    prior_cli(_prior_args(vq_ckpt, b, 4, ["--scan-steps", "4"]))
+
+    _, pa, ca = load_prior(a)
+    _, pb, cb = load_prior(b)
+    assert _max_param_diff(pa, pb) < 1e-6
+    assert abs(ca["test_nll"] - cb["test_nll"]) < 1e-6
+    # counters continued, not restarted
+    from midi_vae_tpu.io.checkpoint import load_checkpoint
+
+    pay = load_checkpoint(a)
+    assert int(pay["epoch"]) == 4
+    assert int(pay["total_step"]) == int(load_checkpoint(b)["total_step"])
+
+
+def test_prior_scan_chunk_invariance(tmp_path, vq_ckpt):
+    """--scan-steps is a dispatch knob, not a math knob: fusing 1 vs 8
+    steps per compiled chunk must produce identical parameters."""
+    from midi_vae_tpu.cli.train_prior import cli as prior_cli, load_prior
+
+    a = str(tmp_path / "s1.msgpack")
+    b = str(tmp_path / "s8.msgpack")
+    prior_cli(_prior_args(vq_ckpt, a, 2, ["--no-eval", "--scan-steps", "1"]))
+    prior_cli(_prior_args(vq_ckpt, b, 2, ["--no-eval", "--scan-steps", "8"]))
+    _, pa, _ = load_prior(a)
+    _, pb, _ = load_prior(b)
+    assert _max_param_diff(pa, pb) < 1e-6
+
+
+def test_prior_dp_matches_single_device(tmp_path, vq_ckpt, eight_devices):
+    """--num-devices 8 shards the batch over the mesh; the psum-reduced
+    gradients must train to (numerically) the same parameters."""
+    from midi_vae_tpu.cli.train_prior import cli as prior_cli, load_prior
+
+    a = str(tmp_path / "d1.msgpack")
+    b = str(tmp_path / "d8.msgpack")
+    prior_cli(_prior_args(vq_ckpt, a, 2, ["--no-eval", "--num-devices", "1"]))
+    prior_cli(_prior_args(vq_ckpt, b, 2, ["--no-eval", "--num-devices", "8"]))
+    _, pa, _ = load_prior(a)
+    _, pb, _ = load_prior(b)
+    # same math, different reduction order: rounding-level drift only
+    assert _max_param_diff(pa, pb) < 5e-4
+
+
+def test_prior_bf16_and_metrics_jsonl(tmp_path, vq_ckpt):
+    """--bf16 trains to a finite NLL with f32 params; metrics.jsonl gets
+    the reference namespaces (training/{stepwise,epochwise}, eval/test)."""
+    import json
+    import os
+
+    from midi_vae_tpu.cli.train_prior import cli as prior_cli, load_prior
+
+    out = str(tmp_path / "bf16.msgpack")
+    prior_cli(_prior_args(vq_ckpt, out, 2, ["--bf16", "--log-interval", "2"]))
+    _, params, pcfg = load_prior(out)
+    assert pcfg["bf16"] is True
+    assert np.isfinite(pcfg["final_nll"]) and np.isfinite(pcfg["test_nll"])
+    assert all(np.asarray(p).dtype == np.float32 for p in jax.tree_util.tree_leaves(params))
+
+    jsonl = os.path.join(str(tmp_path), "prior", "metrics.jsonl")
+    assert os.path.isfile(jsonl)
+    keys = set()
+    with open(jsonl) as f:
+        for line in f:
+            keys.update(json.loads(line))
+    assert any(k.startswith("training/stepwise/") for k in keys)
+    assert "training/epochwise/nll" in keys
+    assert "eval/test/nll" in keys
+
+
+def test_prior_resume_arch_comes_from_checkpoint(tmp_path, vq_ckpt):
+    """Resume restores the architecture from the checkpoint (warning on a
+    differing CLI value) — a changed width would be unloadable."""
+    from midi_vae_tpu.cli.train_prior import cli as prior_cli, load_prior
+
+    out = str(tmp_path / "arch.msgpack")
+    prior_cli(_prior_args(vq_ckpt, out, 1, ["--no-eval"]))
+    with pytest.warns(UserWarning, match="prior features differs"):
+        prior_cli(["--checkpoint", vq_ckpt, "--epochs", "2", "--batch-size", "64",
+                   "--features", "32", "--layers", "2", "--kernel-size", "3",
+                   "--out", out, "--no-eval"])
+    _, _, pcfg = load_prior(out)
+    assert pcfg["features"] == 16  # checkpoint won
+
+
+def test_transformer_features_heads_validation():
+    """--features must divide evenly into --heads for the transformer
+    (flax would only fail deep inside init otherwise)."""
+    from midi_vae_tpu.cli.train_prior import cli as prior_cli
+
+    with pytest.raises(SystemExit, match="divisible by --heads"):
+        prior_cli(["--checkpoint", "whatever.msgpack", "--prior-arch", "transformer",
+                   "--features", "30", "--heads", "4"])
+
+
+def test_validate_labels_drops_out_of_range():
+    """An out-of-range label one-hots to a zero row and silently evaluates
+    as unconditional — validate_labels drops those grids with a report."""
+    from midi_vae_tpu.cli.train_prior import validate_labels
+
+    grids = np.arange(4 * 2 * 2, dtype=np.int32).reshape(4, 2, 2)
+    labels = np.asarray([0, 1, 7, -1], np.int32)
+    g, l = validate_labels(grids, labels, num_classes=2, partition="held-out")
+    np.testing.assert_array_equal(l, [0, 1])
+    np.testing.assert_array_equal(g, grids[:2])
+    # in-range labels pass through untouched (same objects)
+    g2, l2 = validate_labels(grids, np.zeros(4, np.int32), 2, "held-out")
+    assert g2 is grids
