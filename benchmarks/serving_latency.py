@@ -170,6 +170,25 @@ def run_level(batcher, concurrency: int, requests_per_thread: int, req_rows: int
     }
 
 
+def run_sample_latency(service, n: int, reps: int = 30, temperature: float = 1.0) -> dict:
+    """/sample latency (no batcher — already batched by n): p50/p95 over
+    ``reps`` calls with distinct seeds (same compiled program, fresh draws)."""
+    service.sample(n, seed=0, temperature=temperature)  # warm the bucket compile
+    lat = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = service.sample(n, seed=i + 1, temperature=temperature)
+        assert out.shape[0] == n  # host-materialized: the timer cannot lie
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat = np.sort(np.asarray(lat))
+    return {
+        "n": n,
+        "p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "p95_ms": round(float(np.percentile(lat, 95)), 2),
+        "samples_per_sec": round(n / (np.median(lat) / 1e3), 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=200, help="requests per thread")
@@ -184,6 +203,13 @@ def main():
     ap.add_argument("--wire", nargs="+", default=["json"], choices=["json", "npy"],
                     help="wire format(s) for --http: JSON nested lists and/or the "
                          "binary npy production path")
+    ap.add_argument("--sample-checkpoint", default=None, metavar="CKPT",
+                    help="ALSO measure /sample latency on this trained VQ checkpoint: "
+                         "EMA-marginal sampling, and two-stage prior sampling when "
+                         "--sample-prior is given (the round-4 serving surface)")
+    ap.add_argument("--sample-prior", default=None, metavar="PATH",
+                    help="Trained code prior for the two-stage /sample row")
+    ap.add_argument("--sample-ns", type=int, nargs="+", default=[1, 8, 64])
     args = ap.parse_args()
 
     if args.cpu:
@@ -224,6 +250,24 @@ def main():
         httpd.shutdown()
     service.close()
 
+    sample_results = []
+    if args.sample_checkpoint:
+        from midi_vae_tpu.serving.server import InferenceService
+
+        svc = InferenceService(args.sample_checkpoint)
+        for n in args.sample_ns:
+            r = {"path": "ema-marginal", **run_sample_latency(svc, n)}
+            sample_results.append(r)
+            print(json.dumps(r), flush=True)
+        svc.close()
+        if args.sample_prior:
+            svc = InferenceService(args.sample_checkpoint, prior_path=args.sample_prior)
+            for n in args.sample_ns:
+                r = {"path": "two-stage prior", **run_sample_latency(svc, n)}
+                sample_results.append(r)
+                print(json.dumps(r), flush=True)
+            svc.close()
+
     out = {
         "backend": jax.devices()[0].platform,
         "arch": args.arch,
@@ -232,6 +276,7 @@ def main():
         "rows_per_request": args.rows,
         "levels": results,
         "http_levels": http_results,
+        "sample_levels": sample_results,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "serving_latency.json")
     with open(path, "w") as f:

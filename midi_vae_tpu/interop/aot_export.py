@@ -18,6 +18,12 @@ exactly (one code path contract, VERDICT round-2 #5):
 - ``decode``: z → image probabilities — the client draws z (and picks
   labels, for conditional checkpoints), so prior sampling composes from
   this without baking an RNG into the artifact.
+- ``sample`` (optional, ``--prior`` on VQ checkpoints): the complete
+  two-stage sampler — ancestral ``lax.scan`` code draws from a trained
+  code prior → ``decode_indices`` — as one program, so artifact-backed
+  VQ serving answers ``/sample``. Args ``(seed, temperature, y)``; the
+  label vector carries the symbolic batch size (zeros when the prior is
+  unconditional).
 
 The batch dimension is exported SYMBOLICALLY (``jax.export.symbolic_shape``),
 so one artifact serves every batch size; the loader's jit specializes
@@ -71,6 +77,39 @@ def _serving_programs(model, params, batch_stats):
     return {"reconstruct": reconstruct, "encode": encode, "decode": decode}, conditional
 
 
+def _sampler_program(model, params, batch_stats, prior, prior_params):
+    """The two-stage sampler as ONE exportable program (round-4 VERDICT
+    item 5: artifact-backed VQ serving must not refuse ``/sample``).
+
+    ``sample(seed i32[], temperature f32[], y i32[b]) → images [b,H,W,C]``:
+    ancestral ``lax.scan`` code draws → ``decode_indices``, the exact
+    computation the live ``--prior`` server runs (one code path). The
+    label vector doubles as the batch-size carrier — for an
+    UNCONDITIONAL prior its contents are ignored (pass zeros), it only
+    pins the symbolic ``b``. Seed enters as a runtime scalar and the key
+    is built inside (``jax.random.PRNGKey`` is traceable), preserving
+    the ``PRNGKey(seed)`` convention of the live server and generate CLI.
+    """
+    from midi_vae_tpu.models.prior import sample_codes_autoregressive
+    from midi_vae_tpu.models.vq import VQVAE
+
+    conditional_prior = int(getattr(prior, "num_classes", 0) or 0) > 0
+    grid = model.last_conv_size
+
+    def sample(seed, temperature, y):
+        n = y.shape[0]
+        idx = sample_codes_autoregressive(
+            prior, prior_params, jax.random.PRNGKey(seed), n, grid,
+            temperature=temperature, y=y if conditional_prior else None,
+        )
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, idx,
+            method=VQVAE.decode_indices,
+        )
+
+    return sample
+
+
 def export_serving_programs(
     model,
     params,
@@ -80,13 +119,18 @@ def export_serving_programs(
     image_size: int,
     channels: int,
     platforms: Optional[Sequence[str]] = None,
+    prior=None,
+    prior_params=None,
+    prior_config: Optional[dict] = None,
 ) -> dict:
     """Export reconstruct/encode/decode to ``out_dir``; returns the manifest.
 
     ``platforms=None`` exports for the current default backend; pass e.g.
     ``("tpu", "cpu")`` for a multi-platform artifact (cross-platform
     lowering — no TPU needed at export time, and the artifact runs on
-    either backend at load time).
+    either backend at load time). Passing a trained code prior
+    (``prior``/``prior_params``/``prior_config``, VQ checkpoints only)
+    additionally exports the two-stage ``sample`` program.
     """
     programs, conditional = _serving_programs(model, params, batch_stats)
     # the wire dim of encode/decode: VQ models carry the flattened [s·s·D]
@@ -106,6 +150,23 @@ def export_serving_programs(
         "decode": (z_spec,),
     }
 
+    prior_meta = None
+    if prior is not None:
+        if getattr(model, "latent_kind", "gaussian") != "vq":
+            raise ValueError("prior export applies to VQ checkpoints only")
+        programs["sample"] = _sampler_program(model, params, batch_stats, prior, prior_params)
+        seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
+        temp_spec = jax.ShapeDtypeStruct((), jnp.float32)
+        # the sampler's arg list is FIXED (seed, temperature, y) regardless
+        # of model/prior conditionality — y is the batch carrier
+        arg_specs["sample"] = (seed_spec, temp_spec, y_spec)
+        pcfg = prior_config or {}
+        prior_meta = {
+            "arch": str(pcfg.get("arch") or "pixelcnn"),
+            "num_classes": int(pcfg.get("num_classes") or 0),
+            "test_nll": pcfg.get("test_nll"),
+        }
+
     os.makedirs(out_dir, exist_ok=True)
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
     manifest = {
@@ -118,11 +179,15 @@ def export_serving_programs(
         "latent_dim": latent_dim,
         "latent_kind": getattr(model, "latent_kind", "gaussian"),
         "model": type(model).__name__,
+        "prior": prior_meta,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "calling_convention_version": 0,  # max over programs, set below
     }
     for name, fn in programs.items():
-        specs = arg_specs[name] + ((y_spec,) if conditional else ())
+        if name in ("reconstruct", "encode", "decode"):
+            specs = arg_specs[name] + ((y_spec,) if conditional else ())
+        else:  # sample: fixed arg list (see above)
+            specs = arg_specs[name]
         exported = jax_export.export(jax.jit(fn), **kwargs)(*specs)
         manifest["calling_convention_version"] = max(
             manifest["calling_convention_version"],
@@ -208,6 +273,10 @@ def main(argv=None) -> None:
     parser.add_argument("--platforms", nargs="+", default=None,
                         help="Target platforms (e.g. tpu cpu). Default: the current backend. "
                              "Multi-platform artifacts run on any listed backend.")
+    parser.add_argument("--prior", metavar="PATH", default=None,
+                        help="Trained code prior (cli/train_prior.py) to bake into the artifact "
+                             "(VQ checkpoints only): exports the two-stage 'sample' program so "
+                             "artifact-backed serving answers /sample")
     parser.add_argument("--no-ema", action="store_true",
                         help="Export the raw (non-averaged) parameters")
     parser.add_argument("--cpu", action="store_true", help="Force the CPU backend")
@@ -220,9 +289,21 @@ def main(argv=None) -> None:
     model, params, batch_stats, cfg, image_size, channels, _ = _load_model_and_state(
         args.checkpoint, use_ema=not args.no_ema
     )
+    prior = prior_params = prior_config = None
+    if args.prior is not None:
+        from midi_vae_tpu.cli.train_prior import load_prior
+
+        prior, prior_params, prior_config = load_prior(args.prior)
+        if (int(prior_config["num_codes"]) != int(getattr(model, "codebook_size", -1))
+                or int(prior_config["grid"]) != getattr(model, "last_conv_size", -1)):
+            raise SystemExit(
+                f"prior geometry (K={prior_config['num_codes']}, grid={prior_config['grid']}) "
+                "does not match the checkpoint"
+            )
     manifest = export_serving_programs(
         model, params, batch_stats, args.out,
         image_size=image_size, channels=channels, platforms=args.platforms,
+        prior=prior, prior_params=prior_params, prior_config=prior_config,
     )
     total = sum(p["bytes"] for p in manifest["programs"].values())
     print(

@@ -289,8 +289,10 @@ def sample_codes_autoregressive(
     positions irrelevant to position t's logits). grid² is ≤ 64 for all
     supported image sizes, so the sequential chain is short.
     Conditional priors take int labels ``y`` [num_samples].
+    ``temperature`` may be a python float or a traced scalar (the AOT
+    sampler export passes it as a runtime argument).
     """
-    t_inv = jnp.float32(1.0 / max(temperature, 1e-6))
+    t_inv = 1.0 / jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
 
     def body(carry, t):
         idx, k = carry

@@ -17,6 +17,14 @@ Reconstruct/encode go through the micro-batcher (concurrent requests
 coalesce into one device program); sampling runs direct (already
 batched by ``n``).
 
+**Two-stage sampling** (``--prior``): with a trained code prior
+(``cli/train_prior.py``) attached to a VQ checkpoint, ``POST /sample``
+draws code grids via the ``lax.scan`` ancestral sampler and decodes
+them — the same math and key convention as ``generate --prior``. The
+JSON body gains optional ``"temperature"`` (prior-backed sampling
+only); a class-conditional prior makes ``"label"`` required. AOT
+artifacts bake the sampler at export time (``aot_export --prior``).
+
 **Conditional checkpoints** (``--conditional`` runs) require labels on
 every endpoint: JSON ``"label"`` (scalar) / ``"labels"`` (one per image),
 or ``?label=K`` / ``?labels=0,3,1`` on the query string for the binary
@@ -65,7 +73,8 @@ class InferenceService:
     and the benchmark execute one code path.
     """
 
-    def __init__(self, checkpoint_path: str, *, max_batch: int = 64, max_wait_ms: float = 2.0):
+    def __init__(self, checkpoint_path: str, *, max_batch: int = 64, max_wait_ms: float = 2.0,
+                 prior_path: Optional[str] = None):
         from midi_vae_tpu.cli.generate import _load_model_and_state
 
         (model, params, batch_stats, config,
@@ -74,6 +83,8 @@ class InferenceService:
             model, params, batch_stats, image_size, channels,
             config=config, dataset=dataset, max_batch=max_batch, max_wait_ms=max_wait_ms,
         )
+        if prior_path is not None:
+            self.attach_prior(prior_path)
 
     @classmethod
     def from_parts(
@@ -106,6 +117,9 @@ class InferenceService:
         m = bundle.manifest
         self = cls.__new__(cls)
         self.model, self.params, self.batch_stats = None, None, None
+        self._prior = None
+        # artifacts exported with --prior carry the two-stage sampler program
+        self.prior_info = m.get("prior")
         self.model_name = f"{m.get('model', 'unknown')} (AOT artifact)"
         self.config, self.dataset = {}, None
         self.image_size, self.channels = int(m["image_size"]), int(m["channels"])
@@ -136,6 +150,8 @@ class InferenceService:
         self.model, self.params, self.batch_stats = model, params, batch_stats
         self.model_name = type(model).__name__
         self._bundle = None  # set by from_artifact (AOT-exported serving)
+        self._prior = None  # set by attach_prior (two-stage VQ sampling)
+        self.prior_info = None
         self.config, self.dataset = config or {}, dataset
         self.image_size, self.channels = image_size, channels
         # Conditional checkpoints (--conditional runs): every endpoint takes
@@ -188,15 +204,52 @@ class InferenceService:
 
     MAX_SAMPLES = 1024  # same bound rationale as MAX_INTERPOLATE_STEPS
 
-    def validate_labels(self, labels, n: int) -> "np.ndarray | None":
-        """Normalize a request's label field: scalar broadcasts to [n]."""
-        if not self.conditional:
+    def attach_prior(self, prior_path: str) -> None:
+        """Load a trained code prior (``cli/train_prior.py``) next to a VQ
+        checkpoint: ``/sample`` then draws codes via the ``lax.scan``
+        ancestral sampler instead of the i.i.d. EMA marginal — the
+        strongest generative path in the framework, served (round-4
+        VERDICT item 5). Geometry is validated at ATTACH time so a
+        mismatched prior fails at startup, not on the first request.
+        """
+        from midi_vae_tpu.cli.train_prior import load_prior
+
+        if self.latent_kind != "vq":
+            raise ValueError(
+                f"--prior needs a VQ-VAE checkpoint; this is a {self.model_name} "
+                "(Gaussian latent — its prior is already N(0, I))"
+            )
+        prior, pparams, pcfg = load_prior(prior_path)
+        if (int(pcfg["num_codes"]) != int(self.model.codebook_size)
+                or int(pcfg["grid"]) != self.model.last_conv_size):
+            raise ValueError(
+                f"prior geometry (K={pcfg['num_codes']}, grid={pcfg['grid']}) does not "
+                f"match the checkpoint (K={self.model.codebook_size}, "
+                f"grid={self.model.last_conv_size})"
+            )
+        self._prior = (prior, pparams)
+        self.prior_info = {
+            "arch": str(pcfg.get("arch") or "pixelcnn"),
+            "num_classes": int(pcfg.get("num_classes") or 0),
+            "test_nll": pcfg.get("test_nll"),
+            "path": prior_path,
+        }
+
+    def validate_labels(self, labels, n: int, num_classes: Optional[int] = None):
+        """Normalize a request's label field: scalar broadcasts to [n].
+
+        ``num_classes`` overrides the model's class count — ``/sample``
+        with a class-conditional PRIOR conditions there even though the
+        VQ model itself is unconditional.
+        """
+        classes = self.num_classes if num_classes is None else num_classes
+        if classes <= 0:
             if labels is not None:
                 raise ValueError("this checkpoint is unconditional; drop the label field")
             return None
         if labels is None:
             raise ValueError(
-                f"conditional checkpoint: a label (0..{self.num_classes - 1}) is required "
+                f"conditional checkpoint: a label (0..{classes - 1}) is required "
                 "('label' scalar or 'labels' list / ?label= query)"
             )
         arr = np.asarray(labels, np.int32)
@@ -204,39 +257,77 @@ class InferenceService:
             arr = np.full((n,), int(arr), np.int32)
         if arr.shape != (n,):
             raise ValueError(f"labels must be a scalar or [n={n}] list, got shape {arr.shape}")
-        if (arr < 0).any() or (arr >= self.num_classes).any():
-            raise ValueError(f"labels must be in [0, {self.num_classes - 1}]")
+        if (arr < 0).any() or (arr >= classes).any():
+            raise ValueError(f"labels must be in [0, {classes - 1}]")
         return arr
 
-    def sample(self, n: int, seed: int = 0, label=None) -> np.ndarray:
+    def sample(self, n: int, seed: int = 0, label=None, temperature: float = 1.0) -> np.ndarray:
         from midi_vae_tpu.evaluation.inference import sample_prior
         from midi_vae_tpu.serving.batcher import _bucket
 
         if not (1 <= n <= self.MAX_SAMPLES):
             raise ValueError(f"n must be in [1, {self.MAX_SAMPLES}], got {n}")
-        y = self.validate_labels(label, n)
-        # sample_prior jits with n static — pad n up to a bucket size so
+        if not (0.0 < temperature <= 100.0):
+            raise ValueError(f"temperature must be in (0, 100], got {temperature}")
+        two_stage = self._prior is not None or (
+            self._bundle is not None and hasattr(self._bundle, "sample")
+        )
+        if temperature != 1.0 and not two_stage:
+            raise ValueError(
+                "temperature applies to prior-backed (two-stage) sampling; this "
+                "deployment has no code prior attached"
+            )
+        prior_classes = int((self.prior_info or {}).get("num_classes") or 0)
+        y = self.validate_labels(label, n, num_classes=prior_classes if two_stage else None)
+        # sampling jits with n static — pad n up to a bucket size so
         # clients cycling through distinct n values hit a bounded compile
         # cache (same fix as the batcher's padded buckets) instead of one
         # full decoder compile per distinct n
         b = _bucket(n)
         if y is not None and b > n:
             y = np.concatenate([y, np.zeros(b - n, np.int32)])
-        if self._bundle is not None:
-            if self.latent_kind == "vq":
-                # the VQ prior is the EMA code-usage marginal, which lives in
-                # the checkpoint's quantizer stats — the artifact exports only
-                # reconstruct/encode/decode (a Gaussian draw pushed through the
-                # exported decode would sample a different, quantized-Gaussian
-                # distribution and silently misrepresent the model's prior)
-                raise ValueError(
-                    "/sample is unavailable for VQ-VAE artifacts; serve the "
-                    "checkpoint (--checkpoint) for prior sampling"
+        if self._prior is not None:
+            # two-stage sampling: ancestral code draws → decode_indices —
+            # identical math and key convention to `generate --prior`
+            from midi_vae_tpu.models.prior import sample_codes_autoregressive
+            from midi_vae_tpu.models.vq import VQVAE
+
+            prior, pparams = self._prior
+            idx = sample_codes_autoregressive(
+                prior, pparams, jax.random.PRNGKey(seed), b, self.model.last_conv_size,
+                temperature=temperature, y=jnp.asarray(y) if y is not None else None,
+            )
+            out = self.model.apply(
+                {"params": self.params, "batch_stats": self.batch_stats}, idx,
+                method=VQVAE.decode_indices,
+            )
+        elif self._bundle is not None:
+            if hasattr(self._bundle, "sample"):
+                # artifact exported with --prior: the whole two-stage sampler
+                # (ancestral scan + decode) is one StableHLO program; the
+                # label vector doubles as the batch-size carrier (zeros when
+                # the prior is unconditional)
+                slots = y if y is not None else np.zeros(b, np.int32)
+                out = self._bundle.sample(
+                    np.int32(seed), np.float32(temperature), slots
                 )
-            # AOT path: the artifact exports decode; the prior draw happens
-            # here (same key convention as sample_prior)
-            z = jax.random.normal(jax.random.PRNGKey(seed), (b, self.latent_dim), jnp.float32)
-            out = self._bundle.decode(*((z, y) if y is not None else (z,)))
+            elif self.latent_kind == "vq":
+                # the VQ prior is the EMA code-usage marginal, which lives in
+                # the checkpoint's quantizer stats — a plain artifact exports
+                # only reconstruct/encode/decode (a Gaussian draw pushed
+                # through the exported decode would sample a different,
+                # quantized-Gaussian distribution and silently misrepresent
+                # the model's prior)
+                raise ValueError(
+                    "/sample is unavailable for this VQ-VAE artifact; re-export "
+                    "with --prior to bake in the two-stage sampler, or serve "
+                    "the checkpoint (--checkpoint [--prior])"
+                )
+            else:
+                # AOT path: the artifact exports decode; the prior draw happens
+                # here (same key convention as sample_prior)
+                z = jax.random.normal(jax.random.PRNGKey(seed), (b, self.latent_dim), jnp.float32)
+                out = self._bundle.decode(*((z, y) if y is not None else (z,)))
         else:
             out = sample_prior(
                 self.model, self.params, self.batch_stats, jax.random.PRNGKey(seed), b, y=y
@@ -322,6 +413,8 @@ def make_handler(service: InferenceService):
                     "latent_dim": service.latent_dim,
                     "conditional": service.conditional,
                     "num_classes": service.num_classes,
+                    # two-stage deployments (--prior / prior-baked artifacts)
+                    "prior": service.prior_info,
                     # both batchers' counters: an encode-dominated deployment
                     # must not look idle on the dashboard
                     "batches_dispatched": service.reconstruct.batches_dispatched,
@@ -370,7 +463,8 @@ def make_handler(service: InferenceService):
                     if binary_req:
                         raise ValueError("/sample takes JSON parameters ({'n', 'seed'}), not a tensor body")
                     n = int(payload.get("n", 1))
-                    out = service.sample(n, int(payload.get("seed", 0)), label=req_labels())
+                    out = service.sample(n, int(payload.get("seed", 0)), label=req_labels(),
+                                         temperature=float(payload.get("temperature", 1.0)))
                     if wants_npy:
                         self._npy(200, out)
                     else:
@@ -440,18 +534,27 @@ def serve(
     host: str = "127.0.0.1",
     *,
     artifact: Optional[str] = None,
+    prior: Optional[str] = None,
 ) -> ThreadingHTTPServer:
     """Start the server (returns it; call ``.shutdown()`` to stop).
 
     Pass ``checkpoint`` (a training checkpoint; needs the model code) or
     ``artifact`` (an AOT-exported directory, interop/aot_export.py).
+    ``prior`` attaches a trained code prior to a VQ checkpoint — ``/sample``
+    then serves the two-stage ancestral sampler (artifacts bake the prior
+    in at export time instead: ``aot_export --prior``).
     """
     if (checkpoint is None) == (artifact is None):
         raise ValueError("pass exactly one of checkpoint= or artifact=")
     if artifact is not None:
+        if prior is not None:
+            raise ValueError(
+                "artifacts carry their prior from export time (aot_export --prior); "
+                "--prior applies to --checkpoint serving"
+            )
         service = InferenceService.from_artifact(artifact)
     else:
-        service = InferenceService(checkpoint)
+        service = InferenceService(checkpoint, prior_path=prior)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     httpd.service = service  # type: ignore[attr-defined]
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -467,6 +570,10 @@ def cli(argv: Optional[list] = None):
     source.add_argument("--artifact", metavar="DIR",
                         help="AOT-exported artifact directory (interop/aot_export.py): serve "
                              "the StableHLO programs — no model code or checkpoint needed")
+    parser.add_argument("--prior", metavar="PATH", default=None,
+                        help="Trained code prior (cli/train_prior.py) for a VQ checkpoint: "
+                             "/sample serves the two-stage ancestral sampler instead of the "
+                             "EMA code marginal. Artifacts bake the prior at export time.")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--compilation-cache", type=str, default=None, metavar="DIR",
@@ -493,7 +600,8 @@ def cli(argv: Optional[list] = None):
         from midi_vae_tpu.core.compile_cache import enable_compilation_cache
 
         print(f"persistent compilation cache: {enable_compilation_cache(args.compilation_cache)}")
-    httpd = serve(args.checkpoint, args.port, args.host, artifact=args.artifact)
+    httpd = serve(args.checkpoint, args.port, args.host, artifact=args.artifact,
+                  prior=args.prior)
     try:
         threading.Event().wait()
     except KeyboardInterrupt:

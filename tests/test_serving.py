@@ -566,3 +566,166 @@ class TestBinaryWireFormat:
         assert exc_info.value.code == 400
         err = json.loads(exc_info.value.read())
         assert "at most" in err["error"]
+
+
+# -- two-stage VQ sampling through the server (round 4) ---------------------
+# /sample with an attached code prior (--prior) must serve the SAME
+# computation as `generate --prior` (ancestral lax.scan draws →
+# decode_indices), and artifacts exported with --prior must answer
+# /sample instead of refusing.
+
+
+@pytest.fixture(scope="module")
+def two_stage(tmp_path_factory):
+    """Tiny VQ-VAE + trained code prior + a server with --prior attached."""
+    import os
+
+    from midi_vae_tpu.cli.train_prior import cli as prior_cli
+    from midi_vae_tpu.serving.server import serve
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    tmp_path = tmp_path_factory.mktemp("two_stage")
+    config = TrainConfig(
+        dataset_name="vae-lines-synthetic",
+        transform_type="noaug",
+        image_size=32,
+        arch="VQVAE",
+        n_features=8,
+        hidden_dims=(8, 16, 32, 32),
+        codebook_size=16,
+        kld_weight=0.25,
+        epochs=1,
+        batch_size_per_device=32,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "m"),
+        run_name="ts", run_id="t1",
+        log_images=False,
+    )
+    run(config)
+    ckpt = config.checkpoint_path
+    prior_path = str(tmp_path / "prior.msgpack")
+    prior_cli(["--checkpoint", ckpt, "--epochs", "2", "--batch-size", "64",
+               "--features", "16", "--layers", "2", "--kernel-size", "3",
+               "--out", prior_path, "--no-eval"])
+    httpd = serve(ckpt, port=0, prior=prior_path)
+    yield {
+        "url": f"http://127.0.0.1:{httpd.server_address[1]}",
+        "ckpt": ckpt,
+        "prior": prior_path,
+        "tmp": str(tmp_path),
+    }
+    httpd.shutdown()
+    httpd.service.close()
+
+
+class TestTwoStageSampling:
+    def test_healthz_reports_prior(self, two_stage):
+        with urllib.request.urlopen(f"{two_stage['url']}/healthz", timeout=30) as resp:
+            h = json.loads(resp.read())
+        assert h["prior"]["arch"] == "pixelcnn"
+        assert h["prior"]["num_classes"] == 0
+
+    def test_sample_matches_generate_prior_path(self, two_stage):
+        """HTTP /sample == the generate-CLI two-stage computation: same key
+        convention (PRNGKey(seed)), same ancestral sampler, same decode."""
+        import jax
+
+        from midi_vae_tpu.cli.generate import _load_model_and_state
+        from midi_vae_tpu.cli.train_prior import load_prior
+        from midi_vae_tpu.models.prior import sample_codes_autoregressive
+        from midi_vae_tpu.models.vq import VQVAE
+
+        out = _post(f"{two_stage['url']}/sample", {"n": 8, "seed": 3})
+        served = np.asarray(out["samples"], np.float32)
+
+        model, params, batch_stats, *_ = _load_model_and_state(two_stage["ckpt"])
+        prior, pparams, _ = load_prior(two_stage["prior"])
+        idx = sample_codes_autoregressive(
+            prior, pparams, jax.random.PRNGKey(3), 8, model.last_conv_size
+        )
+        direct = np.asarray(model.apply(
+            {"params": params, "batch_stats": batch_stats}, idx, method=VQVAE.decode_indices
+        ))
+        np.testing.assert_allclose(served, direct, atol=1e-6)
+
+    def test_cold_temperature_changes_draws(self, two_stage):
+        """temperature → 0 turns ancestral sampling greedy — the draws (and
+        decodes) must move. (Heating can't be asserted on a near-uniform
+        toy prior: the Gumbel gaps dominate the scaled logits.)"""
+        base = np.asarray(_post(f"{two_stage['url']}/sample", {"n": 8, "seed": 3})["samples"])
+        cold = np.asarray(_post(
+            f"{two_stage['url']}/sample", {"n": 8, "seed": 3, "temperature": 0.01}
+        )["samples"])
+        assert np.abs(cold - base).max() > 1e-4
+
+    def test_temperature_rejected_without_prior(self, server):
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(f"{server}/sample", {"n": 2, "seed": 0, "temperature": 0.5})
+        assert exc_info.value.code == 400
+        assert "no code prior" in json.loads(exc_info.value.read())["error"]
+
+    def test_temperature_zero_rejected(self, two_stage):
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(f"{two_stage['url']}/sample", {"n": 2, "temperature": 0.0})
+        assert exc_info.value.code == 400
+
+    def test_attach_prior_guards(self, two_stage, tmp_path):
+        """Gaussian checkpoints and geometry-mismatched priors fail at
+        ATTACH time (startup), not on the first request."""
+        from midi_vae_tpu.serving.server import InferenceService, serve
+        from midi_vae_tpu.train.config import TrainConfig
+        from midi_vae_tpu.train.loop import run
+
+        config = TrainConfig(
+            dataset_name="vae-lines-synthetic", transform_type="noaug", image_size=32,
+            arch="MLPVAE", n_features=4, hidden_dims=(32,), epochs=1,
+            batch_size_per_device=16, num_devices=1, seed=0,
+            models_dir=str(tmp_path / "g"), run_name="g", run_id="g1", log_images=False,
+        )
+        run(config)
+        with pytest.raises(ValueError, match="VQ-VAE checkpoint"):
+            InferenceService(config.checkpoint_path, prior_path=two_stage["prior"])
+        with pytest.raises(ValueError, match="exactly one of|artifacts carry"):
+            serve(artifact="whatever", prior=two_stage["prior"])
+
+
+class TestTwoStageArtifact:
+    def test_aot_sampler_parity_and_plain_refusal(self, two_stage, tmp_path):
+        """aot_export --prior bakes the two-stage sampler into the artifact:
+        artifact-served /sample equals checkpoint-served /sample; a plain
+        VQ artifact still refuses with guidance."""
+        from midi_vae_tpu.interop.aot_export import main as export_main
+        from midi_vae_tpu.serving.server import serve
+
+        live = np.asarray(
+            _post(f"{two_stage['url']}/sample", {"n": 8, "seed": 5})["samples"], np.float32
+        )
+
+        art = str(tmp_path / "art_prior")
+        export_main(["--checkpoint", two_stage["ckpt"], "--out", art,
+                     "--prior", two_stage["prior"]])
+        httpd = serve(artifact=art, port=0)
+        try:
+            url = f"http://127.0.0.1:{httpd.server_address[1]}"
+            with urllib.request.urlopen(f"{url}/healthz", timeout=30) as resp:
+                assert json.loads(resp.read())["prior"]["arch"] == "pixelcnn"
+            aot = np.asarray(_post(f"{url}/sample", {"n": 8, "seed": 5})["samples"], np.float32)
+            np.testing.assert_allclose(aot, live, atol=1e-5)
+        finally:
+            httpd.shutdown()
+            httpd.service.close()
+
+        plain = str(tmp_path / "art_plain")
+        export_main(["--checkpoint", two_stage["ckpt"], "--out", plain])
+        httpd = serve(artifact=plain, port=0)
+        try:
+            url = f"http://127.0.0.1:{httpd.server_address[1]}"
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                _post(f"{url}/sample", {"n": 2})
+            assert exc_info.value.code == 400
+            assert "--prior" in json.loads(exc_info.value.read())["error"]
+        finally:
+            httpd.shutdown()
+            httpd.service.close()
