@@ -145,6 +145,14 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force the JAX CPU backend")
     ap.add_argument("--tol-mean", type=float, default=0.02,
                     help="max allowed mean |Δloss| over the last quarter of training (nats)")
+    ap.add_argument("--at-scale", action="store_true",
+                    help="Convergence-length mode (round-4 capstone): judge LEVEL parity — "
+                         "|mean(torch tail) − mean(jax tail)| — instead of pointwise curve "
+                         "overlap. Over thousands of Adam steps the float32 reduction-order "
+                         "noise compounds chaotically, so two bit-identical-at-step-0 runs "
+                         "legitimately decorrelate pointwise while converging to the same "
+                         "ELBO; the level is the claim the north star makes. Writes "
+                         "PARITY_SCALE.{json,md} so the short-run artifact stays intact.")
     args = ap.parse_args()
 
     x = make_data(args.n_images, args.batch)
@@ -159,6 +167,8 @@ def main():
 
     d = np.abs(np.asarray(torch_losses) - np.asarray(jax_losses))
     tail = args.steps // 4
+    torch_level = float(np.mean(torch_losses[-tail:]))
+    jax_level = float(np.mean(jax_losses[-tail:]))
     stats = {
         "steps": args.steps,
         "batch": args.batch,
@@ -169,20 +179,36 @@ def main():
         "max_abs_diff": float(d.max()),
         "mean_abs_diff": float(d.mean()),
         "mean_abs_diff_last_quarter": float(d[-tail:].mean()),
+        "torch_tail_level": torch_level,
+        "jax_tail_level": jax_level,
+        "tail_level_diff": abs(torch_level - jax_level),
         "torch_final_loss": torch_losses[-1],
         "jax_final_loss": jax_losses[-1],
         "torch_seconds": t_torch,
         "jax_seconds": t_jax,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "PARITY.json"), "w") as f:
+    json_name = "PARITY_SCALE.json" if args.at_scale else "PARITY.json"
+    with open(os.path.join(here, json_name), "w") as f:
         json.dump(stats, f)
 
-    ok = stats["mean_abs_diff_last_quarter"] <= args.tol_mean
+    if args.at_scale:
+        ok = stats["tail_level_diff"] <= args.tol_mean
+    else:
+        ok = stats["mean_abs_diff_last_quarter"] <= args.tol_mean
     marks = ""
     for i in range(0, args.steps, max(1, args.steps // 20)):
         marks += f"| {i:5d} | {torch_losses[i]:.5f} | {jax_losses[i]:.5f} | {d[i]:.2e} |\n"
-    with open(os.path.join(here, "PARITY.md"), "w") as f:
+    md_name = "PARITY_SCALE.md" if args.at_scale else "PARITY.md"
+    scale_note = (
+        f"\n**At-scale (convergence-level) mode**: the verdict compares the "
+        f"last-quarter MEAN loss levels — torch {torch_level:.5f} vs jax "
+        f"{jax_level:.5f} (|Δ| = {stats['tail_level_diff']:.2e} nats, tolerance "
+        f"{args.tol_mean}) — because over thousands of Adam steps the float32 "
+        f"reduction-order noise decorrelates the curves pointwise while both "
+        f"converge to the same ELBO.\n" if args.at_scale else ""
+    )
+    with open(os.path.join(here, md_name), "w") as f:
         f.write(f"""# ELBO parity: torch reference vs midi_vae_tpu (matched everything)
 
 Same initial weights (torch xavier init imported — bit-level forward
@@ -200,7 +226,8 @@ Regenerate: `python benchmarks/elbo_parity.py` (writes PARITY.json + this file).
 - final losses: torch {torch_losses[-1]:.5f}, jax {jax_losses[-1]:.5f}
 - mean |Δ| over all steps: {stats['mean_abs_diff']:.2e} nats
 - mean |Δ| over the last quarter: {stats['mean_abs_diff_last_quarter']:.2e} nats (tolerance {args.tol_mean})
-- verdict: **{"PASS" if ok else "FAIL"}**
+- last-quarter LEVELS: torch {torch_level:.5f}, jax {jax_level:.5f} (|Δ| {stats['tail_level_diff']:.2e})
+{scale_note}- verdict: **{"PASS" if ok else "FAIL"}**
 """)
     print(json.dumps({k: v for k, v in stats.items() if not isinstance(v, list)}, indent=2))
     print("PARITY:", "PASS" if ok else "FAIL")

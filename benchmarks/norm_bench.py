@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--norms", nargs="+", default=["batch", "group", "none"],
+                    help="Norm variants to measure (batch-subN = subsampled-stats BN, "
+                         "the round-4 MFU lever)")
     args = ap.parse_args()
 
     import bench
@@ -42,7 +45,7 @@ def main():
         "arch": "FoldedVAE fold=8 (48,64,128,256) bf16 — the flagship (fold8m)",
         "configs": [],
     }
-    for norm in ("batch", "group", "none"):
+    for norm in args.norms:
         ctx = bench.setup(
             batch=args.batch, bf16=True, fused=False, stem="conv", head="deconv",
             arch="FoldedVAE", fold=8, hidden_dims=(48, 64, 128, 256), norm=norm,
@@ -62,7 +65,8 @@ def main():
         results["configs"].append(entry)
         print(json.dumps(entry), flush=True)
 
-    base = results["configs"][0]["samples_per_sec_per_chip"]
+    base = next((c["samples_per_sec_per_chip"] for c in results["configs"]
+                 if c["norm"] == "batch"), results["configs"][0]["samples_per_sec_per_chip"])
     for c in results["configs"]:
         c["vs_batchnorm"] = round(c["samples_per_sec_per_chip"] / base, 3)
 

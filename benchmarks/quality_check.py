@@ -65,6 +65,11 @@ VARIANTS = {
     # objective): does most of the widened first stage's quality win come
     # at less of its throughput cost? (round-3 flagship-config probe)
     "fold8m": dict(arch="FoldedVAE", fold=8, hidden_dims=(48, 64, 128, 256)),
+    # round-4 MFU lever: BN statistics from a stride-4 batch subsample
+    # (models/vae.py SubsampledBatchNorm) on the flagship trunk — the
+    # quality gate for the norm_bench throughput row
+    "fold8m_bnsub4": dict(arch="FoldedVAE", fold=8, hidden_dims=(48, 64, 128, 256),
+                          norm="batch-sub4"),
     # fold=16 with the widened first stage: the s2d(16) stem emits 256
     # channels, so the narrow fold16's 32-ch first stage compresses 8x —
     # the same bottleneck the fold8 widening removed. Measured round 3:

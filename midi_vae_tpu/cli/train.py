@@ -23,6 +23,18 @@ import sys
 from midi_vae_tpu.train.config import TrainConfig, from_yaml
 
 
+def _norm_name(v: str) -> str:
+    """--norm validator: batch | batch-subN | group | none (argparse
+    ``choices`` can't express the parameterized batch-subN family)."""
+    if v in ("batch", "group", "none"):
+        return v
+    if v.startswith("batch-sub") and v[len("batch-sub"):].isdigit() and int(v[len("batch-sub"):]) >= 2:
+        return v
+    raise argparse.ArgumentTypeError(
+        f"invalid norm {v!r}: expected batch, batch-subN (N>=2, e.g. batch-sub4), group, or none"
+    )
+
+
 def get_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="midi-vae-tpu-train",
@@ -65,13 +77,15 @@ def get_parser() -> argparse.ArgumentParser:
                             "activation tensors that dominate step time; see RESULTS.md).")
     group.add_argument("--fold", type=int, default=4,
                        help="FoldedVAE input fold factor (power of two). Default: %(default)s")
-    group.add_argument("--norm", type=str, default="batch", choices=("batch", "group", "none"),
-                       help="Conv-block normalization: BatchNorm2d semantics (reference parity), "
-                            "GroupNorm (no running stats, no cross-replica coupling — the variant "
-                            "to try if BN's per-block psum shows up in a multi-host profile), or "
-                            "none (measured +12.6%% throughput but UNSAFE: saturates into the "
-                            "silence attractor — RESULTS.md 'Normalization cost'). "
-                            "Default: %(default)s")
+    group.add_argument("--norm", type=_norm_name, default="batch",
+                       help="Conv-block normalization: 'batch' (BatchNorm2d semantics, reference "
+                            "parity), 'batch-subN' (BN with training stats from a stride-N batch "
+                            "subsample — the round-4 MFU lever, e.g. batch-sub4), 'group' "
+                            "(GroupNorm: no running stats, no cross-replica coupling — the "
+                            "variant to try if BN's per-block psum shows up in a multi-host "
+                            "profile), or 'none' (measured +12.6%% throughput but UNSAFE: "
+                            "saturates into the silence attractor — RESULTS.md 'Normalization "
+                            "cost'). Default: %(default)s")
     group.add_argument("--remat", action="store_true",
                        help="Rematerialize conv-stack activations in the backward pass "
                             "(jax.checkpoint) — ~N× lower peak activation memory for ~1 extra "

@@ -112,6 +112,59 @@ def _gn_groups(channels: int, target: int = 32) -> int:
     return g
 
 
+class SubsampledBatchNorm(nn.Module):
+    """BatchNorm whose TRAINING statistics come from a strided batch
+    subsample (``x[::stride]``) while the normalization applies to the
+    full batch — a measured MFU lever (round 4).
+
+    Rationale: the BN statistics pass is a full re-read of every conv
+    output (HBM-bound; ``benchmarks/norm_bench.json`` prices all of
+    BatchNorm at 12.6% of flagship wall throughput). At flagship batch
+    2048, a stride-4 subsample still estimates each channel's mean/var
+    from ~10⁵ elements (SEM under 0.4% of σ) but reads a quarter of the
+    bytes. Eval-mode behavior (running averages, momentum 0.9, ε 1e-5)
+    is IDENTICAL to the ``"batch"`` path; under a mesh axis the
+    subsample statistics are ``pmean``-ed cross-replica exactly like
+    flax BN. Quality is gated in ``benchmarks/quality_check.py``
+    (``fold8m_bnsub4`` variant) like every architecture variant.
+    """
+
+    stride: int = 4
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    use_running_average: bool = False
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xs = x[::self.stride].astype(jnp.float32)
+            mean = xs.mean(axis=(0, 1, 2))
+            # biased variance over the subsample (flax BN convention)
+            var = (xs * xs).mean(axis=(0, 1, 2)) - mean * mean
+            if self.axis_name is not None:
+                # pooled subsample stats: E[x²] from the LOCAL moments first,
+                # then global mean — var_global = E[x²] − E[x]²
+                ex2 = jax.lax.pmean(var + mean * mean, self.axis_name)
+                mean = jax.lax.pmean(mean, self.axis_name)
+                var = ex2 - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 def _apply_norm(
     x: jax.Array, *, norm: str, dtype: Any, bn_axis_name: Optional[str], train: bool
 ) -> jax.Array:
@@ -125,8 +178,11 @@ def _apply_norm(
     norm (193.0k → 217.2k samples/sec/chip), while GroupNorm is
     slightly SLOWER than BatchNorm (189.8k) — its per-sample
     normalization fuses worse than BN's batch-wide stats on this
-    program. Called from the blocks' ``@nn.compact`` methods, so the
-    created submodule auto-names exactly as the previous inline
+    program. ``"batch-subN"`` (e.g. ``batch-sub4``) computes training
+    statistics from a stride-N batch subsample (see
+    :class:`SubsampledBatchNorm`) — the round-4 MFU swing at the BN
+    statistics pass. Called from the blocks' ``@nn.compact`` methods,
+    so the created submodule auto-names exactly as the previous inline
     ``nn.BatchNorm`` did — existing checkpoints load unchanged.
     """
     if norm == "batch":
@@ -137,11 +193,18 @@ def _apply_norm(
             axis_name=bn_axis_name if train else None,
             dtype=dtype,
         )(x)
+    if norm.startswith("batch-sub"):
+        return SubsampledBatchNorm(
+            stride=int(norm[len("batch-sub"):]),
+            use_running_average=not train,
+            axis_name=bn_axis_name if train else None,
+            dtype=dtype,
+        )(x)
     if norm == "group":
         return nn.GroupNorm(num_groups=_gn_groups(x.shape[-1]), epsilon=1e-5, dtype=dtype)(x)
     if norm == "none":
         return x
-    raise ValueError(f"unknown norm: {norm!r} (batch|group|none)")
+    raise ValueError(f"unknown norm: {norm!r} (batch|batch-subN|group|none)")
 
 
 class TorchConvTranspose(nn.Module):

@@ -385,3 +385,82 @@ def test_register_model_extension_hook():
         assert isinstance(m, MLPVAE)
     finally:
         MODEL_REGISTRY.pop("myvae", None)
+
+
+class TestSubsampledBatchNorm:
+    """Round-4 MFU lever (models/vae.py SubsampledBatchNorm): training
+    statistics from a strided batch subsample, full-batch normalization,
+    flax-BN-identical eval semantics."""
+
+    def _mods(self):
+        import flax.linen as nn
+
+        from midi_vae_tpu.models.vae import SubsampledBatchNorm
+
+        return nn, SubsampledBatchNorm
+
+    def test_stride_one_matches_flax_batchnorm(self):
+        """stride=1 IS BatchNorm: same output, same running stats."""
+        nn, SBN = self._mods()
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 4, 4, 3)) * 2.0 + 1.0
+        ours = SBN(stride=1, use_running_average=False)
+        ref = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+        vo = ours.init(jax.random.PRNGKey(1), x)
+        vr = ref.init(jax.random.PRNGKey(1), x)
+        yo, mo = ours.apply(vo, x, mutable=["batch_stats"])
+        yr, mr = ref.apply(vr, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(yo), np.asarray(yr), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(mo["batch_stats"]["mean"]), np.asarray(mr["batch_stats"]["mean"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(mo["batch_stats"]["var"]), np.asarray(mr["batch_stats"]["var"]), atol=1e-6
+        )
+
+    def test_subsample_estimates_full_stats(self):
+        """stride=4 statistics estimate the full-batch moments (large-batch
+        Gaussian: within a few percent), and the output is normalized."""
+        _, SBN = self._mods()
+        x = jax.random.normal(jax.random.PRNGKey(2), (512, 4, 4, 8)) * 3.0 - 2.0
+        sbn = SBN(stride=4, use_running_average=False)
+        v = sbn.init(jax.random.PRNGKey(1), x)
+        y, _ = sbn.apply(v, x, mutable=["batch_stats"])
+        y = np.asarray(y)
+        assert abs(float(y.mean())) < 0.05
+        assert abs(float(y.std()) - 1.0) < 0.05
+
+    def test_eval_mode_uses_running_stats(self):
+        _, SBN = self._mods()
+        x = jax.random.normal(jax.random.PRNGKey(3), (64, 2, 2, 4)) + 5.0
+        train = SBN(stride=4, use_running_average=False)
+        v = train.init(jax.random.PRNGKey(1), x)
+        # several training applications move the running stats toward the data
+        for _ in range(50):
+            _, m = train.apply(v, x, mutable=["batch_stats"])
+            v = {**v, "batch_stats": m["batch_stats"]}
+        ev = SBN(stride=4, use_running_average=True)
+        y = np.asarray(ev.apply(v, x))
+        assert abs(float(y.mean())) < 0.2  # running mean ≈ 5 subtracted out
+
+    def test_trains_through_cli_config(self, tmp_path):
+        """--norm batch-sub4 wires end-to-end through TrainConfig + run()."""
+        from midi_vae_tpu.cli.train import get_parser
+        from midi_vae_tpu.train.config import TrainConfig
+        from midi_vae_tpu.train.loop import run
+
+        args = get_parser().parse_args(["--norm", "batch-sub4"])
+        assert args.norm == "batch-sub4"
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit):
+            get_parser().parse_args(["--norm", "batch-sub1"])  # N>=2 enforced
+
+        config = TrainConfig(
+            dataset_name="vae-lines-synthetic", transform_type="noaug", image_size=32,
+            arch="VanillaVAE", n_features=4, hidden_dims=(8, 16, 32, 32),
+            norm="batch-sub4", epochs=1, batch_size_per_device=16, num_devices=1,
+            seed=0, models_dir=str(tmp_path / "m"), run_name="sbn", run_id="s1",
+            log_images=False,
+        )
+        results = run(config)
+        assert np.isfinite(float(results["final_test"]["cross-entropy"]))

@@ -645,3 +645,62 @@ def test_validate_labels_drops_out_of_range():
     # in-range labels pass through untouched (same objects)
     g2, l2 = validate_labels(grids, np.zeros(4, np.int32), 2, "held-out")
     assert g2 is grids
+
+
+def test_conditional_prior_steers_density_on_midi_corpus(tmp_path):
+    """Round-4 regression (mirrors the CVAE steering test): a conditional
+    CODE PRIOR over an unconditional VQ-VAE on the MIDI corpus steers
+    decoded note density in the requested direction — class control lives
+    in the prior (van den Oord 2017 §5.1), and it is semantically
+    load-bearing end-to-end (prior draws → decode_indices), not just
+    architecturally present. Pins the direction the measured table in
+    RESULTS.md (two-stage generation dossier) reports at full scale."""
+    import os
+
+    from midi_vae_tpu.cli.generate import _load_model_and_state
+    from midi_vae_tpu.cli.train_prior import cli as prior_cli, load_prior
+    from midi_vae_tpu.models.prior import sample_codes_autoregressive
+    from midi_vae_tpu.models.vq import VQVAE
+    from midi_vae_tpu.train.config import TrainConfig
+    from midi_vae_tpu.train.loop import run
+
+    config = TrainConfig(
+        dataset_name="midi-synthetic-dense",  # ~8.5% fill: collapse-safe
+        transform_type="midi",
+        image_size=64,  # grid 4x4: a 2x2 code grid is too coarse to carry density
+        arch="VQVAE",
+        n_features=8,
+        hidden_dims=(8, 16, 32, 32),
+        codebook_size=32,
+        kld_weight=0.25,
+        epochs=6,
+        batch_size_per_device=64,
+        num_devices=1,
+        seed=0,
+        models_dir=str(tmp_path / "m"),
+        log_images=False,
+        run_name="vqd",
+        run_id="d1",
+        bce_targets="raw",
+    )
+    run(config)
+    prior_path = str(tmp_path / "prior_cond.msgpack")
+    prior_cli(["--checkpoint", config.checkpoint_path, "--epochs", "25",
+               "--batch-size", "128", "--features", "32", "--layers", "3",
+               "--kernel-size", "3", "--conditional", "--out", prior_path, "--no-eval"])
+
+    model, params, bs, *_ = _load_model_and_state(config.checkpoint_path)
+    prior, pparams, pcfg = load_prior(prior_path)
+    k = int(pcfg["num_classes"])
+    assert k == 4  # the factory's density buckets
+    key = jax.random.PRNGKey(0)  # same draws per class: only the label moves
+    mean_prob = []
+    for c in (0, k - 1):  # sparsest vs densest bucket
+        idx = sample_codes_autoregressive(
+            prior, pparams, key, 64, model.last_conv_size,
+            y=jnp.full((64,), c, jnp.int32),
+        )
+        out = model.apply({"params": params, "batch_stats": bs}, idx,
+                          method=VQVAE.decode_indices)
+        mean_prob.append(float(np.asarray(out).mean()))
+    assert mean_prob[1] > 1.2 * mean_prob[0], mean_prob
