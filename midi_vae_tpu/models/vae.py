@@ -161,8 +161,12 @@ class SubsampledBatchNorm(nn.Module):
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return (y * scale + bias).astype(self.dtype)
+        # apply as ONE in-dtype FMA: fold {mean, var, scale, bias} into
+        # per-channel (a, b) in f32 first — upcasting the whole activation
+        # to f32 would double the apply pass's HBM traffic
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        return x.astype(self.dtype) * a.astype(self.dtype) + b.astype(self.dtype)
 
 
 def _apply_norm(
