@@ -264,6 +264,8 @@ def main():
                     help="Binarize generated rolls by per-cell Bernoulli sampling instead of "
                          "the MIDI-export threshold")
     ap.add_argument("--no-splice", action="store_true", help="Skip rewriting RESULTS.md")
+    ap.add_argument("--json-out", default=None,
+                    help="Output JSON path (default: benchmarks/generation_eval.json)")
     args = ap.parse_args()
 
     from midi_vae_tpu.cli.generate import _load_model_and_state
@@ -360,7 +362,7 @@ def main():
         "rows": rows,
         "steering": steering,
     }
-    path = os.path.join(HERE, "generation_eval.json")
+    path = args.json_out or os.path.join(HERE, "generation_eval.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

@@ -96,6 +96,12 @@ VARIANTS = {
     # not a KL weight — the paper trains it constant at 0.25)
     "vq": dict(arch="VQVAE", loss_type="vq", n_features=16, codebook_size=512,
                kld_weight=0.25, kl_schedule="constant"),
+    # round-4 follow-up to the generation dossier's duration-fragmentation
+    # finding: a 16x16 code grid (3 downsamples instead of 4) gives the
+    # prior 4x more positions along time — does coarser compression cause
+    # the short-note artifact?
+    "vq16": dict(arch="VQVAE", loss_type="vq", n_features=16, codebook_size=512,
+                 kld_weight=0.25, kl_schedule="constant", hidden_dims=(32, 64, 128)),
     # discrete bottleneck on the folded flagship trunk (models/vq.py
     # FoldedVQVAE): same quantizer grid, flagship compute layout
     "vq_fold8": dict(arch="FoldedVQVAE", loss_type="vq", fold=8,
