@@ -65,7 +65,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 # ----------------------------------------------------------- statistics
+# The histogram/JS machinery was promoted into the package in round 4
+# (midi/stats.py) so the export-threshold calibrator (midi/calibrate.py)
+# and this dossier score corpora with one implementation.
 
+from midi_vae_tpu.midi.stats import roll_statistics  # noqa: E402
+from midi_vae_tpu.midi.stats import js_profile as js_row  # noqa: E402
 
 EXPORT_THRESHOLD = 0.1  # midi/derasterize.py:roll_to_notes default
 
@@ -82,85 +87,6 @@ def binarize(probs: np.ndarray, seed: int = 0, bernoulli: bool = False) -> np.nd
         rng = np.random.default_rng(seed)
         return (rng.random(probs.shape) < probs).astype(np.uint8)
     return (probs > EXPORT_THRESHOLD).astype(np.uint8)
-
-
-def run_lengths(rolls: np.ndarray) -> np.ndarray:
-    """All note durations (run lengths of 1s along the time axis) in a
-    binary [N, H, W] roll stack."""
-    n, h, w = rolls.shape
-    pad = np.zeros((n, h, 1), rolls.dtype)
-    d = np.diff(np.concatenate([pad, rolls, pad], axis=2).astype(np.int8), axis=2)
-    starts = np.flatnonzero(d == 1)
-    ends = np.flatnonzero(d == -1)
-    # row-major flatnonzero: within each (n, h) row, starts/ends alternate
-    # in order, so the k-th end closes the k-th start
-    return ends - starts
-
-
-DUR_BINS = np.array([1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 48, 64, 96, 1_000_000])
-POLY_MAX = 16
-DENSITY_BINS = np.linspace(0.0, 0.06, 25)  # 1.3%-fill corpus: densities live well under 6%
-
-
-def roll_statistics(rolls: np.ndarray) -> dict:
-    """Corpus-level musical statistics of a binary [N, H, W] roll stack.
-
-    Returns normalized histograms (probability vectors) per statistic,
-    plus scalar summaries for the human-readable table.
-    """
-    rolls = np.asarray(rolls, np.uint8)
-    n, h, w = rolls.shape
-    density = rolls.mean(axis=(1, 2))  # [N]
-    # clip into the last bin so off-scale generations still count (np.histogram
-    # silently DROPS out-of-range values, which would distort normalization)
-    dens_hist, _ = np.histogram(np.clip(density, 0, DENSITY_BINS[-1] - 1e-9), bins=DENSITY_BINS)
-
-    pitch_rows = rolls.sum(axis=(0, 2), dtype=np.int64)  # [H] active cells per pitch
-    pc = np.zeros(12, np.int64)
-    np.add.at(pc, np.arange(h) % 12, pitch_rows)
-
-    poly = rolls.sum(axis=1)  # [N, W] active pitches per column
-    poly_hist, _ = np.histogram(np.minimum(poly, POLY_MAX), bins=np.arange(POLY_MAX + 2))
-
-    durs = run_lengths(rolls)
-    dur_hist, _ = np.histogram(durs, bins=DUR_BINS)
-
-    def norm(hist):
-        s = hist.sum()
-        return (hist / s) if s > 0 else np.full(len(hist), 1.0 / len(hist))
-
-    return {
-        "density": norm(dens_hist),
-        "pitch_class": norm(pc),
-        "polyphony": norm(poly_hist),
-        "duration": norm(dur_hist),
-        "mean_density": float(density.mean()),
-        "mean_polyphony": float(poly.mean()),
-        "mean_duration": float(durs.mean()) if len(durs) else 0.0,
-        "notes_per_roll": float(len(durs) / max(n, 1)),
-    }
-
-
-def js_divergence(p: np.ndarray, q: np.ndarray) -> float:
-    """Jensen-Shannon divergence, base 2 (0 = identical, 1 = disjoint)."""
-    p = np.asarray(p, np.float64)
-    q = np.asarray(q, np.float64)
-    m = 0.5 * (p + q)
-
-    def kl(a, b):
-        mask = a > 0
-        return float(np.sum(a[mask] * np.log2(a[mask] / b[mask])))
-
-    return 0.5 * kl(p, m) + 0.5 * kl(q, m)
-
-
-STAT_KEYS = ("density", "pitch_class", "polyphony", "duration")
-
-
-def js_row(stats: dict, ref: dict) -> dict:
-    out = {f"js_{k}": round(js_divergence(stats[k], ref[k]), 4) for k in STAT_KEYS}
-    out["js_mean"] = round(float(np.mean([out[f"js_{k}"] for k in STAT_KEYS])), 4)
-    return out
 
 
 # ----------------------------------------------------------- sample sources
@@ -266,6 +192,11 @@ def main():
     ap.add_argument("--no-splice", action="store_true", help="Skip rewriting RESULTS.md")
     ap.add_argument("--json-out", default=None,
                     help="Output JSON path (default: benchmarks/generation_eval.json)")
+    ap.add_argument("--threshold-sweep", nargs="*", type=float, default=None,
+                    help="Also score each generated source at these binarization thresholds "
+                         "(no args = a default grid). Diagnoses whether the duration gap is "
+                         "an export-threshold artifact (lower threshold heals note "
+                         "fragmentation) or a real decoder probability sag (it doesn't).")
     args = ap.parse_args()
 
     from midi_vae_tpu.cli.generate import _load_model_and_state
@@ -329,15 +260,33 @@ def main():
 
     add_row("heldout (self)", heldout)
     add_row("train (noise floor)", train_rolls)
-    ema_probs = sample_path("ema", model, params, batch_stats, n, args.seed)
-    add_row("ema-marginal", binarize(ema_probs, args.seed, args.bernoulli))
+    decoded = {}  # source name -> decoded probabilities (for the threshold sweep)
+    decoded["ema-marginal"] = sample_path("ema", model, params, batch_stats, n, args.seed)
+    add_row("ema-marginal", binarize(decoded["ema-marginal"], args.seed, args.bernoulli))
     for arch in ("pixelcnn", "transformer"):
         probs = sample_path(arch, model, params, batch_stats, n, args.seed,
                             prior_path=priors[arch], temperature=args.temperature)
+        decoded[f"prior:{arch}"] = probs
         _, _, pcfg = load_prior(priors[arch])
         add_row(f"prior:{arch}", binarize(probs, args.seed, args.bernoulli),
                 extra={"test_nll": round(float(pcfg["test_nll"]), 4)
                        if pcfg.get("test_nll") is not None else None})
+
+    # -- binarization-threshold sweep ---------------------------------------
+    sweep = None
+    if args.threshold_sweep is not None:
+        grid = args.threshold_sweep or [0.02, 0.03, 0.05, 0.08, 0.1, 0.15, 0.2, 0.3]
+        sweep = []
+        print("=== threshold sweep ===", flush=True)
+        for source, probs in decoded.items():
+            for t in grid:
+                st = roll_statistics((probs > t).astype(np.uint8))
+                entry = {"source": source, "threshold": t, **js_row(st, ref_stats),
+                         "mean_duration": round(st["mean_duration"], 2),
+                         "notes_per_roll": round(st["notes_per_roll"], 1),
+                         "mean_density": round(st["mean_density"], 5)}
+                sweep.append(entry)
+                print(json.dumps(entry), flush=True)
 
     # -- conditional steering ----------------------------------------------
     steering = None
@@ -361,6 +310,7 @@ def main():
         "temperature": args.temperature,
         "rows": rows,
         "steering": steering,
+        "threshold_sweep": sweep,
     }
     path = args.json_out or os.path.join(HERE, "generation_eval.json")
     with open(path, "w") as f:

@@ -41,6 +41,14 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--out", type=str, default=None, help="Output PNG path (default: <mode>.png)")
     parser.add_argument("--export-midi", type=str, default=None,
                         help="Directory to also write each generated roll as a .mid file")
+    parser.add_argument("--export-threshold", type=str, default=None, metavar="T|auto",
+                        help="Binarization threshold for --export-midi note extraction "
+                             "(default 0.1). 'auto' calibrates it on the checkpoint's own "
+                             "reconstructions of the eval partition — picks the threshold "
+                             "whose note-event statistics (duration/density/polyphony/"
+                             "pitch-class histograms) sit closest to the real corpus's "
+                             "(midi/calibrate.py; fixes the measured mid-note probability "
+                             "sag that fragments long notes at a fixed threshold)")
     parser.add_argument("--no-ema", action="store_true",
                         help="Use the raw (non-averaged) parameters even when the checkpoint "
                              "carries EMA weights (runs trained with --ema-decay). Default: "
@@ -153,22 +161,71 @@ def _save_png(grid: np.ndarray, path: str) -> None:
     print(f"wrote {path}")
 
 
-def _export_midi(rolls: np.ndarray, out_dir: str) -> None:
+def _export_midi(rolls: np.ndarray, out_dir: str, threshold: float = 0.1) -> None:
     from midi_vae_tpu.midi.derasterize import roll_to_notes
     from midi_vae_tpu.midi.smf import write_smf
 
     os.makedirs(out_dir, exist_ok=True)
     for i, roll in enumerate(np.asarray(rolls)):
-        notes = roll_to_notes(np.clip(roll, 0.0, 1.0))
+        notes = roll_to_notes(np.clip(roll, 0.0, 1.0), threshold=threshold)
         path = os.path.join(out_dir, f"generated_{i:03d}.mid")
         write_smf(notes, path)
-    print(f"wrote {len(rolls)} .mid files to {out_dir}")
+    print(f"wrote {len(rolls)} .mid files to {out_dir} (threshold {threshold:g})")
+
+
+def _resolve_export_threshold(args, model, params, batch_stats, cfg, dataset,
+                              data_dir, image_size, key, labels_for) -> float:
+    """--export-threshold: fixed float, or 'auto' = calibrate on the
+    checkpoint's own reconstructions of the eval partition (midi/calibrate.py)."""
+    if args.export_threshold is None:
+        return 0.1  # midi/derasterize.py:roll_to_notes default
+    spec_str = args.export_threshold.strip().lower()
+    if spec_str != "auto":
+        t = float(args.export_threshold)
+        if not (0.0 < t < 1.0):
+            raise SystemExit(f"--export-threshold must be in (0, 1), got {t}")
+        return t
+
+    from midi_vae_tpu.data.transforms import denormalize
+    from midi_vae_tpu.evaluation.inference import reconstruct
+    from midi_vae_tpu.midi.calibrate import calibrate_export_threshold
+
+    n_cal = 256  # enough rolls for stable duration/density histograms
+    x, yb, spec = _fetch_eval_batch(dataset, data_dir, image_size, n_cal, cfg)
+    recon = reconstruct(model, params, batch_stats, x, key, y=labels_for(yb, x.shape[0]))
+    targets = np.asarray(jax.device_get(denormalize(spec, x)))[..., 0]
+    probs = np.asarray(jax.device_get(recon))[..., 0]
+    best, rows = calibrate_export_threshold(probs, targets)
+    fixed = next(r for r in rows if abs(r["threshold"] - 0.1) < 1e-9)
+    chosen = next(r for r in rows if r["threshold"] == best)
+    print(
+        f"calibrated export threshold: {best:g} (JS mean {chosen['js_mean']:.4f}, "
+        f"mean note duration {chosen['mean_duration']:.1f} cols) vs fixed 0.1 "
+        f"(JS mean {fixed['js_mean']:.4f}, {fixed['mean_duration']:.1f} cols) "
+        f"over {len(probs)} reconstructions of '{dataset}'"
+    )
+    return best
 
 
 def cli(argv=None) -> None:
     args = get_parser().parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    # validate the export-threshold spec BEFORE paying for generation
+    if args.export_threshold is not None:
+        if args.export_midi is None:
+            raise SystemExit("--export-threshold applies to --export-midi runs only")
+        if args.export_threshold.strip().lower() != "auto":
+            try:
+                t = float(args.export_threshold)
+            except ValueError:
+                raise SystemExit(
+                    f"--export-threshold must be a float in (0, 1) or 'auto', "
+                    f"got {args.export_threshold!r}"
+                )
+            if not (0.0 < t < 1.0):
+                raise SystemExit(f"--export-threshold must be in (0, 1), got {t}")
 
     from midi_vae_tpu.evaluation.inference import interpolate, reconstruct, sample_prior
 
@@ -300,7 +357,11 @@ def cli(argv=None) -> None:
     cols = args.steps if args.mode == "traverse" else 8
     _save_png(_to_grid(images, cols=cols), out_path)
     if args.export_midi:
-        _export_midi(images, args.export_midi)
+        threshold = _resolve_export_threshold(
+            args, model, params, batch_stats, cfg, dataset, data_dir, image_size,
+            jax.random.PRNGKey(args.seed + 1), labels_for,
+        )
+        _export_midi(images, args.export_midi, threshold=threshold)
 
 
 if __name__ == "__main__":

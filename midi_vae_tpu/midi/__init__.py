@@ -15,6 +15,11 @@ on-device transforms). Layout:
   scale), all on device.
 - :mod:`factory` — synthetic .mid dataset generator (the MIDI analog of
   the reference's data_generators.py PNG factory).
+- :mod:`stats` — corpus-level musical statistics (density / pitch-class /
+  polyphony / duration histograms) + Jensen-Shannon comparison; backs the
+  generation-quality dossier and the export-threshold calibrator.
+- :mod:`calibrate` — per-checkpoint export-threshold calibration against
+  the model's own reconstructions (``generate --export-threshold auto``).
 """
 
 from midi_vae_tpu.midi.smf import NoteArrays, read_smf, write_smf  # noqa: F401

@@ -290,3 +290,64 @@ class TestEvaluateCLI:
         z = np.load(z_out)
         assert z["latents_test"].shape == (results["test"]["count"], 8)
         assert z["latents_train"].shape == (results["train"]["count"], 8)
+
+
+class TestExportThreshold:
+    """--export-threshold: fixed override + auto-calibration (round 4,
+    the duration-fragmentation fix from the generation dossier)."""
+
+    def test_fixed_threshold(self, trained_checkpoint, tmp_path):
+        from midi_vae_tpu.cli.generate import cli
+
+        mid_dir = str(tmp_path / "mids_fixed")
+        cli([
+            "--checkpoint", trained_checkpoint, "--mode", "sample", "-n", "2",
+            "--out", str(tmp_path / "s.png"), "--export-midi", mid_dir,
+            "--export-threshold", "0.25",
+        ])
+        assert len(os.listdir(mid_dir)) == 2
+
+    def test_auto_calibration(self, trained_checkpoint, tmp_path, capsys):
+        from midi_vae_tpu.cli.generate import cli
+        from midi_vae_tpu.midi.parse import parse_midi
+
+        mid_dir = str(tmp_path / "mids_auto")
+        cli([
+            "--checkpoint", trained_checkpoint, "--mode", "sample", "-n", "2",
+            "--out", str(tmp_path / "a.png"), "--export-midi", mid_dir,
+            "--export-threshold", "auto",
+        ])
+        out = capsys.readouterr().out
+        assert "calibrated export threshold" in out
+        files = sorted(os.listdir(mid_dir))
+        assert len(files) == 2
+        parse_midi(os.path.join(mid_dir, files[0]))  # exports parse back cleanly
+
+    def test_rejects_out_of_range(self, trained_checkpoint, tmp_path):
+        import pytest
+
+        from midi_vae_tpu.cli.generate import cli
+
+        with pytest.raises(SystemExit, match="in \\(0, 1\\)"):
+            cli([
+                "--checkpoint", trained_checkpoint, "--mode", "sample", "-n", "1",
+                "--out", str(tmp_path / "x.png"), "--export-midi", str(tmp_path / "m"),
+                "--export-threshold", "1.5",
+            ])
+        with pytest.raises(SystemExit, match="float in \\(0, 1\\) or 'auto'"):
+            cli([
+                "--checkpoint", trained_checkpoint, "--mode", "sample", "-n", "1",
+                "--out", str(tmp_path / "x.png"), "--export-midi", str(tmp_path / "m"),
+                "--export-threshold", "bogus",
+            ])
+
+    def test_requires_export_midi(self, trained_checkpoint, tmp_path):
+        import pytest
+
+        from midi_vae_tpu.cli.generate import cli
+
+        with pytest.raises(SystemExit, match="--export-midi"):
+            cli([
+                "--checkpoint", trained_checkpoint, "--mode", "sample", "-n", "1",
+                "--out", str(tmp_path / "x.png"), "--export-threshold", "auto",
+            ])

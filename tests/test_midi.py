@@ -779,3 +779,106 @@ def test_midi_synthetic_dense_corpus():
     sparse_fill = float((sparse_train.images > 0).mean())
     assert dense_fill > 3 * sparse_fill, (dense_fill, sparse_fill)
     assert dense_train.images.shape[1:] == sparse_train.images.shape[1:]
+
+
+# ------------------------------------------------- corpus statistics (round 4)
+
+
+class TestRollStatistics:
+    """midi/stats.py: the histogram machinery behind the generation
+    dossier and the export-threshold calibrator."""
+
+    def test_run_lengths_hand_case(self):
+        from midi_vae_tpu.midi.stats import run_lengths
+
+        roll = np.zeros((1, 2, 10), np.uint8)
+        roll[0, 0, 1:4] = 1   # length 3
+        roll[0, 0, 6:7] = 1   # length 1
+        roll[0, 1, 0:10] = 1  # length 10 (touches both edges)
+        assert sorted(run_lengths(roll).tolist()) == [1, 3, 10]
+
+    def test_histograms_are_distributions(self):
+        from midi_vae_tpu.midi.stats import STAT_KEYS, roll_statistics
+
+        rng = np.random.default_rng(0)
+        rolls = (rng.random((8, 24, 32)) < 0.05).astype(np.uint8)
+        st = roll_statistics(rolls)
+        for k in STAT_KEYS:
+            np.testing.assert_allclose(st[k].sum(), 1.0, atol=1e-12)
+            assert (st[k] >= 0).all()
+
+    def test_empty_corpus_degrades_gracefully(self):
+        from midi_vae_tpu.midi.stats import roll_statistics
+
+        st = roll_statistics(np.zeros((4, 8, 8), np.uint8))
+        assert st["notes_per_roll"] == 0.0
+        assert st["mean_duration"] == 0.0
+        np.testing.assert_allclose(st["duration"].sum(), 1.0)  # uniform fallback
+
+    def test_js_divergence_properties(self):
+        from midi_vae_tpu.midi.stats import js_divergence
+
+        p = np.array([0.5, 0.5, 0.0])
+        q = np.array([0.0, 0.5, 0.5])
+        assert js_divergence(p, p) == 0.0
+        assert abs(js_divergence(p, q) - js_divergence(q, p)) < 1e-12
+        assert 0.0 < js_divergence(p, q) <= 1.0
+        # disjoint supports → maximal divergence (base 2)
+        assert abs(js_divergence(np.array([1.0, 0.0]), np.array([0.0, 1.0])) - 1.0) < 1e-12
+
+
+class TestCalibrateExportThreshold:
+    """midi/calibrate.py: the fix for the dossier's duration-fragmentation
+    finding — a decoder whose probabilities sag mid-note shatters long
+    notes at a fixed threshold; calibration must recover them."""
+
+    @staticmethod
+    def _sagging_decoder_case(note_len=12, sag=0.07, peak=0.6):
+        """Targets: clean notes of length `note_len`. Recon probs: the same
+        notes with probability `peak` at the onset cell and `sag` (below
+        the fixed 0.1 threshold) across the rest of the note."""
+        n, h, w = 16, 16, 48
+        targets = np.zeros((n, h, w), np.float32)
+        probs = np.zeros((n, h, w), np.float32)
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            for _ in range(3):
+                r = rng.integers(0, h)
+                s = rng.integers(0, w - note_len)
+                targets[i, r, s:s + note_len] = 0.8  # velocity-valued real roll
+                probs[i, r, s] = peak
+                probs[i, r, s + 1:s + note_len] = sag
+        return probs, targets
+
+    def test_calibration_heals_fragmentation(self):
+        from midi_vae_tpu.midi.calibrate import calibrate_export_threshold
+
+        probs, targets = self._sagging_decoder_case()
+        best, rows = calibrate_export_threshold(probs, targets)
+        # the sag sits at 0.07: any threshold above it fragments every
+        # note to 1 column; calibration must select below the sag
+        assert best < 0.07, (best, rows)
+        by_t = {r["threshold"]: r for r in rows}
+        assert by_t[best]["js_mean"] < by_t[0.1]["js_mean"]
+        assert by_t[best]["mean_duration"] > 10.0  # recovered ~12-col notes
+        assert by_t[0.1]["mean_duration"] < 2.0    # the fixed default fragments
+
+    def test_well_calibrated_decoder_keeps_default(self):
+        from midi_vae_tpu.midi.calibrate import calibrate_export_threshold
+
+        # probabilities solidly above threshold across full note extents:
+        # every candidate below the plateau scores identically, and the
+        # chosen one must reproduce the target statistics (JS ~ 0)
+        probs, targets = self._sagging_decoder_case(sag=0.9, peak=0.9)
+        best, rows = calibrate_export_threshold(probs, targets)
+        by_t = {r["threshold"]: r for r in rows}
+        assert by_t[best]["js_mean"] < 1e-6
+        assert by_t[best]["mean_duration"] == 12.0
+
+    def test_channel_last_inputs_accepted(self):
+        from midi_vae_tpu.midi.calibrate import calibrate_export_threshold
+
+        probs, targets = self._sagging_decoder_case()
+        best4, _ = calibrate_export_threshold(probs[..., None], targets[..., None])
+        best3, _ = calibrate_export_threshold(probs, targets)
+        assert best4 == best3
