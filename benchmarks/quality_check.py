@@ -107,6 +107,13 @@ VARIANTS = {
     "vq_fold8": dict(arch="FoldedVQVAE", loss_type="vq", fold=8,
                      hidden_dims=(48, 64, 128, 256), n_features=16,
                      codebook_size=512, kld_weight=0.25, kl_schedule="constant"),
+    # the promotion candidate from the round-4 calibration study: the
+    # folded layout (s2d(8) -> every conv at 16^2 spatial) with the
+    # 16x16 code grid whose decoder reconstructs durations near-perfectly
+    # (vq16's finding) — flagship-style compute AND the calibrated grid
+    "vq16_fold8": dict(arch="FoldedVQVAE", loss_type="vq", fold=8,
+                       hidden_dims=(64, 128, 256), n_features=16,
+                       codebook_size=512, kld_weight=0.25, kl_schedule="constant"),
 }
 
 
