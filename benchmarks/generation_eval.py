@@ -179,6 +179,16 @@ def main():
     ap.add_argument("--prior-epochs", type=int, default=30)
     ap.add_argument("--prior-features", type=int, default=128)
     ap.add_argument("--prior-layers", type=int, default=6)
+    ap.add_argument("--prior-kernel", type=int, default=5,
+                    help="PixelCNN masked-conv kernel size (receptive-field lever for the "
+                         "code-fragmentation study)")
+    ap.add_argument("--prior-augment-passes", type=int, default=0,
+                    help="train_prior --augment-passes: extra train-transform encode passes "
+                         "multiplying the code corpus (code-space data augmentation lever)")
+    ap.add_argument("--archs", nargs="+", default=["pixelcnn", "transformer"],
+                    choices=("pixelcnn", "transformer"),
+                    help="Which prior architectures to train/evaluate (capacity sweeps "
+                         "usually only need pixelcnn)")
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--conditional", action="store_true",
                     help="Also train a class-conditional PixelCNN prior and report the "
@@ -210,9 +220,16 @@ def main():
     os.makedirs(workdir, exist_ok=True)
 
     # -- train (or reuse) the priors through the framework trainer --------
+    # non-default capacity configs get their own cache names so a sweep
+    # never silently reuses a differently-sized prior
+    cap = (args.prior_features, args.prior_layers, args.prior_kernel, args.prior_augment_passes)
+    tag = "" if cap == (128, 6, 5, 0) else (
+        f"_f{args.prior_features}l{args.prior_layers}k{args.prior_kernel}e{args.prior_epochs}"
+        + (f"a{args.prior_augment_passes}" if args.prior_augment_passes else "")
+    )
     priors = {}
-    for arch in ("pixelcnn", "transformer"):
-        path = os.path.join(workdir, f"prior_{arch}.msgpack")
+    for arch in args.archs:
+        path = os.path.join(workdir, f"prior_{arch}{tag}.msgpack")
         priors[arch] = path
         if not os.path.isfile(path):
             print(f"=== training {arch} prior ({args.prior_epochs} epochs) ===", flush=True)
@@ -220,6 +237,8 @@ def main():
             "--checkpoint", args.vq_checkpoint, "--out", path,
             "--prior-arch", arch, "--epochs", str(args.prior_epochs),
             "--features", str(args.prior_features), "--layers", str(args.prior_layers),
+            "--kernel-size", str(args.prior_kernel),
+            "--augment-passes", str(args.prior_augment_passes),
             "--seed", str(args.seed),
         ])
     cond_path = None
@@ -263,7 +282,7 @@ def main():
     decoded = {}  # source name -> decoded probabilities (for the threshold sweep)
     decoded["ema-marginal"] = sample_path("ema", model, params, batch_stats, n, args.seed)
     add_row("ema-marginal", binarize(decoded["ema-marginal"], args.seed, args.bernoulli))
-    for arch in ("pixelcnn", "transformer"):
+    for arch in args.archs:
         probs = sample_path(arch, model, params, batch_stats, n, args.seed,
                             prior_path=priors[arch], temperature=args.temperature)
         decoded[f"prior:{arch}"] = probs
@@ -307,6 +326,9 @@ def main():
         "dataset": dataset,
         "samples": n,
         "prior_epochs": args.prior_epochs,
+        "prior_capacity": {"features": args.prior_features, "layers": args.prior_layers,
+                           "kernel": args.prior_kernel,
+                           "augment_passes": args.prior_augment_passes},
         "temperature": args.temperature,
         "rows": rows,
         "steering": steering,

@@ -81,6 +81,14 @@ def get_parser() -> argparse.ArgumentParser:
                    help="Fit a class-conditional prior p(codes | y) from the dataset's labels "
                         "(van den Oord 2017 §5.1: the VQ-VAE stays unconditional; class "
                         "control lives in the prior). Sampling then takes --label.")
+    p.add_argument("--augment-passes", type=int, default=0, metavar="N",
+                   help="Extra encode passes of the train partition under the TRAIN-time "
+                        "augmentation transforms (pitch/time shift for the pianoroll "
+                        "protocol), each pass with fresh shift draws — multiplies the "
+                        "code-grid corpus (N+1)x. The clean pass and the held-out NLL "
+                        "corpus stay eval-condition encoded. Datasets whose protocol "
+                        "has no train-time augmentation gain nothing (the passes "
+                        "re-encode identical rolls).")
     p.add_argument("--no-eval", action="store_true",
                    help="Skip the held-out test-partition NLL after training "
                         "(reported in nats/position and bits/code, stored in the "
@@ -149,13 +157,16 @@ def validate_labels(grids: np.ndarray, labels: np.ndarray | None, num_classes: i
     return grids, labels
 
 
-def encode_corpus(model, params, batch_stats, loader, with_labels: bool = False):
+def encode_corpus(model, params, batch_stats, loader, with_labels: bool = False,
+                  epoch: int = 1):
     """Run the frozen VQ encoder over a loader → [N, s, s] int32 grids.
 
     ``with_labels=True`` returns ``(grids, labels-or-None)`` — the
     evaluate CLI's ``--codes-out`` tokenized-corpus export rides this
     same path, so the prior's training encoding and the exported codes
-    cannot drift.
+    cannot drift. ``epoch`` seeds the loader's per-batch transform keys,
+    so augmentation passes (``--augment-passes``) draw distinct
+    pitch/time shifts per pass.
     """
     from midi_vae_tpu.models.vq import VQVAE
 
@@ -166,7 +177,7 @@ def encode_corpus(model, params, batch_stats, loader, with_labels: bool = False)
         )
 
     grids, labels = [], []
-    for batch in loader.epoch(1):
+    for batch in loader.epoch(epoch):
         idx = np.asarray(jax.device_get(enc(batch.x)))
         valid = np.asarray(batch.mask) > 0
         grids.append(idx[valid])
@@ -299,7 +310,9 @@ def cli(argv=None) -> None:
     dataset = args.dataset or ckpt_dataset
     data_dir = args.data_dir or cfg.get("data_dir")
     targs = {"normalization": dataset} if dataset in VALID_TRANSFORMS else {}
-    _, transform_eval = get_transform(cfg.get("transform_type", "digits"), image_size, targs)
+    transform_train, transform_eval = get_transform(
+        cfg.get("transform_type", "digits"), image_size, targs
+    )
     train, _, test, _ = fetch_dataset(
         dataset, root=data_dir, prototyping=bool(cfg.get("prototyping", False)),
         transform_train=transform_eval, transform_eval=transform_eval,
@@ -312,6 +325,39 @@ def cli(argv=None) -> None:
         loader.release()
     print(f"encoded {len(grids)} [{grid}x{grid}] code grids in {time.time() - t0:.1f}s "
           f"({len(np.unique(grids))} distinct codes in use)")
+    if args.augment_passes > 0:
+        # Multiply the corpus with train-transform encodes: the frozen
+        # encoder maps each pitch/time-shifted roll to a DIFFERENT code
+        # grid, giving the prior (N+1)x the code sequences to learn
+        # run-continuation statistics from (code-space augmentation — the
+        # roll augments themselves are the trainer's, transforms.py:58-93).
+        aug_train, _, _, _ = fetch_dataset(
+            dataset, root=data_dir, prototyping=bool(cfg.get("prototyping", False)),
+            transform_train=transform_train, transform_eval=transform_eval,
+            protoval_split_id=int(cfg.get("protoval_split_id") or 0),
+        )
+        t0 = time.time()
+        extra_g, extra_l = [grids], [labels]
+        for p in range(args.augment_passes):
+            aug_loader = make_loader(
+                aug_train, min(args.batch_size, len(aug_train)), train=True,
+                seed=args.seed + p,
+            )
+            g, lab = encode_corpus(
+                model, params, batch_stats, aug_loader, with_labels=True, epoch=p + 1
+            )
+            if hasattr(aug_loader, "release"):
+                aug_loader.release()
+            extra_g.append(g)
+            if labels is not None and lab is not None:
+                extra_l.append(lab)
+        grids = np.concatenate(extra_g, axis=0)
+        labels = np.concatenate(extra_l, axis=0) if len(extra_l) == len(extra_g) else labels
+        if labels is not None and len(labels) != len(grids):
+            raise SystemExit("an augmentation pass dropped labels; cannot train conditionally "
+                             "on a partially-labeled corpus")
+        print(f"augment passes x{args.augment_passes}: corpus now {len(grids)} grids "
+              f"(+{time.time() - t0:.1f}s encode)")
     test_grids = test_labels = None
     if not args.no_eval and test is not None and len(test) > 0:
         tloader = make_loader(test, min(args.batch_size, len(test)), train=False)

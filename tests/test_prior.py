@@ -704,3 +704,62 @@ def test_conditional_prior_steers_density_on_midi_corpus(tmp_path):
                           method=VQVAE.decode_indices)
         mean_prob.append(float(np.asarray(out).mean()))
     assert mean_prob[1] > 1.2 * mean_prob[0], mean_prob
+
+
+def test_augment_passes_multiply_corpus(tmp_path, vq_ckpt, capsys):
+    """--augment-passes N re-encodes the train partition under the
+    TRAIN-time transforms (fresh shift/crop draws per pass), multiplying
+    the code corpus (N+1)x; the run still trains and saves."""
+    from midi_vae_tpu.cli.train_prior import cli as prior_cli, load_prior
+
+    out = str(tmp_path / "aug.msgpack")
+    prior_cli(_prior_args(vq_ckpt, out, 1, ["--no-eval", "--augment-passes", "2"]))
+    captured = capsys.readouterr().out
+    # the clean pass prints "encoded N [...] code grids"; the augment
+    # report must show exactly 3x that corpus
+    import re
+
+    m = re.search(r"encoded (\d+) \[", captured)
+    m2 = re.search(r"augment passes x2: corpus now (\d+) grids", captured)
+    assert m and m2, captured
+    clean, total = int(m.group(1)), int(m2.group(1))
+    # each augment pass re-encodes the train partition minus the ragged
+    # tail the train-mode loader drops (at most one batch per pass)
+    assert 2 * clean < total <= 3 * clean
+    _, _, pcfg = load_prior(out)
+    assert np.isfinite(pcfg["final_nll"])
+
+
+def test_augment_passes_draw_distinct_grids(vq_ckpt):
+    """Each augmentation pass must see DIFFERENT code grids (the whole
+    point): train-transform encodes at different epochs differ from the
+    clean encode and from each other."""
+    from midi_vae_tpu.cli.generate import _load_model_and_state
+    from midi_vae_tpu.cli.train_prior import encode_corpus
+    from midi_vae_tpu.data.fetch import fetch_dataset
+    from midi_vae_tpu.data.pipeline import make_loader
+    from midi_vae_tpu.data.transforms import get_transform
+
+    model, params, batch_stats, cfg, image_size, _, dataset = _load_model_and_state(vq_ckpt)
+    transform_train, transform_eval = get_transform(
+        cfg.get("transform_type", "digits"), image_size, {}
+    )
+    train, _, _, _ = fetch_dataset(
+        dataset, transform_train=transform_train, transform_eval=transform_eval
+    )
+    # train=False → deterministic order, so pass-to-pass differences are
+    # transform draws, not shuffling
+    grids = []
+    for ep in (1, 2):
+        loader = make_loader(train, 64, train=False, seed=0)
+        # force the train spec onto the eval-ordered loader by encoding
+        # through a train=True loader with a fixed seed instead
+        if hasattr(loader, "release"):
+            loader.release()
+        loader = make_loader(train, 64, train=True, seed=0)
+        grids.append(encode_corpus(model, params, batch_stats, loader, epoch=ep))
+        if hasattr(loader, "release"):
+            loader.release()
+    a, b = grids
+    n = min(len(a), len(b))
+    assert not np.array_equal(a[:n], b[:n])
