@@ -143,7 +143,7 @@ def decode_codes(model, params, batch_stats, idx, chunk: int = 256) -> np.ndarra
 
 def sample_path(name: str, model, params, batch_stats, n: int, seed: int,
                 prior_path: str | None = None, temperature: float = 1.0,
-                labels=None) -> np.ndarray:
+                labels=None, top_p: float | None = None) -> np.ndarray:
     """Draw n code grids via the named path and decode to probabilities."""
     import jax
     import jax.numpy as jnp
@@ -163,7 +163,8 @@ def sample_path(name: str, model, params, batch_stats, n: int, seed: int,
         prior, pparams, pcfg = load_prior(prior_path)
         y = jnp.asarray(labels, jnp.int32) if labels is not None else None
         idx = sample_codes_autoregressive(
-            prior, pparams, key, n, model.last_conv_size, temperature=temperature, y=y
+            prior, pparams, key, n, model.last_conv_size, temperature=temperature, y=y,
+            top_p=top_p,
         )
     return decode_codes(model, params, batch_stats, np.asarray(idx))
 
@@ -190,6 +191,9 @@ def main():
                     help="Which prior architectures to train/evaluate (capacity sweeps "
                          "usually only need pixelcnn)")
     ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--top-p", type=float, default=None,
+                    help="Nucleus sampling for the prior draws (tail-truncation lever; "
+                         "temperature is the mode-sharpening lever and measured harmful)")
     ap.add_argument("--conditional", action="store_true",
                     help="Also train a class-conditional PixelCNN prior and report the "
                          "per-class density steering table")
@@ -284,7 +288,8 @@ def main():
     add_row("ema-marginal", binarize(decoded["ema-marginal"], args.seed, args.bernoulli))
     for arch in args.archs:
         probs = sample_path(arch, model, params, batch_stats, n, args.seed,
-                            prior_path=priors[arch], temperature=args.temperature)
+                            prior_path=priors[arch], temperature=args.temperature,
+                            top_p=args.top_p)
         decoded[f"prior:{arch}"] = probs
         _, _, pcfg = load_prior(priors[arch])
         add_row(f"prior:{arch}", binarize(probs, args.seed, args.bernoulli),
@@ -330,6 +335,7 @@ def main():
                            "kernel": args.prior_kernel,
                            "augment_passes": args.prior_augment_passes},
         "temperature": args.temperature,
+        "top_p": args.top_p,
         "rows": rows,
         "steering": steering,
         "threshold_sweep": sweep,

@@ -66,6 +66,11 @@ def get_parser() -> argparse.ArgumentParser:
                              "of the i.i.d. EMA-marginal draw")
     parser.add_argument("--temperature", type=float, default=1.0,
                         help="Sampling temperature for --prior draws. Default: %(default)s")
+    parser.add_argument("--top-p", type=float, default=None,
+                        help="Nucleus sampling for --prior draws: each code is drawn from "
+                             "the smallest set of codes covering this probability mass "
+                             "(Holtzman 2020). Truncates the junk tail without the "
+                             "mode-collapse of low temperature. Default: off")
     return parser
 
 
@@ -304,7 +309,7 @@ def cli(argv=None) -> None:
             )
         idx = sample_codes_autoregressive(
             prior, pparams, key, args.num_samples, model.last_conv_size,
-            temperature=args.temperature, y=y,
+            temperature=args.temperature, y=y, top_p=args.top_p,
         )
         images = model.apply(
             {"params": params, "batch_stats": batch_stats}, idx, method=VQVAE.decode_indices

@@ -273,6 +273,31 @@ def make_prior_train_step(prior: "CodePrior | TransformerCodePrior", tx):
     return step
 
 
+def nucleus_mask(logits: jax.Array, top_p: float) -> jax.Array:
+    """Mask ``[N, K]`` logits to their nucleus (smallest set of codes with
+    cumulative probability ≥ ``top_p``); masked entries become -inf.
+
+    Holtzman et al. 2020 ("The Curious Case of Neural Text
+    Degeneration"): truncating the unreliable low-probability tail fixes
+    sampling artifacts that temperature scaling cannot — temperature
+    rescales the WHOLE distribution toward the mode (measured harmful
+    for code sampling, benchmarks/temperature_sweep_vq16.json), while
+    the nucleus keeps relative probabilities among plausible codes and
+    only removes the junk tail. XLA-friendly: one sort + cumsum per
+    step, static shapes.
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+    order = jnp.argsort(-probs, axis=-1)  # descending
+    sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
+    # keep a sorted position while the mass BEFORE it is < top_p — this
+    # always keeps the top-1 code and yields the minimal covering set
+    keep_sorted = jnp.cumsum(sorted_probs, axis=-1) - sorted_probs < top_p
+    keep = jnp.zeros_like(keep_sorted).at[
+        jnp.arange(logits.shape[0])[:, None], order
+    ].set(keep_sorted)
+    return jnp.where(keep, logits, -jnp.inf)
+
+
 def sample_codes_autoregressive(
     prior: "CodePrior | TransformerCodePrior",
     params,
@@ -281,6 +306,7 @@ def sample_codes_autoregressive(
     grid: int,
     temperature: float = 1.0,
     y: jax.Array | None = None,
+    top_p: float | None = None,
 ) -> jax.Array:
     """Exact ancestral sampling: [num_samples, grid, grid] int32 code grids.
 
@@ -290,16 +316,24 @@ def sample_codes_autoregressive(
     supported image sizes, so the sequential chain is short.
     Conditional priors take int labels ``y`` [num_samples].
     ``temperature`` may be a python float or a traced scalar (the AOT
-    sampler export passes it as a runtime argument).
+    sampler export passes it as a runtime argument). ``top_p`` (python
+    float, trace-time constant) restricts each draw to the nucleus —
+    see :func:`nucleus_mask`; ``top_p >= 1`` is a no-op.
     """
+    if top_p is not None and not (0.0 < top_p <= 1.0):
+        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
     t_inv = 1.0 / jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+    use_nucleus = top_p is not None and top_p < 1.0
 
     def body(carry, t):
         idx, k = carry
         logits = prior.apply({"params": params}, idx, y)  # [N, s, s, K]
         i, j = t // grid, t % grid
         k, sub = jax.random.split(k)
-        draw = jax.random.categorical(sub, logits[:, i, j, :].astype(jnp.float32) * t_inv, axis=-1)
+        step_logits = logits[:, i, j, :].astype(jnp.float32) * t_inv
+        if use_nucleus:
+            step_logits = nucleus_mask(step_logits, float(top_p))
+        draw = jax.random.categorical(sub, step_logits, axis=-1)
         idx = idx.at[:, i, j].set(draw.astype(jnp.int32))
         return (idx, k), None
 

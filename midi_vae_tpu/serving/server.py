@@ -261,7 +261,8 @@ class InferenceService:
             raise ValueError(f"labels must be in [0, {classes - 1}]")
         return arr
 
-    def sample(self, n: int, seed: int = 0, label=None, temperature: float = 1.0) -> np.ndarray:
+    def sample(self, n: int, seed: int = 0, label=None, temperature: float = 1.0,
+               top_p: float | None = None) -> np.ndarray:
         from midi_vae_tpu.evaluation.inference import sample_prior
         from midi_vae_tpu.serving.batcher import _bucket
 
@@ -269,6 +270,8 @@ class InferenceService:
             raise ValueError(f"n must be in [1, {self.MAX_SAMPLES}], got {n}")
         if not (0.0 < temperature <= 100.0):
             raise ValueError(f"temperature must be in (0, 100], got {temperature}")
+        if top_p is not None and not (0.0 < top_p <= 1.0):
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         two_stage = self._prior is not None or (
             self._bundle is not None and hasattr(self._bundle, "sample")
         )
@@ -276,6 +279,11 @@ class InferenceService:
             raise ValueError(
                 "temperature applies to prior-backed (two-stage) sampling; this "
                 "deployment has no code prior attached"
+            )
+        if top_p is not None and self._prior is None:
+            raise ValueError(
+                "top_p needs a checkpoint-backed code prior (--prior); the AOT "
+                "sampler program bakes its sampling rule at export time"
             )
         prior_classes = int((self.prior_info or {}).get("num_classes") or 0)
         y = self.validate_labels(label, n, num_classes=prior_classes if two_stage else None)
@@ -296,6 +304,7 @@ class InferenceService:
             idx = sample_codes_autoregressive(
                 prior, pparams, jax.random.PRNGKey(seed), b, self.model.last_conv_size,
                 temperature=temperature, y=jnp.asarray(y) if y is not None else None,
+                top_p=top_p,
             )
             out = self.model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats}, idx,
@@ -463,8 +472,10 @@ def make_handler(service: InferenceService):
                     if binary_req:
                         raise ValueError("/sample takes JSON parameters ({'n', 'seed'}), not a tensor body")
                     n = int(payload.get("n", 1))
+                    top_p = payload.get("top_p")
                     out = service.sample(n, int(payload.get("seed", 0)), label=req_labels(),
-                                         temperature=float(payload.get("temperature", 1.0)))
+                                         temperature=float(payload.get("temperature", 1.0)),
+                                         top_p=float(top_p) if top_p is not None else None)
                     if wants_npy:
                         self._npy(200, out)
                     else:

@@ -763,3 +763,43 @@ def test_augment_passes_draw_distinct_grids(vq_ckpt):
     a, b = grids
     n = min(len(a), len(b))
     assert not np.array_equal(a[:n], b[:n])
+
+
+def test_nucleus_mask_keeps_minimal_covering_set():
+    """nucleus_mask keeps exactly the smallest prefix of codes (by
+    probability) whose mass reaches top_p, and always keeps the top-1."""
+    from midi_vae_tpu.models.prior import nucleus_mask
+
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]], jnp.float32))
+    # p=0.6: 0.5 alone is < 0.6, so code 1 joins; 0.5+0.3 >= 0.6 stops there
+    masked = np.asarray(nucleus_mask(logits, 0.6))
+    assert np.isfinite(masked[0, :2]).all() and np.isinf(masked[0, 2:]).all()
+    # tiny p: greedy — only the argmax survives
+    masked = np.asarray(nucleus_mask(logits, 1e-6))
+    assert np.isfinite(masked[0, 0]) and np.isinf(masked[0, 1:]).all()
+    # kept logits are unchanged (relative probabilities preserved)
+    np.testing.assert_allclose(masked[0, 0], np.asarray(logits)[0, 0], rtol=1e-6)
+
+
+def test_sample_codes_top_p():
+    """top_p=1 matches unrestricted sampling bitwise; tiny top_p is
+    greedy decoding; out-of-range raises."""
+    from midi_vae_tpu.models.prior import CodePrior, sample_codes_autoregressive
+
+    prior = CodePrior(num_codes=8, features=8, num_layers=2, kernel_size=3)
+    params = prior.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 2), jnp.int32))["params"]
+    key = jax.random.PRNGKey(7)
+    base = sample_codes_autoregressive(prior, params, key, 4, 2)
+    full = sample_codes_autoregressive(prior, params, key, 4, 2, top_p=1.0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(full))
+
+    greedy = sample_codes_autoregressive(prior, params, key, 4, 2, top_p=1e-9)
+    # greedy draws are key-independent: another key gives the same grids
+    greedy2 = sample_codes_autoregressive(prior, params, jax.random.PRNGKey(99), 4, 2,
+                                          top_p=1e-9)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(greedy2))
+
+    with pytest.raises(ValueError, match="top_p"):
+        sample_codes_autoregressive(prior, params, key, 4, 2, top_p=0.0)
+    with pytest.raises(ValueError, match="top_p"):
+        sample_codes_autoregressive(prior, params, key, 4, 2, top_p=1.5)

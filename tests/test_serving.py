@@ -671,6 +671,36 @@ class TestTwoStageSampling:
             _post(f"{two_stage['url']}/sample", {"n": 2, "temperature": 0.0})
         assert exc_info.value.code == 400
 
+    def test_top_p_http_parity_and_guards(self, two_stage, server):
+        """top_p flows HTTP → sampler (nucleus draws == direct call with the
+        same key); out-of-range and prior-less deployments reject."""
+        import jax
+
+        from midi_vae_tpu.cli.generate import _load_model_and_state
+        from midi_vae_tpu.cli.train_prior import load_prior
+        from midi_vae_tpu.models.prior import sample_codes_autoregressive
+        from midi_vae_tpu.models.vq import VQVAE
+
+        out = _post(f"{two_stage['url']}/sample", {"n": 4, "seed": 5, "top_p": 0.5})
+        served = np.asarray(out["samples"], np.float32)
+        model, params, batch_stats, *_ = _load_model_and_state(two_stage["ckpt"])
+        prior, pparams, _ = load_prior(two_stage["prior"])
+        idx = sample_codes_autoregressive(
+            prior, pparams, jax.random.PRNGKey(5), 4, model.last_conv_size, top_p=0.5
+        )
+        direct = np.asarray(model.apply(
+            {"params": params, "batch_stats": batch_stats}, idx, method=VQVAE.decode_indices
+        ))
+        np.testing.assert_allclose(served, direct, atol=1e-6)
+
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(f"{two_stage['url']}/sample", {"n": 2, "top_p": 1.5})
+        assert exc_info.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(f"{server}/sample", {"n": 2, "top_p": 0.9})
+        assert exc_info.value.code == 400
+        assert "prior" in json.loads(exc_info.value.read())["error"]
+
     def test_attach_prior_guards(self, two_stage, tmp_path):
         """Gaussian checkpoints and geometry-mismatched priors fail at
         ATTACH time (startup), not on the first request."""
