@@ -77,7 +77,7 @@ def _serving_programs(model, params, batch_stats):
     return {"reconstruct": reconstruct, "encode": encode, "decode": decode}, conditional
 
 
-def _sampler_program(model, params, batch_stats, prior, prior_params):
+def _sampler_program(model, params, batch_stats, prior, prior_params, top_p=None):
     """The two-stage sampler as ONE exportable program (round-4 VERDICT
     item 5: artifact-backed VQ serving must not refuse ``/sample``).
 
@@ -89,6 +89,8 @@ def _sampler_program(model, params, batch_stats, prior, prior_params):
     pins the symbolic ``b``. Seed enters as a runtime scalar and the key
     is built inside (``jax.random.PRNGKey`` is traceable), preserving
     the ``PRNGKey(seed)`` convention of the live server and generate CLI.
+    ``top_p`` (trace-time constant) bakes nucleus sampling into the
+    program — the runtime arg list stays fixed.
     """
     from midi_vae_tpu.models.prior import sample_codes_autoregressive
     from midi_vae_tpu.models.vq import VQVAE
@@ -101,6 +103,7 @@ def _sampler_program(model, params, batch_stats, prior, prior_params):
         idx = sample_codes_autoregressive(
             prior, prior_params, jax.random.PRNGKey(seed), n, grid,
             temperature=temperature, y=y if conditional_prior else None,
+            top_p=top_p,
         )
         return model.apply(
             {"params": params, "batch_stats": batch_stats}, idx,
@@ -122,6 +125,7 @@ def export_serving_programs(
     prior=None,
     prior_params=None,
     prior_config: Optional[dict] = None,
+    prior_top_p: Optional[float] = None,
 ) -> dict:
     """Export reconstruct/encode/decode to ``out_dir``; returns the manifest.
 
@@ -154,7 +158,9 @@ def export_serving_programs(
     if prior is not None:
         if getattr(model, "latent_kind", "gaussian") != "vq":
             raise ValueError("prior export applies to VQ checkpoints only")
-        programs["sample"] = _sampler_program(model, params, batch_stats, prior, prior_params)
+        programs["sample"] = _sampler_program(
+            model, params, batch_stats, prior, prior_params, top_p=prior_top_p
+        )
         seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
         temp_spec = jax.ShapeDtypeStruct((), jnp.float32)
         # the sampler's arg list is FIXED (seed, temperature, y) regardless
@@ -165,6 +171,8 @@ def export_serving_programs(
             "arch": str(pcfg.get("arch") or "pixelcnn"),
             "num_classes": int(pcfg.get("num_classes") or 0),
             "test_nll": pcfg.get("test_nll"),
+            # baked sampling rule (trace-time constant; null = unrestricted)
+            "top_p": prior_top_p,
         }
 
     os.makedirs(out_dir, exist_ok=True)
@@ -277,12 +285,23 @@ def main(argv=None) -> None:
                         help="Trained code prior (cli/train_prior.py) to bake into the artifact "
                              "(VQ checkpoints only): exports the two-stage 'sample' program so "
                              "artifact-backed serving answers /sample")
+    parser.add_argument("--top-p", type=float, default=None,
+                        help="Bake nucleus sampling into the exported two-stage sampler "
+                             "(needs --prior). The runtime arg list stays (seed, temperature, "
+                             "y); the nucleus rule is a trace-time constant recorded in the "
+                             "manifest's prior.top_p")
     parser.add_argument("--no-ema", action="store_true",
                         help="Export the raw (non-averaged) parameters")
     parser.add_argument("--cpu", action="store_true", help="Force the CPU backend")
     args = parser.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.top_p is not None:
+        if args.prior is None:
+            raise SystemExit("--top-p bakes the nucleus rule into the two-stage sampler; "
+                             "it needs --prior")
+        if not (0.0 < args.top_p <= 1.0):
+            raise SystemExit(f"--top-p must be in (0, 1], got {args.top_p}")
 
     from midi_vae_tpu.cli.generate import _load_model_and_state
 
@@ -304,6 +323,7 @@ def main(argv=None) -> None:
         model, params, batch_stats, args.out,
         image_size=image_size, channels=channels, platforms=args.platforms,
         prior=prior, prior_params=prior_params, prior_config=prior_config,
+        prior_top_p=args.top_p,
     )
     total = sum(p["bytes"] for p in manifest["programs"].values())
     print(

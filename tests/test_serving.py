@@ -759,3 +759,32 @@ class TestTwoStageArtifact:
         finally:
             httpd.shutdown()
             httpd.service.close()
+
+    def test_aot_baked_top_p(self, two_stage, tmp_path):
+        """aot_export --prior --top-p bakes the nucleus rule: with a tiny
+        top_p the sampler is greedy, so draws are SEED-INDEPENDENT — a
+        signature impossible for the unrestricted program. The manifest
+        records the baked value; --top-p without --prior refuses."""
+        import os
+
+        from midi_vae_tpu.interop.aot_export import main as export_main
+        from midi_vae_tpu.serving.server import serve
+
+        art = str(tmp_path / "art_tp")
+        export_main(["--checkpoint", two_stage["ckpt"], "--out", art,
+                     "--prior", two_stage["prior"], "--top-p", "1e-9"])
+        with open(os.path.join(art, "manifest.json")) as f:
+            assert json.load(f)["prior"]["top_p"] == 1e-9
+        httpd = serve(artifact=art, port=0)
+        try:
+            url = f"http://127.0.0.1:{httpd.server_address[1]}"
+            a = np.asarray(_post(f"{url}/sample", {"n": 4, "seed": 1})["samples"])
+            b = np.asarray(_post(f"{url}/sample", {"n": 4, "seed": 2})["samples"])
+            np.testing.assert_array_equal(a, b)
+        finally:
+            httpd.shutdown()
+            httpd.service.close()
+
+        with pytest.raises(SystemExit, match="needs --prior"):
+            export_main(["--checkpoint", two_stage["ckpt"], "--out", str(tmp_path / "x"),
+                         "--top-p", "0.9"])
