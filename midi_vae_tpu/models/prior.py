@@ -312,8 +312,10 @@ def sample_codes_autoregressive(
 
     One compiled program: ``lax.scan`` over the grid² raster positions,
     each step a full masked forward (causality makes the not-yet-sampled
-    positions irrelevant to position t's logits). grid² is ≤ 64 for all
-    supported image sizes, so the sequential chain is short.
+    positions irrelevant to position t's logits). grid² is 64 for the
+    default 4-downsample trunks and 256 for the fine-grid (``vq16*``)
+    variants — short enough that the sequential chain is sampling-bound,
+    not compile-bound.
     Conditional priors take int labels ``y`` [num_samples].
     ``temperature`` may be a python float or a traced scalar (the AOT
     sampler export passes it as a runtime argument). ``top_p`` (python
