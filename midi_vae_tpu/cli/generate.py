@@ -30,7 +30,7 @@ import numpy as np
 def get_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Sample / reconstruct / interpolate from a trained VAE")
     parser.add_argument("--checkpoint", type=str, required=True, help="Checkpoint to load: a .msgpack file or an Orbax directory (auto-detected)")
-    parser.add_argument("--mode", choices=("sample", "reconstruct", "interpolate", "traverse"), default="sample")
+    parser.add_argument("--mode", choices=("sample", "reconstruct", "interpolate", "traverse", "continue"), default="sample")
     parser.add_argument("-n", "--num-samples", type=int, default=16)
     parser.add_argument("--steps", type=int, default=8, help="Interpolation steps")
     parser.add_argument("--slerp", action="store_true", help="Spherical instead of linear interpolation")
@@ -71,6 +71,11 @@ def get_parser() -> argparse.ArgumentParser:
                              "the smallest set of codes covering this probability mass "
                              "(Holtzman 2020). Truncates the junk tail without the "
                              "mode-collapse of low temperature. Default: off")
+    parser.add_argument("--keep-cols", type=int, default=None,
+                        help="--mode continue: how many code-grid TIME columns of each "
+                             "input roll to keep before the prior writes the rest "
+                             "(default: half the grid). One code column spans "
+                             "image_size/grid pixel columns of the roll.")
     return parser
 
 
@@ -243,7 +248,9 @@ def cli(argv=None) -> None:
     out_path = args.out or f"{args.mode}.png"
 
     conditional = getattr(model, "num_classes", 0) > 0
-    if args.label is not None and not (args.prior is not None and args.mode == "sample"):
+    if args.label is not None and not (
+        args.prior is not None and args.mode in ("sample", "continue")
+    ):
         # With --prior, conditioning may live in the PRIOR instead (class-
         # conditional code prior over an unconditional VQ-VAE) — validated
         # against the prior's class count once it is loaded below.
@@ -269,15 +276,21 @@ def cli(argv=None) -> None:
         return y_batch[:n]
 
     if args.prior is not None and not (
-        args.mode == "sample" and getattr(model, "latent_kind", "gaussian") == "vq"
+        args.mode in ("sample", "continue")
+        and getattr(model, "latent_kind", "gaussian") == "vq"
     ):
-        raise SystemExit("--prior applies to --mode sample on VQVAE checkpoints only")
+        raise SystemExit("--prior applies to --mode sample/continue on VQVAE checkpoints only")
+    if args.mode == "continue" and args.prior is None:
+        raise SystemExit(
+            "--mode continue needs --prior: a trained code prior writes the "
+            "continuation (the EMA marginal has no spatial structure to continue with)"
+        )
+    if args.keep_cols is not None and args.mode != "continue":
+        raise SystemExit("--keep-cols applies to --mode continue only")
 
-    if args.mode == "sample" and args.prior is not None:
-        # two-stage VQ sampling: PixelCNN code draws → decode_indices
+    def load_matching_prior():
+        """Load --prior, check geometry, resolve conditional labels."""
         from midi_vae_tpu.cli.train_prior import load_prior
-        from midi_vae_tpu.models.prior import sample_codes_autoregressive
-        from midi_vae_tpu.models.vq import VQVAE
 
         prior, pparams, pcfg = load_prior(args.prior)
         if int(pcfg["num_codes"]) != int(model.codebook_size) or int(pcfg["grid"]) != model.last_conv_size:
@@ -286,27 +299,35 @@ def cli(argv=None) -> None:
                 f"the checkpoint (K={model.codebook_size}, grid={model.last_conv_size})"
             )
         prior_classes = int(pcfg.get("num_classes") or 0)
+        if prior_classes > 0 and args.label is not None and not (0 <= args.label < prior_classes):
+            raise SystemExit(
+                f"--label must be in [0, {prior_classes - 1}] "
+                f"(prior has {prior_classes} classes), got {args.label}"
+            )
+        if prior_classes == 0 and args.label is not None:
+            raise SystemExit(
+                "--label needs a class-conditional prior (train_prior --conditional); "
+                "this prior is unconditional, so the label would be silently ignored"
+            )
+        return prior, pparams, prior_classes
+
+    if args.mode == "sample" and args.prior is not None:
+        # two-stage VQ sampling: PixelCNN code draws → decode_indices
+        from midi_vae_tpu.models.prior import sample_codes_autoregressive
+        from midi_vae_tpu.models.vq import VQVAE
+
+        prior, pparams, prior_classes = load_matching_prior()
         y = None
         if prior_classes > 0:
             # class control lives in the prior (train_prior --conditional):
             # --label K = all samples class K; default = one class per
             # grid column, same sweep convention as CVAE sampling
-            if args.label is not None and not (0 <= args.label < prior_classes):
-                raise SystemExit(
-                    f"--label must be in [0, {prior_classes - 1}] "
-                    f"(prior has {prior_classes} classes), got {args.label}"
-                )
             y = (
                 jnp.full((args.num_samples,), int(args.label), jnp.int32)
                 if args.label is not None
                 else jnp.arange(args.num_samples, dtype=jnp.int32) % prior_classes
             )
             print(f"conditional prior sampling: labels {np.asarray(y).tolist()}")
-        elif args.label is not None:
-            raise SystemExit(
-                "--label needs a class-conditional prior (train_prior --conditional); "
-                "this prior is unconditional, so the label would be silently ignored"
-            )
         idx = sample_codes_autoregressive(
             prior, pparams, key, args.num_samples, model.last_conv_size,
             temperature=args.temperature, y=y, top_p=args.top_p,
@@ -314,6 +335,51 @@ def cli(argv=None) -> None:
         images = model.apply(
             {"params": params, "batch_stats": batch_stats}, idx, method=VQVAE.decode_indices
         )
+    elif args.mode == "continue":
+        # two-stage continuation: encode real rolls to code grids, keep the
+        # first keep_cols TIME columns, let the prior write the rest, decode.
+        # The output grid interleaves input | continuation pairs so the seam
+        # is inspectable. A time-column prefix interleaves with the prior's
+        # pitch-major raster order, so this is forced decoding (see
+        # models/prior.py:sample_codes_autoregressive docstring).
+        from midi_vae_tpu.data.transforms import denormalize
+        from midi_vae_tpu.models.prior import sample_codes_autoregressive
+        from midi_vae_tpu.models.vq import VQVAE
+
+        prior, pparams, prior_classes = load_matching_prior()
+        s = model.last_conv_size
+        keep = s // 2 if args.keep_cols is None else args.keep_cols
+        if not (0 < keep < s):
+            raise SystemExit(
+                f"--keep-cols must be in [1, {s - 1}] (grid is {s}x{s}; keeping every "
+                f"column would be reconstruction, keeping none would be sampling), got {keep}"
+            )
+        x, yb, spec = _fetch_eval_batch(dataset, data_dir, image_size, args.num_samples, cfg)
+        n = int(x.shape[0])
+        codes = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, method=VQVAE.encode_indices
+        )
+        mask = np.zeros((s, s), bool)
+        mask[:, :keep] = True  # grid axis j = time (rolls are [pitch, time])
+        y = None
+        if prior_classes > 0:
+            y = (
+                jnp.full((n,), int(args.label), jnp.int32)
+                if args.label is not None
+                else yb[:n].astype(jnp.int32)
+            )
+        idx = sample_codes_autoregressive(
+            prior, pparams, key, n, s,
+            temperature=args.temperature, y=y, top_p=args.top_p,
+            known=codes, known_mask=jnp.asarray(mask),
+        )
+        cont = model.apply(
+            {"params": params, "batch_stats": batch_stats}, idx, method=VQVAE.decode_indices
+        )
+        kept_px = keep * image_size // s
+        print(f"kept {keep}/{s} code columns = first {kept_px}/{image_size} roll columns")
+        x01 = denormalize(spec, x)
+        images = jnp.stack([x01, cont], axis=1).reshape(-1, *cont.shape[1:])
     elif args.mode == "sample":
         y = None
         if conditional:

@@ -307,6 +307,8 @@ def sample_codes_autoregressive(
     temperature: float = 1.0,
     y: jax.Array | None = None,
     top_p: float | None = None,
+    known: jax.Array | None = None,
+    known_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Exact ancestral sampling: [num_samples, grid, grid] int32 code grids.
 
@@ -321,9 +323,33 @@ def sample_codes_autoregressive(
     sampler export passes it as a runtime argument). ``top_p`` (python
     float, trace-time constant) restricts each draw to the nucleus —
     see :func:`nucleus_mask`; ``top_p >= 1`` is a no-op.
+
+    Continuation / infilling: ``known`` [num_samples, grid, grid] int
+    codes with ``known_mask`` [grid, grid] bool forces every masked
+    position to its known code while the rest are drawn ancestrally.
+    When the masked set is a raster-order prefix this is EXACT sampling
+    from p(rest | prefix); for arbitrary masks (e.g. a time-column
+    prefix, which interleaves with the pitch-major raster) it is the
+    standard forced-decoding approximation — each free draw conditions
+    on every known position earlier in raster order, but not on known
+    positions later in raster order (a causal model cannot). Forcing a
+    position does not perturb the draw stream: free positions before
+    the first forced one are bit-identical to an unconstrained run with
+    the same key (regression-pinned in ``tests/test_prior.py``).
     """
     if top_p is not None and not (0.0 < top_p <= 1.0):
         raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+    if (known is None) != (known_mask is None):
+        raise ValueError("known and known_mask must be provided together")
+    if known is not None:
+        known = jnp.asarray(known, jnp.int32)
+        known_mask = jnp.asarray(known_mask, bool)
+        if known.shape != (num_samples, grid, grid):
+            raise ValueError(
+                f"known must be [num_samples={num_samples}, {grid}, {grid}], got {known.shape}"
+            )
+        if known_mask.shape != (grid, grid):
+            raise ValueError(f"known_mask must be [{grid}, {grid}], got {known_mask.shape}")
     t_inv = 1.0 / jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
     use_nucleus = top_p is not None and top_p < 1.0
 
@@ -335,8 +361,10 @@ def sample_codes_autoregressive(
         step_logits = logits[:, i, j, :].astype(jnp.float32) * t_inv
         if use_nucleus:
             step_logits = nucleus_mask(step_logits, float(top_p))
-        draw = jax.random.categorical(sub, step_logits, axis=-1)
-        idx = idx.at[:, i, j].set(draw.astype(jnp.int32))
+        draw = jax.random.categorical(sub, step_logits, axis=-1).astype(jnp.int32)
+        if known is not None:
+            draw = jnp.where(known_mask[i, j], known[:, i, j], draw)
+        idx = idx.at[:, i, j].set(draw)
         return (idx, k), None
 
     idx0 = jnp.zeros((num_samples, grid, grid), jnp.int32)

@@ -14,6 +14,7 @@ server's JSON error message (errors are always JSON, both wires).
     mu, log_var = c.encode(x)           # → ([N,D], [N,D])
     rolls = c.sample(n=16, seed=0)      # → [16,H,W,C]
     path = c.interpolate(a, b, steps=9) # → [9,H,W,C]
+    cont = c.continue_rolls(x, keep_cols=4)  # two-stage continuation (--prior)
 
 Conditional checkpoints (``--conditional`` runs) require labels on every
 endpoint — pass ``labels=`` (scalar broadcasts; a list/array is
@@ -128,10 +129,46 @@ class ServingClient:
             return out[:, :d], out[:, d:]
         return np.asarray(out["mu"], np.float32), np.asarray(out["log_var"], np.float32)
 
-    def sample(self, n: int, seed: int = 0, labels=None) -> np.ndarray:
+    def sample(self, n: int, seed: int = 0, labels=None, *,
+               temperature: float = 1.0, top_p: Optional[float] = None) -> np.ndarray:
+        """n prior draws. ``temperature``/``top_p`` apply to two-stage
+        (code-prior-backed) deployments — the server rejects them otherwise."""
         params = {"n": int(n), "seed": int(seed), **_label_fields(labels)}
+        if temperature != 1.0:
+            params["temperature"] = float(temperature)
+        if top_p is not None:
+            params["top_p"] = float(top_p)
         out = self._post_params("/sample", params)
         return out if isinstance(out, np.ndarray) else np.asarray(out["samples"], np.float32)
+
+    def continue_rolls(self, x: np.ndarray, keep_cols: int, *, seed: int = 0,
+                       temperature: float = 1.0, top_p: Optional[float] = None,
+                       labels=None) -> np.ndarray:
+        """[N,H,W,C] rolls → same-shape continuations: the server keeps each
+        roll's first ``keep_cols`` code-grid TIME columns and the attached
+        code prior writes the rest (VQ checkpoints served with --prior)."""
+        x = np.asarray(x, np.float32)
+        if x.ndim == 3:
+            x = x[None]
+        if self.wire == "npy":
+            path = (f"/continue?keep_cols={int(keep_cols)}&seed={int(seed)}"
+                    f"&temperature={float(temperature)}")
+            if top_p is not None:
+                path += f"&top_p={float(top_p)}"
+            q = _label_query(labels)
+            if q:
+                path += f"&{q}"
+            return self._request(path, npy_dumps(x), {"Content-Type": NPY_CONTENT_TYPE})
+        params = {
+            "images": x.tolist(),
+            "keep_cols": int(keep_cols),
+            "seed": int(seed),
+            "temperature": float(temperature),
+            **({"top_p": float(top_p)} if top_p is not None else {}),
+            **_label_fields(labels),
+        }
+        out = self._post_params("/continue", params)
+        return out if isinstance(out, np.ndarray) else np.asarray(out["continuations"], np.float32)
 
     def interpolate(
         self, a: np.ndarray, b: np.ndarray, *, steps: int = 8, slerp: bool = False, labels=None

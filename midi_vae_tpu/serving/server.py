@@ -24,6 +24,11 @@ them — the same math and key convention as ``generate --prior``. The
 JSON body gains optional ``"temperature"`` (prior-backed sampling
 only); a class-conditional prior makes ``"label"`` required. AOT
 artifacts bake the sampler at export time (``aot_export --prior``).
+``POST /continue`` (checkpoint-backed prior only) — body
+``{"images": [...], "keep_cols": K, "seed", "temperature", "top_p"}``
+(or an npy tensor body with those scalars on the query string) encodes
+the rolls, keeps their first K code-grid time columns, and has the
+prior write the rest: the served twin of ``generate --mode continue``.
 
 **Conditional checkpoints** (``--conditional`` runs) require labels on
 every endpoint: JSON ``"label"`` (scalar) / ``"labels"`` (one per image),
@@ -343,6 +348,62 @@ class InferenceService:
             )
         return np.asarray(out)[:n]
 
+    def continue_rolls(self, x: np.ndarray, keep_cols: int, seed: int = 0, label=None,
+                       temperature: float = 1.0, top_p: float | None = None) -> np.ndarray:
+        """Two-stage continuation: encode [N, H, W, C] rolls to code grids,
+        keep their first ``keep_cols`` TIME columns, let the attached code
+        prior write the rest ancestrally, decode — the served twin of
+        ``generate --mode continue`` (same forced-decoding semantics, see
+        ``models/prior.py:sample_codes_autoregressive``)."""
+        from midi_vae_tpu.models.prior import sample_codes_autoregressive
+        from midi_vae_tpu.models.vq import VQVAE
+        from midi_vae_tpu.serving.batcher import _bucket
+
+        if self._prior is None:
+            raise ValueError(
+                "/continue needs a checkpoint-backed code prior (--prior); AOT "
+                "artifacts bake a fixed sampler program and cannot encode-and-continue"
+            )
+        s = self.model.last_conv_size
+        if not (0 < keep_cols < s):
+            raise ValueError(
+                f"keep_cols must be in [1, {s - 1}] (code grid is {s}x{s}), got {keep_cols}"
+            )
+        if not (0.0 < temperature <= 100.0):
+            raise ValueError(f"temperature must be in (0, 100], got {temperature}")
+        if top_p is not None and not (0.0 < top_p <= 1.0):
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+        item = (self.image_size, self.image_size, self.channels)
+        if x.ndim != 4 or x.shape[1:] != item:
+            raise ValueError(f"images must be [N, {item[0]}, {item[1]}, {item[2]}], got {x.shape}")
+        n = len(x)
+        prior_classes = int((self.prior_info or {}).get("num_classes") or 0)
+        y = self.validate_labels(label, n, num_classes=prior_classes)
+        # pad to a bucket size so clients cycling through distinct n values
+        # hit a bounded compile cache (same rationale as /sample)
+        b = _bucket(n)
+        if b > n:
+            x = np.concatenate([x, np.zeros((b - n, *item), np.float32)])
+            if y is not None:
+                y = np.concatenate([y, np.zeros(b - n, np.int32)])
+        codes = self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            jnp.asarray(x, jnp.float32), method=VQVAE.encode_indices,
+        )
+        mask = np.zeros((s, s), bool)
+        mask[:, :keep_cols] = True  # grid axis j = time (rolls are [pitch, time])
+        prior, pparams = self._prior
+        idx = sample_codes_autoregressive(
+            prior, pparams, jax.random.PRNGKey(seed), b, s,
+            temperature=temperature, y=jnp.asarray(y) if y is not None else None,
+            top_p=top_p, known=codes, known_mask=jnp.asarray(mask),
+        )
+        out = self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats}, idx,
+            method=VQVAE.decode_indices,
+        )
+        return np.asarray(out)[:n]
+
     MAX_INTERPOLATE_STEPS = 64  # bounds the [steps, H, W, C] result of one request
 
     def interpolate(self, a: np.ndarray, b: np.ndarray, steps: int, mode: str, label=None) -> np.ndarray:
@@ -502,6 +563,36 @@ def make_handler(service: InferenceService):
                         self._npy(200, out)
                     else:
                         self._json(200, {"path": out.tolist()})
+                elif route == "/continue":
+                    # tensor body (npy or JSON 'images') + scalar params on
+                    # the JSON body / query string (binary wire's channel)
+                    if binary_req:
+                        x = np.asarray(npy_loads(raw), np.float32)
+                        keep = int(query.get("keep_cols", ["0"])[0])
+                        seed = int(query.get("seed", ["0"])[0])
+                        temp = float(query.get("temperature", ["1.0"])[0])
+                        tp_q = query.get("top_p", [None])[0]
+                        top_p = float(tp_q) if tp_q is not None else None
+                    else:
+                        x = np.asarray(payload["images"], np.float32)
+                        keep = int(payload.get("keep_cols", 0))
+                        seed = int(payload.get("seed", 0))
+                        temp = float(payload.get("temperature", 1.0))
+                        tp = payload.get("top_p")
+                        top_p = float(tp) if tp is not None else None
+                    if x.ndim == 3:
+                        x = x[None]
+                    if len(x) > self.MAX_REQUEST_ITEMS:
+                        raise ValueError(
+                            f"at most {self.MAX_REQUEST_ITEMS} images per request, got {len(x)}"
+                        )
+                    out = service.continue_rolls(
+                        x, keep, seed=seed, label=req_labels(), temperature=temp, top_p=top_p
+                    )
+                    if wants_npy:
+                        self._npy(200, out)
+                    else:
+                        self._json(200, {"continuations": out.tolist()})
                 elif route in ("/reconstruct", "/encode"):
                     if binary_req:
                         x = np.asarray(npy_loads(raw), np.float32)

@@ -79,6 +79,11 @@ def test_prior_learns_structure():
     match = (draws[:, 1:, :] == grid[None, 1:, :]).mean()
     assert match > 0.9, f"samples diverge from the learned pattern (match={match:.2f})"
 
+    # (continuation conditioning is tested separately on a corpus where the
+    # prefix is the ONLY evidence — test_continuation_conditions_on_prefix;
+    # this corpus is one constant grid, which the conv memorizes through
+    # SAME-padding boundary cues, so a forced foreign prefix half-propagates)
+
 
 def test_conditional_prior_causal_and_label_sensitive():
     """The class bias must not break raster-order causality, and it must
@@ -144,6 +149,82 @@ def test_sample_codes_range_and_determinism():
     assert int(jnp.min(a)) >= 0 and int(jnp.max(a)) < 5
 
 
+def test_continuation_conditions_on_prefix():
+    """Continuation must CONDITION on the forced prefix, not replay a
+    memorized marginal: train on constant-valued grids (a different value
+    per sample, uniform over codes), where every position simply copies
+    its predecessor — the raster prefix is the only evidence for the rest
+    of the grid. Forcing a prefix of value c must yield an all-c grid."""
+    import optax
+
+    K, s = 6, 4
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, K, size=64)
+    batch = jnp.asarray(np.broadcast_to(vals[:, None, None], (64, s, s)).astype(np.int32))
+
+    prior = CodePrior(num_codes=K, features=32, num_layers=3, kernel_size=3)
+    params = prior.init(jax.random.PRNGKey(0), batch)["params"]
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+    step = make_prior_train_step(prior, tx)
+    for _ in range(200):
+        params, opt_state, nll = step(params, opt_state, batch)
+    # only position (0,0) is uncertain: NLL -> log(K)/s^2 per position
+    assert float(nll) < 2 * np.log(K) / (s * s)
+
+    mask = np.zeros((s, s), bool)
+    mask[0, :] = True  # row 0 = raster prefix → exact p(rest | prefix)
+    for c in range(K):
+        known = jnp.full((8, s, s), c, jnp.int32)
+        cont = np.asarray(sample_codes_autoregressive(
+            prior, params, jax.random.PRNGKey(c), 8, s,
+            known=known, known_mask=jnp.asarray(mask),
+        ))
+        match = (cont == c).mean()
+        assert match > 0.95, f"continuation of constant-{c} prefix diverges (match={match:.2f})"
+
+
+def test_forced_sampling_identity_prefix_exactness_and_validation():
+    """known/known_mask contract: a full mask reproduces the known grid
+    exactly; forcing later positions does not perturb the draw stream at
+    earlier free positions (same key → bit-identical); malformed inputs
+    fail loudly."""
+    s = 4
+    prior = CodePrior(num_codes=5, features=8, num_layers=2, kernel_size=3)
+    params = prior.init(jax.random.PRNGKey(0), jnp.zeros((1, s, s), jnp.int32))["params"]
+    key = jax.random.PRNGKey(7)
+    known = jax.random.randint(jax.random.PRNGKey(3), (4, s, s), 0, 5)
+
+    full = sample_codes_autoregressive(
+        prior, params, key, 4, s, known=known, known_mask=jnp.ones((s, s), bool)
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(known))
+
+    # force row 1 (raster positions 4..7): row 0's free draws must match an
+    # unconstrained run with the same key bit-for-bit — forcing is
+    # implemented as a post-draw select, so the key stream is untouched
+    mask = np.zeros((s, s), bool)
+    mask[1, :] = True
+    forced = np.asarray(sample_codes_autoregressive(
+        prior, params, key, 4, s, known=known, known_mask=jnp.asarray(mask)
+    ))
+    plain = np.asarray(sample_codes_autoregressive(prior, params, key, 4, s))
+    np.testing.assert_array_equal(forced[:, 1, :], np.asarray(known)[:, 1, :])
+    np.testing.assert_array_equal(forced[:, 0, :], plain[:, 0, :])
+
+    with pytest.raises(ValueError, match="together"):
+        sample_codes_autoregressive(prior, params, key, 4, s, known=known)
+    with pytest.raises(ValueError, match="together"):
+        sample_codes_autoregressive(prior, params, key, 4, s,
+                                    known_mask=jnp.ones((s, s), bool))
+    with pytest.raises(ValueError, match="known must be"):
+        sample_codes_autoregressive(prior, params, key, 4, s, known=known[:2],
+                                    known_mask=jnp.ones((s, s), bool))
+    with pytest.raises(ValueError, match="known_mask must be"):
+        sample_codes_autoregressive(prior, params, key, 4, s, known=known,
+                                    known_mask=jnp.ones((s, s + 1), bool))
+
+
 def test_prior_cli_end_to_end(tmp_path):
     """VQ-VAE train run → prior CLI → generate --prior: the full two-stage
     pipeline through the real entry points."""
@@ -187,6 +268,22 @@ def test_prior_cli_end_to_end(tmp_path):
     generate_cli(["--checkpoint", ckpt, "--mode", "sample", "--prior", prior_path,
                   "-n", "4", "--out", out_png])
     assert os.path.isfile(out_png)
+
+    # continuation: encode eval rolls, keep 1 of 2 code columns, prior
+    # writes the rest (grid is 2x2 at 32 px)
+    out_cont = str(tmp_path / "continued.png")
+    generate_cli(["--checkpoint", ckpt, "--mode", "continue", "--prior", prior_path,
+                  "-n", "4", "--keep-cols", "1", "--out", out_cont])
+    assert os.path.isfile(out_cont)
+    with pytest.raises(SystemExit, match="--mode continue needs --prior"):
+        generate_cli(["--checkpoint", ckpt, "--mode", "continue", "-n", "2",
+                      "--out", str(tmp_path / "x.png")])
+    with pytest.raises(SystemExit, match="--keep-cols must be in"):
+        generate_cli(["--checkpoint", ckpt, "--mode", "continue", "--prior", prior_path,
+                      "-n", "2", "--keep-cols", "2", "--out", str(tmp_path / "x.png")])
+    with pytest.raises(SystemExit, match="--keep-cols applies"):
+        generate_cli(["--checkpoint", ckpt, "--mode", "sample", "--prior", prior_path,
+                      "-n", "2", "--keep-cols", "1", "--out", str(tmp_path / "x.png")])
 
     # tokenized-corpus export rides the same encoding path (--codes-out)
     from midi_vae_tpu.cli.evaluate import cli as evaluate_cli

@@ -376,6 +376,31 @@ class TestServingClient:
         assert exc_info.value.status == 400
         assert "n must be" in exc_info.value.message
 
+    def test_continue_both_wires_match(self, two_stage):
+        """client.continue_rolls: npy wire (tensor body + query-string
+        scalars) == JSON wire, deterministic given the seed; sampling
+        params flow through (c.sample(top_p=...) reaches the prior)."""
+        from midi_vae_tpu.serving.client import ServingClient, ServingError
+
+        url = two_stage["url"]
+        x = np.random.default_rng(24).uniform(0, 1, (3, 32, 32, 1)).astype(np.float32)
+        c_npy = ServingClient(url, wire="npy")
+        c_json = ServingClient(url, wire="json")
+        r_npy = c_npy.continue_rolls(x, keep_cols=1, seed=9)
+        r_json = c_json.continue_rolls(x, keep_cols=1, seed=9)
+        assert r_npy.shape == x.shape
+        np.testing.assert_allclose(r_npy, r_json, atol=1e-6)
+        # top_p rides both wires too (changes the draws vs unrestricted)
+        t_npy = c_npy.continue_rolls(x, keep_cols=1, seed=9, top_p=0.5)
+        t_json = c_json.continue_rolls(x, keep_cols=1, seed=9, top_p=0.5)
+        np.testing.assert_allclose(t_npy, t_json, atol=1e-6)
+        s1 = c_npy.sample(2, seed=4, top_p=0.5)
+        s2 = c_json.sample(2, seed=4, top_p=0.5)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+        with pytest.raises(ServingError) as exc_info:
+            c_npy.continue_rolls(x, keep_cols=0)
+        assert exc_info.value.status == 400
+
     def test_interpolate_binary_wire_carries_params(self, server):
         """The npy-wire interpolate posts a [2,H,W,C] binary body with
         steps/slerp on the query string — and matches the JSON wire."""
@@ -700,6 +725,53 @@ class TestTwoStageSampling:
             _post(f"{server}/sample", {"n": 2, "top_p": 0.9})
         assert exc_info.value.code == 400
         assert "prior" in json.loads(exc_info.value.read())["error"]
+
+    def test_continue_http_parity_and_guards(self, two_stage, server):
+        """/continue == direct encode → forced-sample → decode with the same
+        key convention; the kept code columns survive into the drawn grids;
+        bad keep_cols and prior-less deployments reject with 400."""
+        import jax
+        import jax.numpy as jnp
+
+        from midi_vae_tpu.cli.generate import _load_model_and_state
+        from midi_vae_tpu.cli.train_prior import load_prior
+        from midi_vae_tpu.models.prior import sample_codes_autoregressive
+        from midi_vae_tpu.models.vq import VQVAE
+
+        rng = np.random.default_rng(0)
+        x = rng.random((4, 32, 32, 1)).astype(np.float32)
+        out = _post(f"{two_stage['url']}/continue",
+                    {"images": x.tolist(), "keep_cols": 1, "seed": 7})
+        served = np.asarray(out["continuations"], np.float32)
+
+        model, params, batch_stats, *_ = _load_model_and_state(two_stage["ckpt"])
+        prior, pparams, _ = load_prior(two_stage["prior"])
+        s = model.last_conv_size
+        codes = model.apply(
+            {"params": params, "batch_stats": batch_stats}, jnp.asarray(x),
+            method=VQVAE.encode_indices,
+        )
+        mask = np.zeros((s, s), bool)
+        mask[:, :1] = True
+        idx = sample_codes_autoregressive(
+            prior, pparams, jax.random.PRNGKey(7), 4, s,
+            known=codes, known_mask=jnp.asarray(mask),
+        )
+        # the kept time column is the input's own codes, verbatim
+        np.testing.assert_array_equal(np.asarray(idx)[:, :, 0], np.asarray(codes)[:, :, 0])
+        direct = np.asarray(model.apply(
+            {"params": params, "batch_stats": batch_stats}, idx, method=VQVAE.decode_indices
+        ))
+        np.testing.assert_allclose(served, direct, atol=1e-6)
+
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(f"{two_stage['url']}/continue", {"images": x.tolist(), "keep_cols": 99})
+        assert exc_info.value.code == 400
+        assert "keep_cols must be in" in json.loads(exc_info.value.read())["error"]
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(f"{server}/continue", {"images": x.tolist(), "keep_cols": 1})
+        assert exc_info.value.code == 400
+        assert "code prior" in json.loads(exc_info.value.read())["error"]
 
     def test_attach_prior_guards(self, two_stage, tmp_path):
         """Gaussian checkpoints and geometry-mismatched priors fail at
