@@ -28,6 +28,10 @@ def main():
         row = run_variant("vq16", epochs=60, image_size=128, bf16=True,
                           workdir=WORKDIR, dataset="midi-synthetic")
         print(row, flush=True)
+        assert os.path.isfile(ckpt), (
+            f"run_variant finished but the expected checkpoint is missing: {ckpt} "
+            "(quality_check.run_variant layout drifted?)"
+        )
 
     cmd = [
         sys.executable, os.path.join(HERE, "sampling_sweep.py"),

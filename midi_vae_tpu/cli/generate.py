@@ -363,6 +363,17 @@ def cli(argv=None) -> None:
         mask[:, :keep] = True  # grid axis j = time (rolls are [pitch, time])
         y = None
         if prior_classes > 0:
+            if args.label is None:
+                # dataset labels condition the prior directly; an out-of-range
+                # value would be silently clipped by the on-device gather
+                # instead of erroring, so validate like --label is validated
+                yb_np = np.asarray(yb[:n])
+                if yb_np.size and not ((yb_np >= 0) & (yb_np < prior_classes)).all():
+                    raise SystemExit(
+                        f"dataset labels {sorted(set(yb_np.tolist()) - set(range(prior_classes)))} "
+                        f"are outside this prior's class range [0, {prior_classes - 1}]; "
+                        "pass --label to condition on a fixed class instead"
+                    )
             y = (
                 jnp.full((n,), int(args.label), jnp.int32)
                 if args.label is not None

@@ -377,6 +377,10 @@ class InferenceService:
         if x.ndim != 4 or x.shape[1:] != item:
             raise ValueError(f"images must be [N, {item[0]}, {item[1]}, {item[2]}], got {x.shape}")
         n = len(x)
+        if n < 1:
+            # an empty body would otherwise pad to bucket size 1 and run a
+            # full encode→sample→decode just to return an empty array
+            raise ValueError("need at least one image to continue, got an empty batch")
         prior_classes = int((self.prior_info or {}).get("num_classes") or 0)
         y = self.validate_labels(label, n, num_classes=prior_classes)
         # pad to a bucket size so clients cycling through distinct n values
@@ -575,7 +579,15 @@ def make_handler(service: InferenceService):
                         top_p = float(tp_q) if tp_q is not None else None
                     else:
                         x = np.asarray(payload["images"], np.float32)
-                        keep = int(payload.get("keep_cols", 0))
+                        if "keep_cols" not in payload:
+                            # defaulting to 0 would produce the misleading
+                            # "must be in [1, s-1] ... got 0" instead of
+                            # naming the missing required field
+                            raise ValueError(
+                                "'keep_cols' is required for /continue "
+                                "(number of leading code TIME columns to keep)"
+                            )
+                        keep = int(payload["keep_cols"])
                         seed = int(payload.get("seed", 0))
                         temp = float(payload.get("temperature", 1.0))
                         tp = payload.get("top_p")

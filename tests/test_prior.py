@@ -316,6 +316,26 @@ def test_prior_cli_end_to_end(tmp_path):
         generate_cli(["--checkpoint", ckpt, "--mode", "sample", "--prior", cond_path,
                       "-n", "2", "--label", "99", "--out", str(tmp_path / "x.png")])
 
+    # --mode continue with no --label passes DATASET labels to the prior:
+    # values outside the prior's class range must fail loudly, not be
+    # silently clipped by the on-device gather. Simulate a prior trained
+    # on fewer classes by shrinking num_classes in its loaded config.
+    from unittest import mock
+
+    import midi_vae_tpu.cli.train_prior as tp_mod
+
+    real_load_prior = tp_mod.load_prior
+
+    def load_prior_one_class(path):
+        prior_m, params_m, pcfg_m = real_load_prior(path)
+        pcfg_m = dict(pcfg_m, num_classes=1)
+        return prior_m, params_m, pcfg_m
+
+    with mock.patch.object(tp_mod, "load_prior", load_prior_one_class):
+        with pytest.raises(SystemExit, match="outside this prior's class range"):
+            generate_cli(["--checkpoint", ckpt, "--mode", "continue", "--prior", cond_path,
+                          "-n", "8", "--keep-cols", "1", "--out", str(tmp_path / "x.png")])
+
 
 def test_load_prior_rejects_non_prior_checkpoint(tmp_path):
     from midi_vae_tpu.cli.train_prior import load_prior

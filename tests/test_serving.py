@@ -772,6 +772,21 @@ class TestTwoStageSampling:
             _post(f"{server}/continue", {"images": x.tolist(), "keep_cols": 1})
         assert exc_info.value.code == 400
         assert "code prior" in json.loads(exc_info.value.read())["error"]
+        # omitted keep_cols names the missing field (not "got 0")
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(f"{two_stage['url']}/continue", {"images": x.tolist()})
+        assert exc_info.value.code == 400
+        assert "'keep_cols' is required" in json.loads(exc_info.value.read())["error"]
+        # an empty batch is rejected instead of padded to bucket size 1
+        # (npy wire — JSON's tolist() of an empty array loses the shape)
+        from midi_vae_tpu.serving.client import ServingClient, ServingError
+
+        with pytest.raises(ServingError) as exc_info:
+            ServingClient(two_stage["url"], wire="npy").continue_rolls(
+                np.zeros((0, 32, 32, 1), np.float32), keep_cols=1
+            )
+        assert exc_info.value.status == 400
+        assert "at least one image" in exc_info.value.message
 
     def test_attach_prior_guards(self, two_stage, tmp_path):
         """Gaussian checkpoints and geometry-mismatched priors fail at
