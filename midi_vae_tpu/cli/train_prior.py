@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 import warnings
 
@@ -56,6 +57,12 @@ RESUME_ARCH_KEYS = ("arch", "features", "layers", "kernel_size", "heads", "num_c
 def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--checkpoint", required=True, help="Trained VQ-VAE checkpoint (msgpack)")
+    p.add_argument("--config", default=None, metavar="YAML",
+                   help="Stage-1 config YAML whose `prior:` section supplies defaults for "
+                        "this trainer (arch/features/layers/heads/epochs/lr/batch_size/"
+                        "augment_passes/...). Explicit CLI flags win. The same file drives "
+                        "both stages: `cli.train --config F` then `train_prior --config F` "
+                        "(configs/vq16_fold8.yaml is the shipped two-stage recipe).")
     p.add_argument("--out", default=None,
                    help=f"Prior checkpoint path (resumed if it already exists). "
                         f"Default: {PRIOR_LATEST} next to the VQ checkpoint")
@@ -236,8 +243,50 @@ def make_chunk_step(prior, tx, x_sharding, conditional: bool):
     return run_chunk
 
 
+def apply_prior_config(args, parser: argparse.ArgumentParser, argv=None):
+    """Fold a YAML `prior:` section into parsed args as soft defaults.
+
+    Explicit CLI flags always win — detected by scanning the raw argv
+    tokens (the main trainer's mechanism, ``cli/train.py:args_to_config``),
+    so a typed flag beats the YAML even when its value equals the argparse
+    default. YAML key `arch` maps to ``--prior-arch``; every other key
+    must name a parser dest verbatim.
+    """
+    import yaml
+
+    with open(args.config) as f:
+        section = (yaml.safe_load(f) or {}).get("prior") or {}
+    if argv is None:
+        argv = sys.argv[1:]
+    opt_to_dest = {
+        opt: action.dest for action in parser._get_optional_actions() for opt in action.option_strings
+    }
+    explicitly_set = set()
+    for tok in argv:
+        if tok.startswith("--"):
+            opt = tok.split("=", 1)[0]
+            dest = opt_to_dest.get(opt)
+            if dest is None and len(opt) > 2:
+                # mirror argparse prefix-abbreviation resolution
+                matches = {d for o, d in opt_to_dest.items() if o.startswith(opt)}
+                if len(matches) == 1:
+                    dest = matches.pop()
+            if dest:
+                explicitly_set.add(dest)
+    for key, value in section.items():
+        dest = "prior_arch" if key == "arch" else key
+        if not hasattr(args, dest):
+            raise SystemExit(f"unknown key in {args.config} prior section: {key!r}")
+        if dest not in explicitly_set:
+            setattr(args, dest, value)
+    return args
+
+
 def cli(argv=None) -> None:
-    args = get_parser().parse_args(argv)
+    parser = get_parser()
+    args = parser.parse_args(argv)
+    if args.config:
+        args = apply_prior_config(args, parser, argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     if args.prior_arch == "transformer" and args.features % args.heads:
@@ -458,6 +507,7 @@ def cli(argv=None) -> None:
             "kernel_size": args.kernel_size,
             "heads": args.heads,
             "num_classes": num_classes,
+            "augment_passes": int(args.augment_passes),
             "bf16": bool(args.bf16),
             "seed": args.seed,
             "lr": args.lr,
