@@ -36,6 +36,12 @@ SYNTHETIC_SIZES = {
     # folded family keeps full latent health (RESULTS.md "posterior
     # collapse on sparse MIDI": the collapse trigger is sparsity)
     "midi-synthetic-dense": 512,
+    # Tonal/metric/phrased corpus (midi/factory.py structured_notes):
+    # keys+scales, chord progressions on a bar grid, small-step melodies,
+    # phrase repeats — the corpus whose second-order statistics
+    # (midi/stats.py ioi/pitch_interval/scale_consistency) can actually
+    # fail a broken generator.
+    "midi-structured": 512,
 }
 
 
@@ -47,27 +53,31 @@ def _synthetic_dataset(dataset: str, seed: int = 0) -> ArrayDataset:
         images, labels = generate_line_images(
             n, img_size=(128, 128), max_lines=20, line_width=0, full_length=False, seed=seed
         )
-    elif dataset in ("midi-synthetic", "midi-synthetic-dense"):
+    elif dataset in ("midi-synthetic", "midi-synthetic-dense", "midi-structured"):
         # Full MIDI ingestion exercised end-to-end: write a synthetic
         # .mid corpus to a per-seed temp tree, then parse + rasterize it
         # through the real folder path (factory → SMF → parser → windows).
-        # The -dense variant raises max_notes 48 → 384 (~8.5% roll fill).
+        # The -dense variant raises max_notes 48 → 384 (~8.5% roll fill);
+        # -structured swaps the note soup for the tonal/metric generator.
         import tempfile
 
         from midi_vae_tpu.data.sources import load_midi_folder
         from midi_vae_tpu.midi.factory import generate_midi_dataset
 
         max_notes = 384 if dataset.endswith("-dense") else 48
+        style = "structured" if dataset.endswith("-structured") else "random"
         # generate into a private tmp dir, then atomic-rename: a crashed or
         # concurrent generator can never leave a half-corpus that later runs
         # silently mistake for complete
         corpus = os.path.join(
-            tempfile.gettempdir(), f"midi_vae_tpu_synth_{n}files_{seed}_n{max_notes}"
+            tempfile.gettempdir(),
+            f"midi_vae_tpu_synth_{n}files_{seed}_structured" if style == "structured"
+            else f"midi_vae_tpu_synth_{n}files_{seed}_n{max_notes}"
             if max_notes != 48 else f"midi_vae_tpu_synth_{n}files_{seed}"
         )
         if not os.path.isdir(corpus):
             staging = tempfile.mkdtemp(prefix=f"midi_vae_tpu_synth_{seed}_", dir=tempfile.gettempdir())
-            generate_midi_dataset(n, staging, seed=seed, max_notes=max_notes)
+            generate_midi_dataset(n, staging, seed=seed, max_notes=max_notes, style=style)
             try:
                 os.rename(staging, corpus)
             except OSError:  # lost the race: another process finished first

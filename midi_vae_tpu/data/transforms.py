@@ -35,6 +35,7 @@ NORMALIZATION = {
     "vae-lines-large-synthetic": ((0.5,), (1.0,)),
     "pianoroll-synthetic": ((0.5,), (1.0,)),
     "midi-synthetic": ((0.5,), (1.0,)),
+    "midi-structured": ((0.5,), (1.0,)),
     "midi-folder": ((0.5,), (1.0,)),
 }
 

@@ -827,6 +827,114 @@ class TestRollStatistics:
         assert abs(js_divergence(np.array([1.0, 0.0]), np.array([0.0, 1.0])) - 1.0) < 1e-12
 
 
+class TestSecondOrderStatistics:
+    """Round-5 statistics (midi/stats.py ioi / pitch_interval /
+    scale_consistency) + the tonal corpus (midi/factory.py
+    structured_notes): the dossier's measurement must be able to FAIL a
+    generator that gets texture right and music wrong."""
+
+    def test_onset_events_hand_case(self):
+        from midi_vae_tpu.midi.stats import onset_events
+
+        roll = np.zeros((2, 4, 8), np.uint8)
+        roll[0, 1, 2:5] = 1  # one note: onset at col 2
+        roll[0, 3, 2:3] = 1  # simultaneous onset, higher row
+        roll[1, 0, 0:2] = 1  # other roll: onset at col 0
+        ni, hi, wi = onset_events(roll)
+        np.testing.assert_array_equal(ni, [0, 0, 1])
+        np.testing.assert_array_equal(wi, [2, 2, 0])
+        np.testing.assert_array_equal(hi, [1, 3, 0])  # pitch-sorted within col
+
+    def test_second_order_histograms_are_distributions(self):
+        from midi_vae_tpu.midi.stats import STAT_KEYS_2ND, roll_statistics
+
+        rng = np.random.default_rng(0)
+        rolls = (rng.random((8, 24, 32)) < 0.05).astype(np.uint8)
+        st = roll_statistics(rolls)
+        for k in STAT_KEYS_2ND:
+            np.testing.assert_allclose(st[k].sum(), 1.0, atol=1e-12)
+            assert (st[k] >= 0).all()
+
+    def test_structured_notes_are_tonal_and_metric(self):
+        from midi_vae_tpu.midi.factory import GRID_SECONDS, structured_notes
+        from midi_vae_tpu.midi.stats import SCALE_TEMPLATES
+
+        rng = np.random.default_rng(3)
+        notes = structured_notes(rng)
+        # tonal: every pitch class sits in ONE of the 24 scale templates
+        pcs = np.zeros(12)
+        np.add.at(pcs, notes.pitch % 12, 1.0)
+        fits = (SCALE_TEMPLATES @ pcs) / pcs.sum()
+        assert fits.max() == 1.0, f"best scale fit {fits.max():.3f} < 1"
+        # metric: all onsets are multiples of one 16th-note grid
+        on_grid = [
+            np.allclose(np.mod(notes.onset / g + 0.5, 1.0), 0.5, atol=1e-6)
+            for g in GRID_SECONDS
+        ]
+        assert any(on_grid), "onsets do not sit on any 16th-note grid"
+        # polyphonic: the held triads put a harmony floor under the melody
+        assert len(notes.onset) > 12
+
+    def test_separates_tonal_corpus_from_note_soup(self):
+        """The headline property: first-order pitch-class JS is blind to
+        the difference between music and uniform note soup; the
+        second-order statistics see it at >5x the self-noise floor."""
+        import tempfile
+
+        from midi_vae_tpu.data.sources import load_midi_folder
+        from midi_vae_tpu.midi.factory import generate_midi_dataset
+        from midi_vae_tpu.midi.stats import js_profile, roll_statistics
+
+        stats = {}
+        for style in ("random", "structured"):
+            d = tempfile.mkdtemp(prefix=f"stats2_{style}_")
+            generate_midi_dataset(64, d, seed=0, style=style)
+            rolls = (np.asarray(load_midi_folder(d).images)[..., 0] > 0).astype(np.uint8)
+            half = len(rolls) // 2
+            stats[style] = roll_statistics(rolls[:half])
+            stats[style + "_b"] = roll_statistics(rolls[half:])
+
+        cross = js_profile(stats["random"], stats["structured"])
+        self_noise = js_profile(stats["structured"], stats["structured_b"])
+        # first-order pitch-class cannot fail the soup...
+        assert cross["js_pitch_class"] < 0.05, cross
+        # ...the second-order statistics fail it decisively
+        assert cross["js_pitch_interval"] > 0.2, cross
+        assert cross["js_scale_consistency"] > 0.2, cross
+        assert cross["js_mean_2nd"] > 5 * max(self_noise["js_mean_2nd"], 1e-3), (
+            cross, self_noise)
+
+    def test_scale_consistency_fails_broken_pitches(self):
+        """A 'broken generator' that shuffles pitch rows (texture intact,
+        harmony destroyed) must light up the scale statistic."""
+        import tempfile
+
+        from midi_vae_tpu.data.sources import load_midi_folder
+        from midi_vae_tpu.midi.factory import generate_midi_dataset
+        from midi_vae_tpu.midi.stats import js_profile, roll_statistics
+
+        d = tempfile.mkdtemp(prefix="stats2_broken_")
+        generate_midi_dataset(64, d, seed=1, style="structured")
+        rolls = (np.asarray(load_midi_folder(d).images)[..., 0] > 0).astype(np.uint8)
+        rng = np.random.default_rng(0)
+        broken = rolls[:, rng.permutation(rolls.shape[1]), :]
+        prof = js_profile(roll_statistics(broken), roll_statistics(rolls))
+        assert prof["js_scale_consistency"] > 0.2, prof
+        # duration/density texture is untouched — first-order mean stays low
+        assert prof["js_duration"] < 0.02, prof
+        assert prof["js_density"] < 0.02, prof
+
+    def test_fetch_midi_structured_end_to_end(self):
+        from midi_vae_tpu.data.fetch import fetch_dataset
+        from midi_vae_tpu.midi.stats import roll_statistics
+
+        train, _, test, _ = fetch_dataset("midi-structured")
+        assert train.images.shape[1:] == (128, 128, 1)
+        rolls = (np.asarray(train.images)[..., 0] > 0).astype(np.uint8)
+        st = roll_statistics(rolls)
+        assert st["mean_scale_fit"] > 0.95, st["mean_scale_fit"]
+
+
 class TestCalibrateExportThreshold:
     """midi/calibrate.py: the fix for the dossier's duration-fragmentation
     finding — a decoder whose probabilities sag mid-note shatters long
