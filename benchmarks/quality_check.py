@@ -118,7 +118,7 @@ VARIANTS = {
 
 
 def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: str,
-                iwae_k=None, dataset="vae-lines-synthetic", mig_bins=None):
+                iwae_k=None, dataset="vae-lines-synthetic", mig_bins=None, seed=0):
     from midi_vae_tpu.train.config import TrainConfig
     from midi_vae_tpu.train.loop import run
 
@@ -129,12 +129,12 @@ def run_variant(name: str, epochs: int, image_size: int, bf16: bool, workdir: st
         batch_size_per_device=100,
         lr_relative=1e-3 * 128 / 100,  # reference MIDI config: lr 1e-3 @ batch 100
         kld_weight=2.5e-4,
-        seed=0,
+        seed=seed,
         dtype="bfloat16" if bf16 else "float32",
-        models_dir=os.path.join(workdir, name),
+        models_dir=os.path.join(workdir, name if seed == 0 else f"{name}_s{seed}"),
         log_images=False,
         run_name=name,
-        run_id="qual",
+        run_id="qual" if seed == 0 else f"qual_s{seed}",
         final_iwae=iwae_k,
         final_mig=mig_bins,
     )
