@@ -130,12 +130,89 @@ def bn_leaky_case(name, b, hw, c, iters, dtype=jnp.bfloat16):
     }
 
 
+def quantizer_case(name, b, s, d, codes, iters):
+    """The VQ bottleneck: pairwise-distance matmul + argmin + one-hot
+    gather over a [b·s·s, d] latent against a [codes, d] codebook — the
+    only op the discrete family adds to the trunk."""
+    key = jax.random.PRNGKey(0)
+    z = jax.random.normal(key, (b, s, s, d), jnp.bfloat16)
+    book = jax.random.normal(key, (codes, d), jnp.bfloat16)
+
+    def op(z, book):
+        flat = z.reshape(-1, d)
+        # |z|^2 - 2 z.E^T + |E|^2, argmin over codes (distance matmul is
+        # the MXU part; argmin/gather are VPU/HBM)
+        d2 = (
+            jnp.sum(flat * flat, 1, keepdims=True)
+            - 2.0 * (flat @ book.T).astype(jnp.float32)
+            + jnp.sum(book * book, 1)
+        )
+        idx = jnp.argmin(d2, axis=1)
+        return jnp.take(book, idx, axis=0).reshape(z.shape)
+
+    t = timed_scanned(op, z, book, iters)
+    macs = b * s * s * d * codes
+    return {
+        "layer": name,
+        "shape": f"{s}x{s}x{d} vs {codes} codes",
+        "fwd_ms": round(t * 1e3, 3),
+        "gflops_fwd": round(2 * macs / 1e9, 2),
+        "mxu_util_fwd_pct": round(100 * (2 * macs / t) / (PEAK_TFLOPS * 1e12), 1),
+        "hbm_bound_ms": round(1e3 * 2 * 2 * z.size / (PEAK_GBPS * 1e9), 3),
+        "roll_overhead_ms": round(1e3 * z.size * 2 / (PEAK_GBPS * 1e9), 3),
+    }
+
+
+# the two-stage GENERATION flagship (quality_check.py `vq16_fold8`):
+# s2d(8) stem -> every conv at 16^2 spatial, hidden (64,128,256), stride-1
+# trunk, 16x16 code grid, depth-to-space(8) head. The round-4 claim "the
+# decoder at 16^2 full channel width is the price" is what this
+# decomposition tests (VERDICT round-4 weak #4).
+def vq16_fold8_specs(b):
+    return [
+        ("enc1", (b, 16, 64, 64, 1), {}),
+        ("enc2", (b, 16, 64, 128, 1), {}),
+        ("enc3", (b, 16, 128, 256, 1), {}),
+        ("to_latent_1x1", (b, 16, 256, 16, 1), {"ksize": 1}),
+        ("from_latent_1x1", (b, 16, 16, 256, 1), {"ksize": 1}),
+        ("dec1", (b, 16, 256, 128, 1), {}),
+        ("dec2", (b, 16, 128, 64, 1), {}),
+        ("head_conv", (b, 16, 64, 64, 1), {}),
+        ("head_out_conv", (b, 16, 64, 64, 1), {}),  # 8^2*1 out channels
+    ]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--variant", default="flagship", choices=("flagship", "vq16-fold8"),
+                    help="layer plan to decompose: the Gaussian training flagship "
+                         "(fold8m geometry) or the two-stage generation flagship "
+                         "(vq16_fold8: fold-8 stem, stride-1 16^2 trunk, VQ grid)")
     args = ap.parse_args()
     b, iters = args.batch, args.iters
+
+    if args.variant == "vq16-fold8":
+        cases = []
+        for name, a, kw in vq16_fold8_specs(b):
+            c = conv_case(name, *a, iters=iters, **kw)
+            print(json.dumps(c), flush=True)
+            cases.append(c)
+        c = quantizer_case("quantizer", b, 16, 16, 512, iters)
+        print(json.dumps(c), flush=True)
+        cases.append(c)
+        for name, hw, ch in [("bn_leaky@16px64c", 16, 64), ("bn_leaky@16px128c", 16, 128),
+                             ("bn_leaky@16px256c", 16, 256)]:
+            c = bn_leaky_case(name, b, hw, ch, iters=iters)
+            print(json.dumps(c), flush=True)
+            cases.append(c)
+        total_fb = sum(c.get("fwd_bwd_ms", c["fwd_ms"]) for c in cases)
+        print(json.dumps({"variant": args.variant, "batch": b,
+                          "sum_fwd_bwd_ms": round(total_fb, 2),
+                          "implied_samples_per_sec": round(b / (total_fb / 1e3), 1)}),
+              flush=True)
+        return
 
     specs = [
         ("enc1", (b, 128, 1, 32, 2), {}),

@@ -189,6 +189,42 @@ def run_sample_latency(service, n: int, reps: int = 30, temperature: float = 1.0
     }
 
 
+def run_sample_level(service, concurrency: int, requests_per_thread: int,
+                     rows: int = 1) -> dict:
+    """/sample under concurrent load: `concurrency` threads each fire
+    sequential sample(rows) calls with distinct seeds. sample() is
+    stateless per call (seeded PRNG in, host array out), so threads
+    measure real queueing behind the single device."""
+    service.sample(rows, seed=0)  # warm the bucket compile
+    lat, lock = [], threading.Lock()
+
+    def worker(tid: int):
+        for i in range(requests_per_thread):
+            t0 = time.perf_counter()
+            out = service.sample(rows, seed=tid * 100_000 + i + 1)
+            assert out.shape[0] == rows
+            dt = (time.perf_counter() - t0) * 1e3
+            with lock:
+                lat.append(dt)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(concurrency)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    arr = np.sort(np.asarray(lat))
+    return {
+        "concurrency": concurrency,
+        "requests": len(arr),
+        "rows_per_request": rows,
+        "p50_ms": round(float(np.percentile(arr, 50)), 2),
+        "p95_ms": round(float(np.percentile(arr, 95)), 2),
+        "throughput_req_per_s": round(len(arr) / wall, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=200, help="requests per thread")
@@ -209,7 +245,15 @@ def main():
                          "--sample-prior is given (the round-4 serving surface)")
     ap.add_argument("--sample-prior", default=None, metavar="PATH",
                     help="Trained code prior for the two-stage /sample row")
+    ap.add_argument("--sample-artifact", default=None, metavar="DIR",
+                    help="ALSO measure /sample on an AOT-exported artifact dir "
+                         "(aot_export --prior): the baked StableHLO two-stage "
+                         "sampler, the artifact-only deployment path")
     ap.add_argument("--sample-ns", type=int, nargs="+", default=[1, 8, 64])
+    ap.add_argument("--sample-concurrency", type=int, nargs="+", default=[1, 16],
+                    help="concurrent-caller levels for the /sample rows")
+    ap.add_argument("--sample-requests", type=int, default=20,
+                    help="requests per thread at each /sample concurrency level")
     args = ap.parse_args()
 
     if args.cpu:
@@ -263,10 +307,31 @@ def main():
         if args.sample_prior:
             svc = InferenceService(args.sample_checkpoint, prior_path=args.sample_prior)
             for n in args.sample_ns:
-                r = {"path": "two-stage prior", **run_sample_latency(svc, n)}
+                r = {"path": "two-stage prior", "backend": "checkpoint",
+                     **run_sample_latency(svc, n)}
+                sample_results.append(r)
+                print(json.dumps(r), flush=True)
+            for c in args.sample_concurrency:
+                r = {"path": "two-stage prior", "backend": "checkpoint",
+                     **run_sample_level(svc, c, args.sample_requests)}
                 sample_results.append(r)
                 print(json.dumps(r), flush=True)
             svc.close()
+    if args.sample_artifact:
+        from midi_vae_tpu.serving.server import InferenceService
+
+        svc = InferenceService.from_artifact(args.sample_artifact)
+        for n in args.sample_ns:
+            r = {"path": "two-stage prior", "backend": "artifact",
+                 **run_sample_latency(svc, n)}
+            sample_results.append(r)
+            print(json.dumps(r), flush=True)
+        for c in args.sample_concurrency:
+            r = {"path": "two-stage prior", "backend": "artifact",
+                 **run_sample_level(svc, c, args.sample_requests)}
+            sample_results.append(r)
+            print(json.dumps(r), flush=True)
+        svc.close()
 
     out = {
         "backend": jax.devices()[0].platform,

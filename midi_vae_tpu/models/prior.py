@@ -40,6 +40,7 @@ matmul per layer — negligible next to the masked convs.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -351,22 +352,51 @@ def sample_codes_autoregressive(
         if known_mask.shape != (grid, grid):
             raise ValueError(f"known_mask must be [{grid}, {grid}], got {known_mask.shape}")
     t_inv = 1.0 / jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+    has_y = y is not None
+    has_known = known is not None
+    # The sampler re-traced its whole scan on EVERY call when invoked
+    # eagerly (the serving /sample path), paying ~1s of host tracing per
+    # request for ~1ms of device work. One jitted program per static
+    # configuration (round-5 fix; flax Modules hash by structure, so the
+    # cache key is the prior architecture, not the parameters).
+    fn = _cached_sampler(prior, grid, num_samples,
+                         None if top_p is None else float(top_p), has_y, has_known)
+    return fn(params, key, t_inv,
+              y if has_y else _NO_Y,
+              known if has_known else _NO_KNOWN,
+              known_mask if has_known else _NO_KNOWN_MASK)
+
+
+_NO_Y = jnp.zeros((0,), jnp.int32)
+_NO_KNOWN = jnp.zeros((0, 0, 0), jnp.int32)
+_NO_KNOWN_MASK = jnp.zeros((0, 0), bool)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_sampler(prior, grid: int, num_samples: int, top_p, has_y: bool,
+                    has_known: bool):
+    """One compiled ancestral sampler per static configuration."""
     use_nucleus = top_p is not None and top_p < 1.0
 
-    def body(carry, t):
-        idx, k = carry
-        logits = prior.apply({"params": params}, idx, y)  # [N, s, s, K]
-        i, j = t // grid, t % grid
-        k, sub = jax.random.split(k)
-        step_logits = logits[:, i, j, :].astype(jnp.float32) * t_inv
-        if use_nucleus:
-            step_logits = nucleus_mask(step_logits, float(top_p))
-        draw = jax.random.categorical(sub, step_logits, axis=-1).astype(jnp.int32)
-        if known is not None:
-            draw = jnp.where(known_mask[i, j], known[:, i, j], draw)
-        idx = idx.at[:, i, j].set(draw)
-        return (idx, k), None
+    def sample(params, key, t_inv, y, known, known_mask):
+        yy = y if has_y else None
 
-    idx0 = jnp.zeros((num_samples, grid, grid), jnp.int32)
-    (idx, _), _ = jax.lax.scan(body, (idx0, key), jnp.arange(grid * grid))
-    return idx
+        def body(carry, t):
+            idx, k = carry
+            logits = prior.apply({"params": params}, idx, yy)  # [N, s, s, K]
+            i, j = t // grid, t % grid
+            k, sub = jax.random.split(k)
+            step_logits = logits[:, i, j, :].astype(jnp.float32) * t_inv
+            if use_nucleus:
+                step_logits = nucleus_mask(step_logits, float(top_p))
+            draw = jax.random.categorical(sub, step_logits, axis=-1).astype(jnp.int32)
+            if has_known:
+                draw = jnp.where(known_mask[i, j], known[:, i, j], draw)
+            idx = idx.at[:, i, j].set(draw)
+            return (idx, k), None
+
+        idx0 = jnp.zeros((num_samples, grid, grid), jnp.int32)
+        (idx, _), _ = jax.lax.scan(body, (idx0, key), jnp.arange(grid * grid))
+        return idx
+
+    return jax.jit(sample)
