@@ -247,13 +247,15 @@ def main():
         ])
     cond_path = None
     if args.conditional:
-        cond_path = os.path.join(workdir, "prior_cond.msgpack")
+        aug_tag = f"_a{args.prior_augment_passes}" if args.prior_augment_passes else ""
+        cond_path = os.path.join(workdir, f"prior_cond{aug_tag}.msgpack")
         if not os.path.isfile(cond_path):
             print("=== training conditional pixelcnn prior ===", flush=True)
         prior_cli([
             "--checkpoint", args.vq_checkpoint, "--out", cond_path,
             "--prior-arch", "pixelcnn", "--epochs", str(args.prior_epochs),
             "--features", str(args.prior_features), "--layers", str(args.prior_layers),
+            "--augment-passes", str(args.prior_augment_passes),
             "--seed", str(args.seed), "--conditional",
         ])
 

@@ -37,6 +37,24 @@ DATASETS = {
         kl_schedule="linear",
         kl_warmup_steps=2000,
     ),
+    # Tonal corpus (round 5, midi/factory.py structured_notes): ~2% fill,
+    # same sparse-probe protocol — the corpus whose second-order
+    # statistics can fail a generator (RESULTS.md "Prior-side
+    # fragmentation" follow-up)
+    "midi-structured": dict(
+        transform_type="pianoroll",
+        bce_targets="raw",
+        output_bias_init="auto",
+        kl_schedule="linear",
+        kl_warmup_steps=2000,
+    ),
+}
+
+# dataset -> published-table artifact; other datasets write their own
+# side file and never merge into (or splice over) a published table
+PUBLISHED_TABLES = {
+    "vae-lines-synthetic": "quality.json",
+    "midi-synthetic": "quality_midi.json",
 }
 
 VARIANTS = {
@@ -205,7 +223,9 @@ def main():
               f"{r['mae_pct']:>7.2f} {r['kl_nats']:>7.3f} {r['active_units']:>5d}")
 
     midi = args.dataset != "vae-lines-synthetic"
-    fname = "quality_midi.json" if midi else "quality.json"
+    fname = PUBLISHED_TABLES.get(
+        args.dataset, f"quality_{args.dataset.replace('-', '_')}.json"
+    )
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     # merge with prior rows measured at the same epochs/size, so partial
     # re-runs update their variants without dropping the rest of the table
@@ -242,6 +262,8 @@ def main():
             "to update the table."
         )
         return
+    if args.dataset not in PUBLISHED_TABLES:
+        return  # side corpora publish through their own harnesses
     splice_results(args.epochs, args.image_size, rows, dataset=args.dataset)
 
 
