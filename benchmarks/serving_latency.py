@@ -347,6 +347,45 @@ def main():
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
+    if sample_results:
+        splice_sample_section(sample_results)
+
+
+def splice_sample_section(sample_results) -> None:
+    """Rewrite the AUTOGEN SERVING SAMPLE block of RESULTS.md (same
+    regenerate-in-session rule as every published table)."""
+    import re
+
+    results_md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.md")
+    begin = "<!-- BEGIN AUTOGEN SERVING SAMPLE -->"
+    end = "<!-- END AUTOGEN SERVING SAMPLE -->"
+    lines = [begin,
+             "| path | backend | load | p50 | p95 | throughput |",
+             "|---|---|---|---|---|---|"]
+    for r in sample_results:
+        if "concurrency" in r:
+            load = f"concurrency {r['concurrency']} (1 roll/req)"
+            thr = f"{r['throughput_req_per_s']} req/s"
+        else:
+            load = f"batch n={r['n']} (sequential)"
+            thr = f"{r['samples_per_sec']} samples/s"
+        lines.append(
+            f"| {r.get('path', '/sample')} | {r.get('backend', '—')} | {load} | "
+            f"{r['p50_ms']} ms | {r['p95_ms']} ms | {thr} |"
+        )
+    lines.append("\n(regenerated by `benchmarks/serving_latency.py "
+                 "--sample-checkpoint ... --sample-prior ... --sample-artifact ...`)")
+    lines.append(end)
+    block = "\n".join(lines)
+    with open(results_md) as f:
+        text = f.read()
+    pattern = re.compile(re.escape(begin) + r".*?" + re.escape(end), re.DOTALL)
+    if not pattern.search(text):
+        print(f"NOTE: RESULTS.md has no {begin} markers; skipping splice")
+        return
+    with open(results_md, "w") as f:
+        f.write(pattern.sub(lambda _: block, text))
+    print("rewrote RESULTS.md AUTOGEN SERVING SAMPLE section")
 
 
 if __name__ == "__main__":
