@@ -930,6 +930,27 @@ def test_augment_passes_draw_distinct_grids(vq_ckpt):
     assert not np.array_equal(a[:n], b[:n])
 
 
+def test_sampler_is_cached_not_retraced():
+    """Round-5 serving fix: repeated sample calls with the same static
+    configuration must reuse ONE compiled program (the eager path used
+    to re-trace the whole scan per /sample request — ~1s host work for
+    ~1ms device work). The cache key is the architecture, not params."""
+    from midi_vae_tpu.models.prior import _cached_sampler
+
+    prior = CodePrior(num_codes=8, features=8, num_layers=1, kernel_size=3)
+    f1 = _cached_sampler(prior, 2, 4, None, False, False)
+    f2 = _cached_sampler(prior, 2, 4, None, False, False)
+    assert f1 is f2  # same config -> same jitted callable, no retrace
+    # a different static config gets its own program
+    f3 = _cached_sampler(prior, 2, 8, None, False, False)
+    assert f3 is not f1
+    # and the cached path still samples correctly
+    params = prior.init(jax.random.PRNGKey(0), jnp.zeros((4, 2, 2), jnp.int32), None)["params"]
+    idx = sample_codes_autoregressive(prior, params, jax.random.PRNGKey(1), 4, 2)
+    assert idx.shape == (4, 2, 2)
+    assert int(np.asarray(idx).min()) >= 0 and int(np.asarray(idx).max()) < 8
+
+
 def test_nucleus_mask_keeps_minimal_covering_set():
     """nucleus_mask keeps exactly the smallest prefix of codes (by
     probability) whose mass reaches top_p, and always keeps the top-1."""
