@@ -182,6 +182,46 @@ def vq16_fold8_specs(b):
     ]
 
 
+def splice_fine_grid(out: dict) -> None:
+    """Rewrite the RESULTS.md AUTOGEN FINE GRID PROFILE block from the
+    vq16-fold8 decomposition (same regenerate-in-session rule as every
+    published table)."""
+    import re
+
+    results_md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "RESULTS.md")
+    begin = "<!-- BEGIN AUTOGEN FINE GRID PROFILE -->"
+    end = "<!-- END AUTOGEN FINE GRID PROFILE -->"
+    s = out["summary"]
+    lines = [begin,
+             "| layer | shape | fwd ms | fwd+bwd ms | GFLOP (fwd) | MXU util fwd | "
+             "HBM-bound ms | FLOPs-bound ms |",
+             "|---|---|---|---|---|---|---|---|"]
+    for c in out["cases"]:
+        lines.append(
+            f"| {c['layer']} | {c['shape']} | {c['fwd_ms']} | "
+            f"{c.get('fwd_bwd_ms', '—')} | {c.get('gflops_fwd', '—')} | "
+            + (f"{c['mxu_util_fwd_pct']}% | " if "mxu_util_fwd_pct" in c else "— | ")
+            + f"{c['hbm_bound_ms']} | {c.get('flops_bound_ms', '—')} |"
+        )
+    lines.append(
+        f"\n(batch {s['batch']}, bf16, per-op `lax.scan` chained timing; sum fwd+bwd "
+        f"**{s['sum_fwd_bwd_ms']} ms** → implied **{s['implied_samples_per_sec']:,.0f} "
+        f"samples/s**, aggregate conv MFU **{s['aggregate_mfu_pct']}%**; regenerated by "
+        f"`benchmarks/layer_profile.py --variant vq16-fold8 --splice` → "
+        f"`layer_profile_vq16_fold8.json`)")
+    lines.append(end)
+    block = "\n".join(lines)
+    with open(results_md) as f:
+        text = f.read()
+    pattern = re.compile(re.escape(begin) + r".*?" + re.escape(end), re.DOTALL)
+    if not pattern.search(text):
+        print(f"NOTE: RESULTS.md has no {begin} markers; skipping splice")
+        return
+    with open(results_md, "w") as f:
+        f.write(pattern.sub(lambda _: block, text))
+    print("rewrote RESULTS.md AUTOGEN FINE GRID PROFILE section")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
@@ -190,6 +230,9 @@ def main():
                     help="layer plan to decompose: the Gaussian training flagship "
                          "(fold8m geometry) or the two-stage generation flagship "
                          "(vq16_fold8: fold-8 stem, stride-1 16^2 trunk, VQ grid)")
+    ap.add_argument("--splice", action="store_true",
+                    help="vq16-fold8 only: rewrite the RESULTS.md AUTOGEN FINE GRID "
+                         "PROFILE block (regenerate-in-session canon rule)")
     args = ap.parse_args()
     b, iters = args.batch, args.iters
 
@@ -208,10 +251,25 @@ def main():
             print(json.dumps(c), flush=True)
             cases.append(c)
         total_fb = sum(c.get("fwd_bwd_ms", c["fwd_ms"]) for c in cases)
-        print(json.dumps({"variant": args.variant, "batch": b,
-                          "sum_fwd_bwd_ms": round(total_fb, 2),
-                          "implied_samples_per_sec": round(b / (total_fb / 1e3), 1)}),
-              flush=True)
+        # aggregate MFU over the decomposition: fwd+bwd FLOPs ~= 3x fwd
+        # for the convs (grad wrt x and k are conv-shaped), 1x for the
+        # fwd-only cases (quantizer/BN, excluded from the numerator)
+        total_gflops_fb = sum(3 * c["gflops_fwd"] for c in cases
+                              if "fwd_bwd_ms" in c and "gflops_fwd" in c)
+        summary = {"variant": args.variant, "batch": b,
+                   "sum_fwd_bwd_ms": round(total_fb, 2),
+                   "implied_samples_per_sec": round(b / (total_fb / 1e3), 1),
+                   "aggregate_mfu_pct": round(
+                       100 * (total_gflops_fb / (total_fb / 1e3)) / (PEAK_TFLOPS * 1e3), 1)}
+        print(json.dumps(summary), flush=True)
+        out = {"cases": cases, "summary": summary}
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "layer_profile_vq16_fold8.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {path}", flush=True)
+        if args.splice:
+            splice_fine_grid(out)
         return
 
     specs = [
