@@ -132,6 +132,17 @@ VARIANTS = {
     "vq16_fold8": dict(arch="FoldedVQVAE", loss_type="vq", fold=8,
                        hidden_dims=(64, 128, 256), n_features=16,
                        codebook_size=512, kld_weight=0.25, kl_schedule="constant"),
+    # round-5 fine-grid throughput swings (VERDICT weak #4): the layer
+    # profile shows the 128<->256-channel convs at 16^2 carry ~2/3 of the
+    # trunk's FLOPs. These rows are the quality gates for cutting them —
+    # slim (-39% conv FLOPs) and narrow-top (-17%); bench.py measures the
+    # corresponding throughput via MIDI_VAE_BENCH_HIDDEN.
+    "vq16_fold8s": dict(arch="FoldedVQVAE", loss_type="vq", fold=8,
+                        hidden_dims=(48, 96, 192), n_features=16,
+                        codebook_size=512, kld_weight=0.25, kl_schedule="constant"),
+    "vq16_fold8n": dict(arch="FoldedVQVAE", loss_type="vq", fold=8,
+                        hidden_dims=(64, 128, 192), n_features=16,
+                        codebook_size=512, kld_weight=0.25, kl_schedule="constant"),
 }
 
 

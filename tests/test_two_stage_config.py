@@ -63,7 +63,7 @@ class TestPriorSection:
         assert args.epochs == 40
         assert args.lr == 3e-4
         assert args.batch_size == 256
-        assert args.augment_passes == 3  # the measured quality lever
+        assert args.augment_passes == 10  # the measured quality lever (aug matrix: monotone to 10)
         assert args.seed == 0
 
     def test_explicit_flag_beats_section(self):
@@ -133,7 +133,7 @@ def test_runbook_two_stage_end_to_end(tmp_path):
     ])
     _, _, pcfg = load_prior(prior_path)
     assert pcfg["arch"] == "transformer"  # came from the config's prior section
-    assert int(pcfg["augment_passes"]) == 3
+    assert int(pcfg["augment_passes"]) == 10
 
     midi_dir = str(tmp_path / "midi")
     generate_cli([
